@@ -1,0 +1,54 @@
+"""Parquet readers for the synthetic corpus.
+
+Reads are plain ``spark.read.parquet`` so Catalyst keeps full control:
+column pruning and predicate pushdown reach the scan (verify with
+``df.explain`` → ``PushedFilters`` / ``ReadSchema``). No caching here —
+callers cache only when a frame is reused within one job.
+
+At 100 TB the same call pattern holds; the difference is layout:
+fact tables are written date-partitioned (``partitionBy``) so partition
+pruning kicks in, and frequently-joined keys may be bucketed. Nothing
+in the query code changes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .schemas import CORPUS_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one corpus table from ``{sf_dir}/{name}.parquet``.
+
+    ``events.ts`` is TIMESTAMP(NANOS) in the parquet; Spark reads it as
+    long (``nanosAsLong``) and we truncate to microseconds with integer
+    division — the same ns→µs truncation DuckDB applies, so oracle
+    comparisons agree. (A double division here would silently lose
+    precision: ns-since-epoch ≈ 1.7e18 exceeds a double's 53-bit mantissa.)
+    """
+    if name not in CORPUS_TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {CORPUS_TABLES}")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
+    return tuple(load_table(spark, sf_dir, n) for n in names)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every corpus table as a temp view for ``spark.sql``."""
+    for name in CORPUS_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

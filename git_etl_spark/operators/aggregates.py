@@ -1,0 +1,218 @@
+"""Aggregation pack — SURVEY.md §2.5 (A1-A4, D3-D7) re-expressed on the
+synthetic corpus.
+
+Each reference aggregation maps to the same operator *shape* on the
+testdata tables (the git tables don't exist there; the shapes do):
+
+- A1 per-author group-by      → per-customer order stats (count/min/max/sum)
+- A2 global summary aggregate → one-row lineitem summary
+- A3 ext-frequency + argmax   → per-lang most-frequent source (window argmax)
+- D3 commits-per-day top-10   → orders-per-day top-10
+- D4 hot files top-20         → hot parts top-20
+- D5 commits-per-repo         → orders-per-status
+- D6 conditional sum          → per-event-type count + count_if
+- D7 leaderboard              → customer leaderboard
+
+All are single-shuffle hash aggregations: Catalyst plans partial
+(map-side) + final HashAggregate, so at 100 TB the shuffle carries one
+row per group, not per input row. Top-k uses orderBy+limit which plans
+TakeOrderedAndProject (no global sort materialization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.exact import count_if, davg, dsum
+from ..io import load_table
+from ..registry import query
+
+
+@query(
+    "agg_customer_order_stats",
+    oracle="""
+    SELECT o_custkey AS custkey,
+           COUNT(*) AS total_orders,
+           CAST(MIN(o_orderdate) AS TIMESTAMP) AS first_order_at,
+           CAST(MAX(o_orderdate) AS TIMESTAMP) AS last_order_at,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def agg_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 per-key group-by: count/min/max/sum per customer
+    (reference ``src/transforms.ts:11-39`` shape)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count("*").alias("total_orders"),
+        F.min("o_orderdate").alias("first_order_at"),
+        F.max("o_orderdate").alias("last_order_at"),
+        dsum("o_totalprice").alias("total_spend"),
+    )
+
+
+@query(
+    "agg_global_summary",
+    oracle="""
+    SELECT COUNT(*) AS total_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+           COUNT(DISTINCT l_suppkey) AS n_suppliers,
+           CAST(MIN(l_shipdate) AS TIMESTAMP) AS first_ship,
+           CAST(MAX(l_shipdate) AS TIMESTAMP) AS last_ship
+    FROM lineitem
+    """,
+)
+def agg_global_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 global one-row summary (reference ``src/transforms.ts:41-62``);
+    min/max replace the reference's git-log-order positional trick
+    (SURVEY §2.5 caveat) — order-independent by construction."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("total_rows"),
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_price"),
+        count_if(F.col("l_returnflag") == "R").alias("n_returned"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+
+
+@query(
+    "agg_argmax_source_per_lang",
+    oracle="""
+    SELECT lang, source AS top_source, n_docs
+    FROM (
+        SELECT lang, source, COUNT(*) AS n_docs,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY COUNT(*) DESC, source) AS rn
+        FROM documents GROUP BY lang, source
+    ) WHERE rn = 1
+    """,
+)
+def agg_argmax_source_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 frequency + argmax (reference ``src/git-parser.ts:224-264``
+    language detection): most frequent source per lang, tie-break on
+    source name for determinism."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang", "source").agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n_docs"), F.asc("source"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("lang", F.col("source").alias("top_source"), "n_docs")
+    )
+
+
+@query(
+    "agg_orders_per_day_top10",
+    oracle="""
+    SELECT CAST(o_orderdate AS DATE) AS order_day,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS day_revenue
+    FROM orders
+    GROUP BY 1
+    ORDER BY n_orders DESC, order_day ASC
+    LIMIT 10
+    """,
+)
+def agg_orders_per_day_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 commits-per-day (reference ``README.md:65-73``): day-trunc
+    group-by with top-10; plans TakeOrderedAndProject."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.to_date("o_orderdate").alias("order_day"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("day_revenue"),
+        )
+        .orderBy(F.desc("n_orders"), F.asc("order_day"))
+        .limit(10)
+    )
+
+
+@query(
+    "agg_hot_parts_top20",
+    oracle="""
+    SELECT l_partkey AS partkey,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM lineitem
+    GROUP BY l_partkey
+    ORDER BY n_lines DESC, partkey ASC
+    LIMIT 20
+    """,
+)
+def agg_hot_parts_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 hot-files (reference ``README.md:76-83``): per-key counts +
+    sums, top-20 deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.count("*").alias("n_lines"),
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_price"),
+        )
+        .orderBy(F.desc("n_lines"), F.asc("partkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "agg_orders_per_status",
+    oracle="SELECT o_orderstatus AS status, COUNT(*) AS n FROM orders GROUP BY 1",
+)
+def agg_orders_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 commits-per-repo (reference ``README.md:86-88``): plain
+    group-count."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count("*").alias("n")
+    )
+
+
+@query(
+    "agg_conditional_sum",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_conditional_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6 conditional sum inside aggregate (reference ``README.md:91-94``
+    ``SUM(CASE WHEN is_annotated...)``)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        count_if(F.col("value") > 50).alias("n_high"),
+    )
+
+
+@query(
+    "agg_avg_balance_per_segment",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(c_acctbal)
+               AS avg_balance
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def agg_avg_balance_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVG done order-independently (decimal sum / count) — the pattern
+    every money-average at 100 TB should use."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").alias("n_customers"),
+        davg("c_acctbal").alias("avg_balance"),
+    )

@@ -1,0 +1,202 @@
+"""Join pack — SURVEY.md §2.6.
+
+The reference executes no joins in code (tables load independently;
+FKs are by convention) but provisions the keys; the README query
+surface and the star schema make joins first-class here.
+
+Scale posture: dimension tables (region, nation, and at real scale a
+bounded customer dim) are broadcast — ``F.broadcast`` hints where the
+side is small by construction, otherwise AQE's runtime size check
+upgrades sort-merge to broadcast. Fact-fact joins shuffle on the join
+key; at 100 TB those keys are the bucketing candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.exact import dsum
+from ..io import load_table
+from ..registry import query
+
+
+@query(
+    "join_revenue_per_nation",
+    oracle="""
+    SELECT n.n_name AS nation,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def join_revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join fact→dim→dim with aggregation. ``nation`` (25
+    rows) is broadcast explicitly; ``customer`` broadcasts under the
+    10 MB threshold at test scale and sort-merges beyond it — the plan
+    stays correct either way."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+    )
+
+
+@query(
+    "join_semi_customers_with_orders",
+    oracle="""
+    SELECT c_custkey AS custkey, c_name AS name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (reference SET-membership pattern, SURVEY §2.7
+    SET1): customers having at least one order. Semi joins shuffle only
+    distinct keys of the probe side — cheaper than inner+distinct."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select(F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name"))
+
+
+@query(
+    "join_anti_customers_without_big_orders",
+    oracle="""
+    SELECT c_custkey AS custkey, c_name AS name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000)
+    """,
+)
+def join_anti_customers_without_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join — the reference's ignore-list subtraction
+    (``main.ts:283-296``, SURVEY §2.4 F4 / §2.7 SET2) as a distributed
+    anti join. The synthetic FKs are dense (every customer has orders),
+    so the anti side is made non-degenerate with a high-value predicate
+    — which also shows the filter pushed below the join."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") > 400000)
+    return customer.join(
+        big, customer.c_custkey == big.o_custkey, "left_anti"
+    ).select(F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name"))
+
+
+@query(
+    "join_theta_richer_suppliers",
+    oracle="""
+    SELECT c.c_nationkey AS nationkey, COUNT(*) AS n_pairs
+    FROM supplier s
+    JOIN customer c
+      ON s.s_nationkey = c.c_nationkey AND s.s_acctbal > c.c_acctbal
+    GROUP BY c.c_nationkey
+    """,
+)
+def join_theta_richer_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join: equi key (nation) + non-equi predicate (balance).
+    Expressed with the inequality *inside* the join condition so
+    Catalyst plans a hash/sort-merge join on the equi part and applies
+    the range predicate as a post-join filter — never a cartesian
+    product. The small side is broadcast-hinted."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    joined = F.broadcast(supplier).join(
+        customer,
+        (supplier.s_nationkey == customer.c_nationkey)
+        & (supplier.s_acctbal > customer.c_acctbal),
+    )
+    return joined.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count("*").alias("n_pairs")
+    )
+
+
+@query(
+    "join_multiway_regional_revenue",
+    oracle="""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN customer c  ON o.o_custkey = c.c_custkey
+    JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+                    AND s.s_nationkey = c.c_nationkey
+    JOIN nation n    ON c.c_nationkey = n.n_nationkey
+    JOIN region r    ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def join_multiway_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 6-table join (local-supplier volume): fact-fact
+    join lineitem⋈orders on orderkey, dims broadcast, the
+    customer-nation = supplier-nation condition folded into the
+    supplier join. At 100 TB lineitem and orders are both bucketed by
+    orderkey so this join is shuffle-free."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(
+            F.broadcast(supplier),
+            (li.l_suppkey == supplier.s_suppkey)
+            & (supplier.s_nationkey == customer.c_nationkey),
+        )
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            dsum("l_extendedprice").alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "join_broadcast_lookup",
+    oracle="""
+    SELECT CASE lang WHEN 'en' THEN 'English' WHEN 'de' THEN 'German'
+                     WHEN 'es' THEN 'Spanish' WHEN 'fr' THEN 'French'
+                     WHEN 'zh' THEN 'Chinese' ELSE 'Unknown' END AS language,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+)
+def join_broadcast_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12 static lookup-map join (reference ``src/git-parser.ts:233-252``
+    18-entry ext→language map): a literal DataFrame broadcast-joined —
+    the Spark idiom for small reference data instead of a CASE chain."""
+    docs = load_table(spark, sf_dir, "documents")
+    lookup = spark.createDataFrame(
+        [
+            ("en", "English"),
+            ("de", "German"),
+            ("es", "Spanish"),
+            ("fr", "French"),
+            ("zh", "Chinese"),
+        ],
+        "lang_code string, language string",
+    )
+    return (
+        docs.join(F.broadcast(lookup), docs.lang == lookup.lang_code, "left")
+        .withColumn("language", F.coalesce("language", F.lit("Unknown")))
+        .groupBy("language")
+        .agg(F.count("*").alias("n_docs"))
+    )

@@ -1,0 +1,68 @@
+"""SparkSession factory.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` (default all cores);
+the configuration below is chosen so the *same* logical plans deploy
+unchanged to a large cluster:
+
+- AQE on: runtime partition coalescing, skew-join splitting, and
+  dynamic join-strategy switching replace hand-tuned shuffle counts
+  at 100 TB (a static ``shuffle.partitions`` can never be right for
+  both a 60 k-row test and a 100 TB table).
+- ``spark.sql.session.timeZone=UTC``: timestamps behave identically
+  across driver, executors, and the DuckDB oracle.
+- Arrow enabled: every pandas_udf / applyInPandas / toPandas crossing
+  is Arrow-batched, never row-at-a-time pickled.
+- Broadcast threshold left at default (10 MB) and AQE may upgrade
+  joins at runtime; dimension tables (region/nation/customer at test
+  scale) broadcast automatically, and code hints ``F.broadcast`` where
+  a side is known-small by construction.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "git-etl-spark",
+    cpus: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the SparkSession.
+
+    ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` or ``*``. Shuffle
+    partitions default to 2×cores locally; on a real cluster AQE
+    coalesces from ``spark.sql.adaptive.coalescePartitions.initialPartitionNum``
+    so this initial value is a ceiling, not a tuning knob.
+    """
+    if cpus is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if shuffle_partitions is None:
+        try:
+            shuffle_partitions = max(8, 2 * int(cpus))
+        except (TypeError, ValueError):
+            shuffle_partitions = 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # events.parquet stores TIMESTAMP(NANOS); Spark has no nanosecond
+        # timestamp type, so read as long and convert in io.load_table
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", "10m")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
