@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Benchmark harness — driver contract.
+
+Runs every registered query at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes its full plan with the noop sink (no driver-side
+collect — measuring the engine, not result transfer). One warm-up run
+of the flagship query absorbs JVM/codegen warm-up so per-query numbers
+reflect steady state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from git_etl_spark import registry
+from git_etl_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    registry.load_all()
+    spark = get_spark(app_name="git-etl-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run(name: str) -> float:
+        df = registry.QUERIES[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    # warm-up: JVM JIT + codegen + parquet footer caches
+    run("join_multiway_regional_revenue")
+
+    timings: dict[str, float] = {}
+    for name in sorted(registry.QUERIES):
+        timings[name] = round(run(name), 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_queries": len(timings),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
