@@ -1,1 +1,149 @@
-"""Placeholder — filled in by later milestones."""
+"""Event analytics pack — SURVEY.md §2.10 X7 (batch shapes; the
+streaming twins live in ``git_etl_spark.streaming``).
+
+These are the batch formulations of the streaming operators: tumbling
+window = date_trunc group-by; sessionization = gap-flag + running sum;
+dedup-keep-earliest = row_number. The streaming module reuses the same
+column logic over ``readStream`` with watermarks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.exact import dsum
+from ..io import load_table
+from ..registry import query
+
+SESSION_GAP_SEC = 600
+
+
+@query(
+    "events_hourly_agg",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour_bucket, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour aggregation (batch twin of the streaming
+    windowed count). ``date_trunc`` keeps the bucket a plain timestamp
+    so the oracle compares directly; the streaming twin uses
+    ``window(ts, '1 hour')`` which is the same bucketing."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_bucket"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n"),
+        dsum("value").alias("sum_value"),
+    )
+
+
+@query(
+    "events_sessionize",
+    oracle=f"""
+    WITH gapped AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN CAST(FLOOR(epoch(ts)) AS BIGINT) - CAST(FLOOR(epoch(lag(ts) OVER w)) AS BIGINT) > {SESSION_GAP_SEC}
+                     OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, ts, event_id,
+               SUM(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_idx
+        FROM gapped
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) - CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS duration_sec
+    FROM numbered
+    GROUP BY user_id, session_idx
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization with a {SESSION_GAP}s inactivity gap:
+    lag-gap flag → running sum = session index → per-session aggregate.
+    One shuffle on user_id serves both windows and the final group-by
+    (same partitioning, Catalyst reuses the exchange). Streaming twin:
+    ``session_window(ts, '10 minutes')`` in streaming/events_stream.py."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_session = F.when(
+        gap.isNull() | (gap > SESSION_GAP_SEC), F.lit(1)
+    ).otherwise(F.lit(0))
+    numbered = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum(new_session)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_idx"),
+    )
+    return numbered.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        (
+            F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+        ).alias("duration_sec"),
+    )
+
+
+@query(
+    "events_dedup_earliest",
+    oracle="""
+    SELECT event_id, user_id, event_type, ts FROM (
+        SELECT event_id, user_id, event_type, ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def events_dedup_earliest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 keyed dedup with deterministic tie-break: first event per
+    (user, type). ``dropDuplicates`` keeps an *arbitrary* row and is
+    not oracle-checkable; row_number with a total order is the
+    reproducible form (reference K3 first-writer-wins semantics,
+    ``src/database.ts:149-152``)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.select("event_id", "user_id", "event_type", "ts")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@query(
+    "events_daily_activity",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS event_day,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_purchases
+    FROM events GROUP BY 1
+    """,
+)
+def events_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users + purchase counts (D3 commits-per-day shape
+    on the event stream)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.to_date("ts").alias("event_day")).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).cast("long").alias("n_purchases"),
+    )

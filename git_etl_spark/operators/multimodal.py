@@ -1,1 +1,99 @@
-"""Placeholder — filled in by later milestones."""
+"""Multimodal column plumbing — SURVEY.md §2.10 X5.
+
+Image/audio/video payloads are opaque ``binary`` columns with typed
+metadata travelling alongside. The corpus has no real media, so the
+payload is a deterministic stand-in (UTF-8 bytes of the text column);
+everything *around* the payload — binary columns, byte-level scalar
+functions, Arrow-batched ``mapInPandas`` decode plumbing, schema and
+partitioning — is real and tested.
+
+The actual codec step is stubbed (no image/audio libraries in this
+environment): ``decode_image_stub`` raises NotImplementedError for
+real formats and produces deterministic fake features for the
+stand-in format, keeping the pipeline end-to-end runnable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import query
+
+FEATURE_SCHEMA = (
+    "doc_id long, n_bytes long, magic string, mean_byte double, max_byte int"
+)
+
+
+@query(
+    "multimodal_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS payload_md5,
+           substr(hex(encode(text)), 1, 8) AS magic_hex,
+           octet_length(encode(text)) - length(text) AS multibyte_extra
+    FROM documents
+    """,
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column scalar pack: byte length, content hash, magic-
+    prefix extraction — the metadata projection that runs *without*
+    decoding payloads (column pruning means the scan never touches
+    other columns; at 100 TB of media this is the cheap pass)."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode("text", "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(payload).alias("n_bytes"),
+        F.md5("text").alias("payload_md5"),
+        F.substring(F.hex(payload), 1, 8).alias("magic_hex"),
+        (F.octet_length(payload) - F.length("text")).alias("multibyte_extra"),
+    )
+
+
+def decode_image_stub(payload: bytes) -> dict:
+    """Stand-in for a media decode (PIL/ffmpeg are not available in
+    this environment). Real formats raise; the UTF-8 stand-in payload
+    yields deterministic byte statistics so the distributed plumbing
+    is exercised end-to-end."""
+    if payload[:4] in (b"\x89PNG", b"\xff\xd8\xff\xe0", b"RIFF"):
+        raise NotImplementedError(
+            "real media decode requires PIL/ffmpeg; not present in this env"
+        )
+    mv = memoryview(payload)
+    total = sum(mv)
+    return {
+        "n_bytes": len(payload),
+        "magic": payload[:4].decode("utf-8", errors="replace"),
+        "mean_byte": total / len(payload) if payload else 0.0,
+        "max_byte": max(mv) if payload else 0,
+    }
+
+
+@query("multimodal_decode_features")  # rows-only: mapInPandas plumbing demo
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 decode / feature-extract over binary payloads with
+    ``mapInPandas``: Arrow-batched iterator of pandas frames, one
+    Python worker per partition — the correct shape for CPU-heavy
+    per-item work (image resize, frame sampling, audio features).
+    Batch size follows ``spark.sql.execution.arrow.maxRecordsPerBatch``;
+    at 100 TB the input is repartitioned so one batch of payloads fits
+    executor memory."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_image_stub(p) for p in pdf["payload"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out[["doc_id", "n_bytes", "magic", "mean_byte", "max_byte"]]
+
+    return docs.mapInPandas(extract, schema=FEATURE_SCHEMA)

@@ -1,1 +1,192 @@
-"""Placeholder — filled in by later milestones."""
+"""Projection / scalar-function pack — SURVEY.md §2.3 (P1-P12, D1),
+§2.4 (F1-F7, V1-V6 validation), §2.10 X6 (JSON extraction).
+
+All row-level transforms are built-in ``pyspark.sql.functions`` —
+JVM-side, inside whole-stage codegen. No Python UDFs anywhere in this
+module: at 100 TB a row-at-a-time Python UDF on the hot path is a
+10-100× regression (SNIPPETS.md vectorization notes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import query
+
+
+@query(
+    "proj_string_ops",
+    oracle="""
+    SELECT doc_id,
+           string_split(text, ' ')[-1] AS last_word,
+           string_split(text, ' ')[1] AS first_word,
+           upper(lang) AS lang_uc,
+           CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) AS src_num,
+           length(text) AS text_len,
+           substr(text, 1, 16) AS prefix16,
+           reverse(source) AS source_rev
+    FROM documents
+    """,
+)
+def proj_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar pack: split + element_at (P9 basename idiom),
+    regexp_extract (P11 extension extract idiom), case/length/substr.
+    Reference idioms at ``src/git-parser.ts:54-55,227-231``."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.element_at(toks, -1).alias("last_word"),
+        F.element_at(toks, 1).alias("first_word"),
+        F.upper("lang").alias("lang_uc"),
+        F.regexp_extract("source", r"([0-9]+)", 1).cast("long").alias("src_num"),
+        F.length("text").alias("text_len"),
+        F.substring("text", 1, 16).alias("prefix16"),
+        F.reverse("source").alias("source_rev"),
+    )
+
+
+@query(
+    "proj_rename_path_rewrite",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(
+               'src/{old_' || source || ' => new_' || lang || '}/file.txt',
+               '\{[^}]*?=>\s*([^}]*?)\}', '\1', 'g') AS resolved_path
+    FROM documents
+    """,
+)
+def proj_rename_path_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 git rename-path rewrite (reference ``src/git-parser.ts:91-99``):
+    ``a/{old => new}/b`` → ``a/new/b``, handling the ``{ => dir}`` edge.
+    Applied to paths synthesized from corpus columns so the oracle sees
+    real data flow."""
+    docs = load_table(spark, sf_dir, "documents")
+    path = F.concat(
+        F.lit("src/{old_"), F.col("source"), F.lit(" => new_"), F.col("lang"),
+        F.lit("}/file.txt"),
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(path, r"\{[^}]*?=>\s*([^}]*?)\}", "$1").alias(
+            "resolved_path"
+        ),
+    )
+
+
+@query(
+    "proj_time_parts",
+    oracle="""
+    SELECT event_id,
+           CAST(ts AS DATE) AS event_day,
+           CAST(year(ts) AS INT) AS y,
+           CAST(month(ts) AS INT) AS m,
+           CAST(day(ts) AS INT) AS d,
+           CAST(hour(ts) AS INT) AS h,
+           CAST(dayofweek(ts) + 1 AS INT) AS dow,
+           strftime(ts, '%Y-%m-%d') AS iso_day,
+           date_trunc('hour', ts) AS hour_bucket,
+           CAST(FLOOR(epoch(ts)) AS BIGINT) AS epoch_sec
+    FROM events
+    """,
+)
+def proj_time_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/P5/D1 temporal scalars (reference ``src/git-parser.ts:189``,
+    ``src/database.ts:45``, ``README.md:65``): epoch↔timestamp, date
+    truncation, parts, ISO formatting. DuckDB ``dayofweek`` is 0=Sunday
+    vs Spark's 1=Sunday — oracle shifts by one."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.to_date("ts").alias("event_day"),
+        F.year("ts").alias("y"),
+        F.month("ts").alias("m"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        F.dayofweek("ts").alias("dow"),
+        F.date_format("ts", "yyyy-MM-dd").alias("iso_day"),
+        F.date_trunc("hour", F.col("ts")).alias("hour_bucket"),
+        F.unix_timestamp("ts").alias("epoch_sec"),
+    )
+
+
+@query(
+    "proj_json_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           json_extract_string(props, '$.k') IS NOT NULL AS has_k,
+           CAST(json_extract_string(props, '$.missing') AS BIGINT) AS missing_val
+    FROM events
+    """,
+)
+def proj_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 JSON extraction from the ``events.props`` payload:
+    ``get_json_object`` path access with missing-key null semantics
+    (scales: JSON parsing is JVM-side, no Python)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+        F.get_json_object("props", "$.k").isNotNull().alias("has_k"),
+        F.get_json_object("props", "$.missing").cast("long").alias("missing_val"),
+    )
+
+
+@query(
+    "filter_regex_gate",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE regexp_matches(text, 'spark.*join') AND lang <> 'zh'
+    """,
+)
+def filter_regex_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2/S5 pattern gate (reference ``main.ts:51-73`` author probe):
+    regex containment filter + negation, pattern as a parameter rather
+    than the reference's hard-coded constant. Both predicates push into
+    the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(
+        F.col("text").rlike("spark.*join") & (F.col("lang") != "zh")
+    ).select("doc_id", "lang", "source")
+
+
+@query(
+    "filter_validation_quarantine",
+    oracle="""
+    SELECT event_id,
+           value > 90 AS v_value_high,
+           event_type = 'error' AS v_is_error,
+           NOT regexp_matches(props, '^\\{.*\\}$') AS v_bad_props,
+           CAST((CASE WHEN value > 90 THEN 1 ELSE 0 END)
+              + (CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              + (CASE WHEN NOT regexp_matches(props, '^\\{.*\\}$') THEN 1 ELSE 0 END)
+              AS INT) AS n_violations
+    FROM events
+    WHERE value > 90 OR event_type = 'error'
+       OR NOT regexp_matches(props, '^\\{.*\\}$')
+    """,
+)
+def filter_validation_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V1-V4 validation/quarantine split (reference ``src/validation.ts``
+    composite checks + SURVEY §4 E12): per-row rule flags computed once,
+    quarantine = any-rule-violated. The valid/invalid split is the
+    distributed replacement for the reference's per-row INSERT
+    try/catch error counting (``src/database.ts:38-63``)."""
+    ev = load_table(spark, sf_dir, "events")
+    v_value = F.col("value") > 90
+    v_error = F.col("event_type") == "error"
+    v_props = ~F.col("props").rlike(r"^\{.*\}$")
+    flagged = ev.select(
+        "event_id",
+        v_value.alias("v_value_high"),
+        v_error.alias("v_is_error"),
+        v_props.alias("v_bad_props"),
+        (
+            v_value.cast("int") + v_error.cast("int") + v_props.cast("int")
+        ).alias("n_violations"),
+    )
+    return flagged.filter(F.col("n_violations") > 0)

@@ -1,1 +1,141 @@
-"""Placeholder — filled in by later milestones."""
+"""Similarity search over embeddings — SURVEY.md §2.10 X3.
+
+Two tiers, as a production vector pipeline would have:
+
+- **Brute-force exact top-k** (oracled): cross join queries × corpus,
+  cosine in pure double array lambdas, per-query row_number. The
+  correctness baseline; at 100 TB this is the shape you run *within a
+  block*, never globally.
+- **LSH-bucketed approximate** (rows-only): random-hyperplane signature
+  buckets via fixed seed vectors — candidates only form within a
+  bucket, which is the scale path (candidate count ∝ bucket size, not
+  corpus²).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine, duck_cosine
+from ..io import load_table
+from ..registry import query
+
+TOP_K = 5
+N_QUERIES = 10  # query set = vec_id < 10
+
+
+@query(
+    "simsearch_topk_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+               WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT q.q_id, e.vec_id AS neighbor_id,
+               {duck_cosine('q.q_emb', 'e.embedding')} AS cos_sim
+        FROM q, embeddings e
+        WHERE e.vec_id <> q.q_id
+    ),
+    ranked AS (
+        SELECT q_id, neighbor_id, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        FROM scored
+    )
+    SELECT q_id, neighbor_id, cos_sim, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= {TOP_K}
+    """,
+)
+def simsearch_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k for a query set: broadcast the (small) query
+    side, score every candidate, keep k per query via row_number.
+    Bitwise-reproducible double math (see functions/vector.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(emb)
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("q_emb"), F.col("embedding")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+    )
+
+
+@query("simsearch_lsh_bucketed")  # rows-only: bucket boundaries are heuristic
+def simsearch_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH: 8-bit signatures from sign(v·hᵢ) against
+    8 fixed in-corpus hyperplanes (vec_id 100..107, L2-normalized
+    implicitly by sign). Neighbor candidates only join within the same
+    bucket — the corpus² cross join never materializes. Returns
+    per-bucket candidate stats; the top-k-within-bucket refinement
+    reuses simsearch_topk_bruteforce's scoring inside each bucket.
+
+    At 100 TB: signatures are one narrow shuffle key; skewed buckets
+    (hot signatures) split via AQE skew-join or signature+salt."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = (
+        emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 108))
+        .orderBy("vec_id")
+        .select(F.col("vec_id").alias("h_id"), F.col("embedding").alias("h"))
+    )
+    joined = emb.crossJoin(F.broadcast(planes))
+    from ..functions.vector import dot
+
+    bit = F.when(dot(F.col("embedding"), F.col("h")) >= 0, F.lit(1)).otherwise(
+        F.lit(0)
+    )
+    sigs = (
+        joined.select(
+            "vec_id",
+            (bit * F.expr("shiftleft(1, CAST(h_id - 100 AS INT))")).alias(
+                "sig_bit"
+            ),
+        )
+        .groupBy("vec_id")
+        .agg(F.sum("sig_bit").cast("int").alias("signature"))
+    )
+    return (
+        sigs.groupBy("signature")
+        .agg(F.count("*").alias("bucket_size"))
+        .orderBy("signature")
+    )
+
+
+@query("simsearch_ann_ml_lsh")  # rows-only: pyspark.ml LSH is seed-dependent
+def simsearch_ann_ml_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pyspark.ml BucketedRandomProjectionLSH approximate similarity
+    join (Euclidean): the library scale path. Returns approx-neighbor
+    pairs (vec_id < 10 queries) within a distance threshold; model
+    hashes are seeded for reproducibility of THIS engine (not
+    cross-engine, hence rows-only)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector("embedding").alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=2.0,
+        numHashTables=4,
+        seed=42,
+    )
+    model = lsh.fit(emb)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    pairs = model.approxSimilarityJoin(queries, emb, 3.0, distCol="dist")
+    return pairs.select(
+        F.col("datasetA.vec_id").alias("q_id"),
+        F.col("datasetB.vec_id").alias("neighbor_id"),
+        F.col("dist"),
+    ).filter(F.col("q_id") != F.col("neighbor_id"))

@@ -1,1 +1,315 @@
-"""Placeholder — filled in by later milestones."""
+"""Window-function pack — SURVEY.md §2.10 X8 (plus X9 rollup/cube/
+grouping sets and X10 approximate/exact percentiles).
+
+Scale notes: every window here partitions by a key (nation, customer,
+user) — one shuffle on the partition key, state bounded per key. A
+window with no PARTITION BY (global total) is computed via a scalar
+subquery-style cross join of a 1-row aggregate instead of
+``Window.partitionBy()`` over everything, which would move the whole
+table through one task at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.exact import dsum
+from ..io import load_table
+from ..registry import query
+
+
+@query(
+    "window_rank_top3_per_nation",
+    oracle="""
+    SELECT nationkey, custkey, acctbal, rn, rnk, drnk FROM (
+        SELECT c_nationkey AS nationkey, c_custkey AS custkey,
+               c_acctbal AS acctbal,
+               ROW_NUMBER() OVER w AS rn,
+               RANK() OVER w AS rnk,
+               DENSE_RANK() OVER w AS drnk
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey
+                     ORDER BY c_acctbal DESC, c_custkey)
+    ) WHERE rn <= 3
+    """,
+)
+def window_rank_top3_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number/rank/dense_rank: top-3 customers by balance per
+    nation, unique tie-break on custkey."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        cust.select(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_acctbal").alias("acctbal"),
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "window_lag_lead_events",
+    oracle="""
+    SELECT user_id, event_id,
+           lag(value)  OVER w AS prev_value,
+           lead(event_type) OVER w AS next_type,
+           CAST(FLOOR(epoch(ts)) AS BIGINT) - CAST(FLOOR(epoch(lag(ts) OVER w)) AS BIGINT) AS gap_sec
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_lag_lead_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over per-user event streams with inter-event gap —
+    the batch shape of the sessionization operator."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("event_type").over(w).alias("next_type"),
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))).alias(
+            "gap_sec"
+        ),
+    )
+
+
+@query(
+    "window_running_total",
+    oracle="""
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_spend
+    FROM orders
+    """,
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative sum per customer over order history — rows frame;
+    decimal accumulator keeps every prefix sum exact (order-dependence
+    of float addition would otherwise make row N's value engine-specific)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_spend"),
+    )
+
+
+@query(
+    "window_moving_7day_count",
+    oracle="""
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           COUNT(*) OVER (PARTITION BY o_custkey
+                          ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+                          RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+               AS orders_7d
+    FROM orders
+    """,
+)
+def window_moving_7day_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame: orders in the trailing 7 days per customer —
+    value-based frame on epoch seconds (Spark range frames need a
+    numeric ordering column)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-604800, 0)
+    )
+    return orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.count("*").over(w).alias("orders_7d"),
+    )
+
+
+@query(
+    "window_ntile_quartiles",
+    oracle="""
+    SELECT quartile, COUNT(*) AS n,
+           CAST(MIN(c_acctbal) AS DOUBLE) AS min_bal,
+           CAST(MAX(c_acctbal) AS DOUBLE) AS max_bal
+    FROM (
+        SELECT c_acctbal,
+               NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+        FROM customer
+    ) GROUP BY quartile
+    """,
+)
+def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE bucketing (global window — acceptable only because the
+    result is immediately re-aggregated; the 100 TB shape is
+    percentile_approx, see agg_percentiles_approx)."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.select(
+            "c_acctbal", F.ntile(4).over(w).alias("quartile")
+        )
+        .groupBy("quartile")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("c_acctbal").cast("double").alias("min_bal"),
+            F.max("c_acctbal").cast("double").alias("max_bal"),
+        )
+    )
+
+
+@query(
+    "window_share_of_total",
+    oracle="""
+    WITH per_nation AS (
+        SELECT c_nationkey AS nationkey,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS nation_bal
+        FROM customer GROUP BY c_nationkey
+    )
+    SELECT nationkey, nation_bal,
+           nation_bal / (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                         FROM customer) AS share
+    FROM per_nation
+    """,
+)
+def window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total without a global window: 1-row exact total
+    cross-joined (broadcast) against the per-key aggregate. The naive
+    ``sum().over(Window.partitionBy())`` funnels all rows into one task
+    at scale; this shape never does."""
+    cust = load_table(spark, sf_dir, "customer")
+    per_nation = cust.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        dsum("c_acctbal").alias("nation_bal")
+    )
+    total = cust.agg(dsum("c_acctbal").alias("total_bal"))
+    return per_nation.crossJoin(F.broadcast(total)).select(
+        "nationkey",
+        "nation_bal",
+        (F.col("nation_bal") / F.col("total_bal")).alias("share"),
+    )
+
+
+# --- X9: rollup / cube / grouping sets -----------------------------------
+
+
+@query(
+    "rollup_orders_year_status",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS y, o_orderstatus AS status,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           CAST(GROUPING(year(o_orderdate)) AS INT) AS g_year,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status
+    FROM orders
+    GROUP BY ROLLUP (year(o_orderdate), o_orderstatus)
+    """,
+)
+def rollup_orders_year_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING markers (X9) — subtotal rows distinguish
+    genuine NULL keys from rollup placeholders."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("y"),
+        F.col("o_orderstatus").alias("status"),
+        "o_totalprice",
+    )
+    return orders.rollup("y", "status").agg(
+        F.count("*").alias("n"),
+        dsum("o_totalprice").alias("revenue"),
+        F.grouping("y").cast("int").alias("g_year"),
+        F.grouping("status").cast("int").alias("g_status"),
+    )
+
+
+@query(
+    "cube_events_type_day",
+    oracle="""
+    SELECT event_type, CAST(ts AS DATE) AS event_day, COUNT(*) AS n
+    FROM events
+    GROUP BY CUBE (event_type, CAST(ts AS DATE))
+    """,
+)
+def cube_events_type_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (type, day): all four grouping combinations in one
+    pass (Spark expands to an internal Expand node — one shuffle)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.cube(
+        F.col("event_type"), F.to_date("ts").alias("event_day")
+    ).agg(F.count("*").alias("n"))
+
+
+@query(
+    "groupingsets_lineitem",
+    oracle="""
+    SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def groupingsets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form of rollup/cube."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+# --- X10: percentiles / approximate aggregates ---------------------------
+
+
+@query(
+    "agg_percentiles_exact",
+    oracle="""
+    SELECT l_returnflag AS returnflag,
+           round(CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE), 4) AS p50_qty,
+           round(CAST(quantile_cont(l_quantity, 0.9) AS DOUBLE), 4) AS p90_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (Spark ``percentile`` ==
+    DuckDB ``quantile_cont`` up to float rounding — both interpolate;
+    rounded to 4 dp to absorb last-bit interpolation differences)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("p50_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.9)), 4).alias("p90_qty"),
+    )
+
+
+@query("agg_approx_sketches")  # no oracle: sketch outputs are engine-specific
+def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10 approximate aggregates — the 100 TB substitutes for exact
+    DISTINCT/percentile: HLL++ ``approx_count_distinct`` and
+    ``percentile_approx``. Values are sketch-dependent so there is no
+    cross-engine oracle (driver records rows-only); the exact twins are
+    oracle-checked above."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", 0.5).alias("approx_p50_value"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )

@@ -1,0 +1,80 @@
+"""Semantic checks for operators without a SQL oracle (the driver only
+rows-only-checks these, so the real assertions live here)."""
+
+from __future__ import annotations
+
+from .conftest import SF_CORRECTNESS
+
+
+def _q(name):
+    from git_etl_spark import registry
+
+    registry.load_all()
+    return registry.QUERIES[name]
+
+
+def test_minhash_lsh_recovers_exact_pairs(spark):
+    """LSH at Jaccard distance ≤ 0.2 must recover every exact pair with
+    Jaccard ≥ 0.9 (distance ≤ 0.1): banding probability at d=0.1 with
+    5 tables is ~1; identical sets collide with certainty."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in _q("dedup_jaccard_pairs")(spark, SF_CORRECTNESS).collect()
+    }
+    approx = {
+        (r.doc_a, r.doc_b)
+        for r in _q("dedup_minhash_lsh")(spark, SF_CORRECTNESS).collect()
+    }
+    assert exact, "exact Jaccard pair set unexpectedly empty — threshold drifted?"
+    missed = exact - approx
+    assert not missed, f"LSH missed {len(missed)}/{len(exact)} exact pairs: {sorted(missed)[:5]}"
+
+
+def test_multimodal_decode_schema_and_determinism(spark):
+    df = _q("multimodal_decode_features")(spark, SF_CORRECTNESS)
+    assert df.columns == ["doc_id", "n_bytes", "magic", "mean_byte", "max_byte"]
+    rows1 = {r.doc_id: (r.n_bytes, r.magic, r.mean_byte, r.max_byte) for r in df.collect()}
+    rows2 = {
+        r.doc_id: (r.n_bytes, r.magic, r.mean_byte, r.max_byte)
+        for r in _q("multimodal_decode_features")(spark, SF_CORRECTNESS).collect()
+    }
+    assert rows1 == rows2, "decode features must be deterministic"
+    # n_bytes must agree with the oracled binary-meta query
+    meta = {
+        r.doc_id: r.n_bytes
+        for r in _q("multimodal_binary_meta")(spark, SF_CORRECTNESS).collect()
+    }
+    assert all(meta[d] == v[0] for d, v in rows1.items())
+
+
+def test_decode_stub_rejects_real_formats():
+    import pytest
+
+    from git_etl_spark.operators.multimodal import decode_image_stub
+
+    with pytest.raises(NotImplementedError):
+        decode_image_stub(b"\x89PNG\r\n\x1a\n....")
+    out = decode_image_stub("plain text payload".encode())
+    assert out["n_bytes"] == 18 and out["magic"] == "plai"
+
+
+def test_lsh_bucketed_partitions_corpus(spark):
+    df = _q("simsearch_lsh_bucketed")(spark, SF_CORRECTNESS)
+    rows = df.collect()
+    n_total = sum(r.bucket_size for r in rows)
+    n_corpus = spark.read.parquet(f"{SF_CORRECTNESS}/embeddings.parquet").count()
+    assert n_total == n_corpus, "every vector must land in exactly one bucket"
+    assert len(rows) > 1, "hyperplane signatures should split the corpus"
+
+
+def test_approx_sketches_close_to_exact(spark):
+    rows = _q("agg_approx_sketches")(spark, SF_CORRECTNESS).collect()
+    for r in rows:
+        rel_err = abs(r.approx_users - r.exact_users) / r.exact_users
+        assert rel_err < 0.1, f"{r.event_type}: HLL rel err {rel_err:.3f}"
+
+
+def test_ml_lsh_ann_returns_near_neighbors(spark):
+    rows = _q("simsearch_ann_ml_lsh")(spark, SF_CORRECTNESS).collect()
+    assert rows, "ANN join returned nothing at distance 3.0"
+    assert all(r.dist <= 3.0 for r in rows)
