@@ -1,0 +1,84 @@
+"""Structured Streaming event analytics — SURVEY.md §2.10 X7.
+
+Streaming twins of the batch operators in ``operators/events.py``.
+Each takes a *streaming* DataFrame (``spark.readStream`` — file source
+in tests, Kafka/rate in production) with the events schema and returns
+a streaming DataFrame; callers pick sink + trigger. Tests replay the
+corpus deterministically with ``trigger(availableNow=True)`` into a
+memory sink and compare against the batch twin.
+
+Watermarks bound state: a 10-minute watermark means an aggregation
+bucket closes once the max seen event time passes bucket-end + 10min —
+late rows beyond that are dropped (counted in
+``streaming_late_data_policy`` docs below). At 100 TB/day the state
+store is RocksDB-backed and keys are (window, type) / session — both
+bounded, neither grows with history.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+WATERMARK = "10 minutes"
+SESSION_GAP = "10 minutes"
+
+
+def hourly_counts(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour windowed aggregation with watermark — streaming
+    twin of ``events_hourly_agg`` (same buckets: window.start ==
+    date_trunc('hour', ts) for in-window events)."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_bucket"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame) -> DataFrame:
+    """Sliding 1-hour window every 15 minutes — each event lands in 4
+    overlapping buckets."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("win_start"), F.col("w.end").alias("win_end"), "n")
+    )
+
+
+def sessionized(events: DataFrame) -> DataFrame:
+    """Session windows with a 10-minute inactivity gap — streaming twin
+    of the batch lag/running-sum sessionization (same gap constant:
+    operators/events.py SESSION_GAP_SEC = 600)."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.session_window("ts", SESSION_GAP).alias("s"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame) -> DataFrame:
+    """Streaming dedup on (user_id, event_type) bounded by the
+    watermark — ``dropDuplicatesWithinWatermark`` keeps state only for
+    the watermark horizon (the unbounded-state-safe form of the batch
+    keyed dedup)."""
+    return events.withWatermark("ts", WATERMARK).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )

@@ -1,0 +1,187 @@
+"""Golden end-to-end ETL on a scripted synthetic git repo —
+SURVEY.md §5.2(2): exact table contents + idempotence (run twice,
+tables unchanged)."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+
+import pytest
+
+
+def _git(repo, *args, env=None):
+    subprocess.run(
+        ["git", "-C", str(repo), *args],
+        check=True,
+        capture_output=True,
+        env={**os.environ, **(env or {})},
+    )
+
+
+def _commit(repo, author, email, date_iso, message, files, tag=None, annotated=False):
+    for path, content in files.items():
+        full = repo / path
+        full.parent.mkdir(parents=True, exist_ok=True)
+        full.write_text(content)
+    _git(repo, "add", "-A")
+    env = {
+        "GIT_AUTHOR_NAME": author,
+        "GIT_AUTHOR_EMAIL": email,
+        "GIT_AUTHOR_DATE": date_iso,
+        "GIT_COMMITTER_NAME": author,
+        "GIT_COMMITTER_EMAIL": email,
+        "GIT_COMMITTER_DATE": date_iso,
+    }
+    _git(repo, "commit", "-q", "-m", message, "--allow-empty", env=env)
+    if tag:
+        if annotated:
+            _git(repo, "tag", "-a", tag, "-m", f"Release {tag}", env=env)
+        else:
+            _git(repo, "tag", tag)
+
+
+@pytest.fixture(scope="module")
+def synthetic_repo(tmp_path_factory):
+    repo = tmp_path_factory.mktemp("repos") / "proj-alpha"
+    repo.mkdir()
+    _git(repo, "init", "-q", "-b", "main")
+    _commit(
+        repo, "Alice Dev", "alice@example.com", "2024-01-01T10:00:00+00:00",
+        "initial commit", {"src/main.py": "print('hi')\n", "README.md": "# a\n"},
+    )
+    _commit(
+        repo, "Bob Builder", "bob@example.com", "2024-01-02T11:00:00+00:00",
+        "add module", {"src/util.py": "x = 1\ny = 2\n"}, tag="v0.1",
+    )
+    # rename (exercises P1 through real git numstat output)
+    (repo / "src/util.py").rename(repo / "src/helpers.py")
+    _commit(
+        repo, "Alice Renamed", "alice@example.com", "2024-01-03T12:00:00+00:00",
+        "rename util to helpers", {},
+    )
+    _commit(
+        repo, "Alice Renamed", "alice@example.com", "2024-01-04T13:00:00+00:00",
+        "more code", {"src/main.py": "print('hi')\nprint('bye')\n"},
+        tag="v0.2", annotated=True,
+    )
+    return repo
+
+
+def _run_etl(spark, repo, out_dir):
+    from git_etl_spark.plans.git_pipeline import etl_repos
+
+    return etl_repos(spark, [str(repo)], str(out_dir))
+
+
+def test_etl_end_to_end(spark, synthetic_repo, tmp_path):
+    out = tmp_path / "warehouse"
+    report = _run_etl(spark, synthetic_repo, out)
+    assert report["processed"] == [str(synthetic_repo)]
+
+    commits = spark.read.parquet(str(out / "commits"))
+    rows = {r.sha: r for r in commits.collect()}
+    assert len(rows) == 4
+    assert all(r.repo_name == "proj-alpha" for r in rows.values())
+    assert all(r.branch == "main" for r in rows.values())
+
+    by_msg = {r.message: r for r in rows.values()}
+    assert by_msg["initial commit"].additions == 2
+    assert by_msg["initial commit"].files_changed == 2
+    assert by_msg["add module"].additions == 2
+    # rename of an unchanged file: 0 additions, 1 file touched
+    assert by_msg["rename util to helpers"].additions == 0
+    assert by_msg["rename util to helpers"].files_changed == 1
+
+    fc = spark.read.parquet(str(out / "file_changes"))
+    fc_rows = {(r.sha, r.file_path) for r in fc.collect()}
+    # rename resolved to the NEW path (P1)
+    assert (by_msg["rename util to helpers"].sha, "src/helpers.py") in fc_rows
+    assert not any(p.startswith("src/{") for _, p in fc_rows)
+
+    authors = {r.email: r for r in spark.read.parquet(str(out / "authors")).collect()}
+    assert authors["alice@example.com"].total_commits == 3
+    # latest-name semantics (SURVEY §2.5 A1 caveat — documented intent wins)
+    assert authors["alice@example.com"].name == "Alice Renamed"
+    assert authors["bob@example.com"].total_commits == 1
+    assert (
+        authors["alice@example.com"].first_commit_at.isoformat()
+        == "2024-01-01T10:00:00"
+    )
+
+    repos = {r.name: r for r in spark.read.parquet(str(out / "repos")).collect()}
+    assert repos["proj-alpha"].total_commits == 4
+    assert repos["proj-alpha"].language == "Python"
+    assert repos["proj-alpha"].last_commit_at.isoformat() == "2024-01-04T13:00:00"
+
+    tags = {r.tag_name: r for r in spark.read.parquet(str(out / "tags")).collect()}
+    assert not tags["v0.1"].is_annotated and tags["v0.1"].message is None
+    assert tags["v0.2"].is_annotated
+    assert tags["v0.2"].message == "Release v0.2"
+    assert tags["v0.2"].tagger_email == "alice@example.com"
+    # annotated tag sha must be the peeled COMMIT sha
+    assert tags["v0.2"].sha == by_msg["more code"].sha
+
+    # summary report (A2/O4)
+    s = report["summary"]
+    assert s["total_commits"] == 4
+    assert s["unique_authors"] == 2
+    assert s["date_range"] == {"from": "2024-01-01", "to": "2024-01-04"}
+
+
+def test_etl_idempotent_rerun(spark, synthetic_repo, tmp_path):
+    out = tmp_path / "warehouse2"
+    _run_etl(spark, synthetic_repo, out)
+
+    def snapshot():
+        return {
+            t: sorted(
+                map(repr, spark.read.parquet(str(out / t)).collect())
+            )
+            for t in ("commits", "file_changes", "authors", "repos", "tags")
+        }
+
+    first = snapshot()
+    _run_etl(spark, synthetic_repo, out)  # second run = natural-key merge
+    assert snapshot() == first, "re-running the ETL must not change any table"
+
+
+def test_author_gate_skips_repo(spark, synthetic_repo, tmp_path):
+    from git_etl_spark.plans.git_pipeline import etl_repos
+
+    report = etl_repos(
+        spark, [str(synthetic_repo)], str(tmp_path / "w3"),
+        author_pattern="NoSuchAuthor",
+    )
+    assert report["skipped"] == [str(synthetic_repo)]
+    assert not (tmp_path / "w3").exists()
+
+
+def test_discovery_finds_repo(synthetic_repo, tmp_path):
+    from git_etl_spark.sources.discovery import (
+        find_git_repositories,
+        load_repositories_config,
+    )
+
+    root = synthetic_repo.parent
+    found = find_git_repositories(str(root))
+    assert str(synthetic_repo) in found
+
+    # config resolution: explicit ∪ scanned − ignore (SET1/SET2)
+    import json
+
+    cfg = tmp_path / "repos.json"
+    cfg.write_text(
+        json.dumps(
+            {
+                "repositories": [str(synthetic_repo) + "/"],
+                "paths": [str(root)],
+                "ignore": [],
+            }
+        )
+    )
+    resolved = load_repositories_config(str(cfg))
+    assert resolved.count(str(synthetic_repo)) == 1  # deduped across both
+
+    cfg.write_text(json.dumps({"paths": [str(root)], "ignore": [str(synthetic_repo)]}))
+    assert load_repositories_config(str(cfg)) == []

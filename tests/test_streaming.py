@@ -1,0 +1,148 @@
+"""Structured Streaming tests — SURVEY.md §5.2(5): deterministic
+file-source replay with availableNow trigger; results compared against
+the batch twins and watermark late-drop semantics asserted."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Events corpus re-written as a 4-file streaming source (schema
+    normalized through io.load_table so ts is a real timestamp)."""
+    from git_etl_spark.io import load_table
+
+    path = tmp_path_factory.mktemp("stream") / "events"
+    load_table(spark, SF_SMOKE, "events").repartition(4).write.parquet(str(path))
+    return str(path)
+
+
+def _stream(spark, events_dir):
+    from git_etl_spark.io import load_table
+
+    schema = load_table(spark, SF_SMOKE, "events").schema
+    return spark.readStream.schema(schema).parquet(events_dir)
+
+
+def _run_to_memory(sdf, name, mode="append"):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_streaming_hourly_matches_batch(spark, events_dir):
+    from git_etl_spark.io import load_table
+    from git_etl_spark.streaming.events_stream import hourly_counts
+
+    _run_to_memory(hourly_counts(_stream(spark, events_dir)), "hourly", "complete")
+    got = {
+        (r.hour_bucket, r.event_type): (r.n, r.sum_value)
+        for r in spark.sql("SELECT * FROM hourly").collect()
+    }
+
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour_bucket"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+    want = {
+        (r.hour_bucket, r.event_type): (r.n, r.sum_value) for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_streaming_sessionize_total_events_preserved(spark, events_dir):
+    from git_etl_spark.streaming.events_stream import sessionized
+
+    _run_to_memory(sessionized(_stream(spark, events_dir)), "sessions", "complete")
+    rows = spark.sql("SELECT * FROM sessions").collect()
+    assert sum(r.n_events for r in rows) == 1000  # every event in exactly one session
+    assert all(r.session_end > r.session_start for r in rows)
+
+
+def test_streaming_dedup_within_watermark(spark, events_dir):
+    from git_etl_spark.streaming.events_stream import dedup_within_watermark
+
+    _run_to_memory(dedup_within_watermark(_stream(spark, events_dir)), "deduped")
+    n = spark.sql("SELECT COUNT(*) AS n FROM deduped").collect()[0].n
+    distinct_keys = (
+        spark.read.parquet(events_dir)
+        .select("user_id", "event_type")
+        .distinct()
+        .count()
+    )
+    # watermark-bounded dedup can keep more than the global-distinct
+    # count (keys recur beyond the horizon) but never less, and must
+    # remove something on this dense corpus
+    assert distinct_keys <= n < 1000
+
+
+def test_streaming_late_rows_dropped(spark, tmp_path):
+    """Watermark semantics: a row older than (max_event_time − 10 min)
+    arriving in a later batch is excluded from its closed bucket."""
+    import pandas as pd
+
+    from git_etl_spark.streaming.events_stream import hourly_counts
+
+    src = tmp_path / "late-src"
+    src.mkdir()
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+    def write_batch(name, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        spark.createDataFrame(pdf, schema).coalesce(1).write.mode("append").parquet(str(src))
+
+    checkpoint = str(tmp_path / "ckpt")
+    emitted: list = []
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            hourly_counts(stream)
+            .writeStream.foreachBatch(
+                lambda df, _id: emitted.extend(df.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # run 1: events at 10:00 and 12:00 → watermark 11:50, bucket 10 closes
+    write_batch("b1", [
+        (1, "2024-01-01 10:00:00", 1, "view", 1.0, "{}"),
+        (2, "2024-01-01 12:00:00", 1, "view", 1.0, "{}"),
+    ])
+    run_once()
+    assert {(r.hour_bucket.hour, r.n) for r in emitted} == {(10, 1)}
+
+    # run 2 (resumes checkpoint): a LATE row for the closed 10:00 bucket
+    # + a 15:00 row pushing the watermark past the 12:00 bucket
+    write_batch("b2", [
+        (3, "2024-01-01 10:30:00", 2, "view", 1.0, "{}"),  # late → dropped
+        (4, "2024-01-01 15:00:00", 2, "view", 1.0, "{}"),
+    ])
+    run_once()
+    by_bucket = {}
+    for r in emitted:
+        by_bucket[r.hour_bucket.hour] = by_bucket.get(r.hour_bucket.hour, 0) + r.n
+    # bucket 10 still n=1 (late row never leaked), bucket 12 closed with 1
+    assert by_bucket == {10: 1, 12: 1}, f"unexpected emissions: {by_bucket}"
