@@ -43,8 +43,11 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
-    # warm-up: JVM JIT + codegen + parquet footer caches
+    # warm-up: JVM JIT + codegen + parquet footer caches, plus the
+    # Python/Arrow worker pool (otherwise its one-time startup cost is
+    # billed to whichever pandas-UDF query happens to run first)
     run("join_multiway_regional_revenue")
+    run("multimodal_decode_features")
 
     timings: dict[str, float] = {}
     for name in sorted(registry.QUERIES):

