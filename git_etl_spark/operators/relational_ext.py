@@ -1,0 +1,512 @@
+"""Extended relational pack: TPC-H classic shapes, outer joins,
+deterministic statistical moments, pivot/unpivot, string aggregation,
+multi-distinct, null semantics, exact math scalars — rounding out the
+SURVEY.md §2 inventory.
+
+Determinism notes: stddev/variance/corr are *derived from decimal
+sums* (Σx, Σx², Σxy exact, combined in double) instead of Spark's
+streaming moment aggregates, whose partial-merge order is
+nondeterministic across partitions — this is also the numerically
+honest way to get reproducible moments at 100 TB. Math scalars stick
+to IEEE-exact operations (abs/floor/sqrt/...); libm-dependent
+functions (exp/log/pow) intentionally stay out of oracle-checked
+queries because engines differ in the last ulp.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.exact import dsum
+from ..io import load_table
+from ..registry import query
+
+
+@query(
+    "tpch_q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8))) AS DOUBLE)
+               AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                         AS DECIMAL(24,8))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: the canonical scan-heavy pricing summary. The derived
+    expressions (disc_price, charge) are double products cast to
+    decimal *per row* (deterministic elementwise) then summed exactly.
+    One scan, one partial+final hash agg — the shape AQE cannot
+    improve and codegen fully fuses."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(24,8)"
+    )
+    charge = (
+        F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax"))
+    ).cast("decimal(24,8)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy(
+            F.col("l_returnflag").alias("returnflag"),
+            F.col("l_linestatus").alias("linestatus"),
+        )
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (dsum("l_quantity") / F.count("*")).alias("avg_qty"),
+            (dsum("l_discount", scale=4) / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "tpch_q3_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey AS orderkey,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(24,8))) AS DOUBLE) AS revenue,
+           o.o_orderdate AS orderdate, o.o_orderpriority AS orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: selective dimension filter → fact join → top-10.
+    Segment and date filters push below the joins (verified in
+    tests/test_plans.py); top-k plans TakeOrderedAndProject."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(24,8)"
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+            F.col("o_orderpriority").alias("orderpriority"),
+        )
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select("orderkey", "revenue", "orderdate", "orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "join_right_outer_nations",
+    oracle="""
+    SELECT n.n_name AS nation, s.s_suppkey AS suppkey, s.s_name AS supplier
+    FROM supplier s
+    RIGHT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    """,
+)
+def join_right_outer_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join: every nation appears even with no supplier
+    (null-extended right side)."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return s.join(n, s.s_nationkey == n.n_nationkey, "right").select(
+        F.col("n_name").alias("nation"),
+        F.col("s_suppkey").alias("suppkey"),
+        F.col("s_name").alias("supplier"),
+    )
+
+
+@query(
+    "join_full_outer_activity",
+    oracle="""
+    WITH err AS (SELECT user_id, COUNT(*) AS n_err FROM events
+                 WHERE event_type = 'error' GROUP BY user_id HAVING COUNT(*) >= 15),
+         buy AS (SELECT user_id, COUNT(*) AS n_buy FROM events
+                 WHERE event_type = 'purchase' GROUP BY user_id HAVING COUNT(*) >= 15)
+    SELECT COALESCE(err.user_id, buy.user_id) AS user_id,
+           err.n_err AS n_err, buy.n_buy AS n_buy
+    FROM err FULL OUTER JOIN buy ON err.user_id = buy.user_id
+    """,
+)
+def join_full_outer_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with COALESCE'd key — both-sided null extension
+    (selective HAVING keeps all three regions non-empty)."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def heavy(t: str, alias: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == t)
+            .groupBy("user_id")
+            .agg(F.count("*").alias(alias))
+            .filter(F.col(alias) >= 15)
+        )
+
+    err = heavy("error", "n_err")
+    buy = heavy("purchase", "n_buy").withColumnRenamed("user_id", "b_user_id")
+    return err.join(
+        buy, err.user_id == buy.b_user_id, "full_outer"
+    ).select(
+        F.coalesce("user_id", "b_user_id").alias("user_id"),
+        "n_err",
+        "n_buy",
+    )
+
+
+@query(
+    "join_cross_regions",
+    oracle="""
+    SELECT r.r_name AS region, n.n_name AS nation
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def join_cross_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian product of two bounded dims (5×25) — the only
+    place a cross join is ever acceptable at scale: both sides tiny."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select(
+        F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+    )
+
+
+@query(
+    "agg_stats_moments",
+    oracle="""
+    WITH s AS (
+        SELECT c_nationkey,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(24,4))) AS DOUBLE) AS sxx
+        FROM customer GROUP BY c_nationkey
+    )
+    SELECT c_nationkey AS nationkey, n,
+           sx / n AS mean_bal,
+           CASE WHEN n > 1
+                THEN sqrt((sxx - sx * sx / n) / (n - 1))
+                ELSE NULL END AS stddev_bal,
+           CASE WHEN n > 1 THEN (sxx - sx * sx / n) / (n - 1) ELSE NULL END
+               AS var_bal
+    FROM s
+    """,
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample stddev/variance from exact decimal Σx and Σx² combined in
+    double — reproducible across engines and partitionings, unlike
+    streaming moment aggregates whose merge order varies run to run."""
+    cust = load_table(spark, sf_dir, "customer")
+    sxx = (F.col("c_acctbal") * F.col("c_acctbal")).cast("decimal(24,4)")
+    base = cust.groupBy("c_nationkey").agg(
+        F.count("*").alias("n"),
+        dsum("c_acctbal").alias("sx"),
+        F.sum(sxx).cast("double").alias("sxx"),
+    )
+    n, sx, sxx_c = F.col("n"), F.col("sx"), F.col("sxx")
+    var = F.when(n > 1, (sxx_c - sx * sx / n) / (n - 1))
+    return base.select(
+        F.col("c_nationkey").alias("nationkey"),
+        "n",
+        (sx / n).alias("mean_bal"),
+        F.sqrt(var).alias("stddev_bal"),
+        var.alias("var_bal"),
+    )
+
+
+@query(
+    "agg_corr_price_quantity",
+    oracle="""
+    WITH s AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(24,4))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sxy
+        FROM lineitem
+    )
+    SELECT n,
+           (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+               AS corr_qty_price
+    FROM s
+    """,
+)
+def agg_corr_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation from exact decimal sums (same derivation as
+    agg_stats_moments) — one pass, deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    base = li.agg(
+        F.count("*").alias("n"),
+        dsum("l_quantity").alias("sx"),
+        dsum("l_extendedprice").alias("sy"),
+        F.sum((q * q).cast("decimal(24,4)")).cast("double").alias("sxx"),
+        F.sum((p * p).cast("decimal(30,4)")).cast("double").alias("syy"),
+        F.sum((q * p).cast("decimal(28,4)")).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return base.select(
+        "n",
+        (
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+        ).alias("corr_qty_price"),
+    )
+
+
+@query(
+    "agg_string_concat_sorted",
+    oracle="""
+    SELECT n_regionkey AS regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def agg_string_concat_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic string aggregation: collect → sort → join (the
+    order-insensitive form of LISTAGG; unsorted collect_list is
+    partition-order-dependent and never oracle-checkable)."""
+    nation = load_table(spark, sf_dir, "nation")
+    return nation.groupBy(F.col("n_regionkey").alias("regionkey")).agg(
+        F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations")
+    )
+
+
+@query(
+    "agg_minmax_by",
+    oracle="""
+    SELECT c_nationkey AS nationkey,
+           max(CASE WHEN rn_hi = 1 THEN c_name END) AS richest,
+           max(CASE WHEN rn_lo = 1 THEN c_name END) AS poorest
+    FROM (
+        SELECT c_nationkey, c_name,
+               ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                  ORDER BY c_acctbal DESC, c_custkey DESC) AS rn_hi,
+               ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                  ORDER BY c_acctbal ASC, c_custkey ASC) AS rn_lo
+        FROM customer
+    ) GROUP BY c_nationkey
+    """,
+)
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by / min_by (argmax aggregates) with a (value, key) struct
+    ordering so ties break deterministically on custkey — the A1
+    'latest name' semantics generalized. (DuckDB's arg_max can't order
+    by a struct, so the oracle states the same semantics via
+    row_number.)"""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.expr("max_by(c_name, struct(c_acctbal, c_custkey))").alias("richest"),
+        F.expr("min_by(c_name, struct(c_acctbal, c_custkey))").alias("poorest"),
+    )
+
+
+@query(
+    "pivot_events_type_by_day",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS event_day,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+    FROM events GROUP BY 1
+    """,
+)
+def pivot_events_type_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT with an explicit value list (required: without it Spark
+    collects distinct values to the driver — a hidden job and
+    nondeterministic column order at scale)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.to_date("ts").alias("event_day"))
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+@query(
+    "unpivot_part_metrics",
+    oracle="""
+    SELECT p_partkey AS partkey, metric, CAST(value AS DOUBLE) AS value
+    FROM (
+        SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+        UNION ALL
+        SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value FROM part
+    )
+    """,
+)
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt) wide → long via ``stack`` — the inverse of pivot,
+    no shuffle at all (pure projection + generate)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        F.col("p_partkey").alias("partkey"),
+        F.expr(
+            "stack(2, 'size', CAST(p_size AS DOUBLE),"
+            " 'retailprice', p_retailprice) AS (metric, value)"
+        ),
+    )
+
+
+@query(
+    "agg_multi_distinct",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS users,
+           COUNT(DISTINCT CAST(ts AS DATE)) AS active_days,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple DISTINCT aggregates in one GROUP BY — Catalyst plans an
+    Expand (one row replica per distinct column) + two-phase agg; at
+    100 TB prefer one approx_count_distinct per column instead."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("users"),
+        F.countDistinct(F.to_date("ts")).alias("active_days"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "proj_null_semantics",
+    oracle="""
+    SELECT event_id,
+           nullif(event_type, 'error') AS type_or_null,
+           coalesce(nullif(event_type, 'error'), 'masked') AS coalesced,
+           nullif(event_type, 'error') IS NULL AS was_error,
+           CASE WHEN value > 50 THEN value END AS value_if_high,
+           ifnull(CASE WHEN value > 50 THEN value END, -1.0) AS value_filled
+    FROM events
+    """,
+)
+def proj_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling scalar pack: nullif/coalesce/ifnull/IS NULL and
+    the implicit ELSE NULL of CASE."""
+    ev = load_table(spark, sf_dir, "events")
+    masked = F.nullif(F.col("event_type"), F.lit("error"))
+    high = F.when(F.col("value") > 50, F.col("value"))
+    return ev.select(
+        "event_id",
+        masked.alias("type_or_null"),
+        F.coalesce(masked, F.lit("masked")).alias("coalesced"),
+        masked.isNull().alias("was_error"),
+        high.alias("value_if_high"),
+        F.coalesce(high, F.lit(-1.0)).alias("value_filled"),
+    )
+
+
+@query(
+    "proj_math_exact",
+    oracle="""
+    SELECT o_orderkey AS orderkey,
+           abs(o_totalprice - 250000) AS abs_diff,
+           CAST(ceil(o_totalprice) AS BIGINT) AS ceil_price,
+           CAST(floor(o_totalprice) AS BIGINT) AS floor_price,
+           sqrt(o_totalprice) AS sqrt_price,
+           o_orderkey % 7 AS key_mod,
+           greatest(o_totalprice, 100000.0) AS at_least,
+           least(o_totalprice, 400000.0) AS at_most,
+           CASE WHEN o_totalprice > 0 THEN 1
+                WHEN o_totalprice < 0 THEN -1 ELSE 0 END AS sign_price
+    FROM orders
+    """,
+)
+def proj_math_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IEEE-exact math scalars (abs/ceil/floor/sqrt/mod/greatest/least).
+    exp/log/pow are deliberately excluded from oracle checks: libm
+    implementations differ in the final ulp across engines."""
+    o = load_table(spark, sf_dir, "orders")
+    p = F.col("o_totalprice")
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.abs(p - 250000).alias("abs_diff"),
+        F.ceil(p).alias("ceil_price"),
+        F.floor(p).alias("floor_price"),
+        F.sqrt(p).alias("sqrt_price"),
+        (F.col("o_orderkey") % 7).alias("key_mod"),
+        F.greatest(p, F.lit(100000.0)).alias("at_least"),
+        F.least(p, F.lit(400000.0)).alias("at_most"),
+        F.when(p > 0, 1).when(p < 0, -1).otherwise(0).alias("sign_price"),
+    )
+
+
+@query(
+    "proj_posexplode_embedding",
+    oracle="""
+    SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+           unnest(embedding) AS val
+    FROM embeddings WHERE vec_id < 5
+    """,
+)
+def proj_posexplode_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode of a vector column (0-based positions) — the
+    long-format bridge between array columns and relational ops."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") < 5).select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    )
+
+
+@query(
+    "window_first_last_values",
+    oracle="""
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           first_value(o_orderkey) OVER w AS first_order,
+           last_value(o_orderkey)
+               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS last_order,
+           nth_value(o_orderkey, 2) OVER w AS second_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_first_last_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value with the classic last_value trap handled:
+    the default frame ends at CURRENT ROW, so last_value needs an
+    explicit UNBOUNDED FOLLOWING frame."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w_full).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+    )

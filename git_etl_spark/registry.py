@@ -55,6 +55,7 @@ def load_all() -> None:
         joins,
         multimodal,
         projections,
+        relational_ext,
         setops,
         similarity,
         text,

@@ -1,0 +1,85 @@
+"""Plan-shape audits — SURVEY.md §4: the optimizations Catalyst must
+deliver for these queries, asserted so refactors can't silently
+degrade them (a wrong plan at 100 TB is a wrong result in practice)."""
+
+from __future__ import annotations
+
+from .conftest import SF_CORRECTNESS
+
+
+def _q(spark, name):
+    from git_etl_spark import registry
+
+    registry.load_all()
+    return registry.QUERIES[name](spark, SF_CORRECTNESS)
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """E2: the >400000 predicate must appear in the parquet scan's
+    PushedFilters, not as a post-scan Filter only."""
+    from git_etl_spark.plans.audit import pushed_filters
+
+    df = _q(spark, "join_anti_customers_without_big_orders")
+    assert any("o_totalprice" in f and "GreaterThan" in f for f in pushed_filters(df)), (
+        pushed_filters(df)
+    )
+
+
+def test_column_pruning(spark):
+    """Scans read only referenced columns (ReadSchema ≠ full table)."""
+    from git_etl_spark.plans.audit import read_schemas
+
+    df = _q(spark, "agg_orders_per_status")
+    schemas = read_schemas(df)
+    assert schemas and all("o_totalprice" not in s for s in schemas), schemas
+
+
+def test_dim_joins_broadcast(spark):
+    """Small dims broadcast; no sort-merge for the nation join."""
+    from git_etl_spark.plans.audit import has_broadcast_join
+
+    assert has_broadcast_join(_q(spark, "join_revenue_per_nation"))
+
+
+def test_topk_plans_take_ordered(spark):
+    """T2: ORDER BY + LIMIT must plan TakeOrderedAndProject, never a
+    global sort of the full aggregate."""
+    from git_etl_spark.plans.audit import has_take_ordered
+
+    assert has_take_ordered(_q(spark, "agg_orders_per_day_top10"))
+    assert has_take_ordered(_q(spark, "agg_hot_parts_top20"))
+
+
+def test_single_shuffle_aggregation(spark):
+    """Partial+final hash agg = exactly one exchange for a plain
+    group-by (map-side combine working)."""
+    from git_etl_spark.plans.audit import count_shuffles
+
+    assert count_shuffles(_q(spark, "agg_orders_per_status")) == 1
+
+
+def test_theta_join_not_cartesian(spark):
+    """The balance inequality must ride on the equi hash join, not
+    force a nested-loop over the cross product."""
+    from git_etl_spark.plans.audit import physical_plan
+
+    plan = physical_plan(_q(spark, "join_theta_richer_suppliers"))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sessionize_reuses_user_shuffle(spark):
+    """Window + group-by on the same user_id key: one hash exchange on
+    user_id total (Catalyst reuses the partitioning)."""
+    from git_etl_spark.plans.audit import physical_plan
+
+    plan = physical_plan(_q(spark, "events_sessionize"))
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+
+
+def test_q1_fully_codegens(spark):
+    """TPC-H Q1 must be one fused codegen pipeline per stage (scan →
+    partial agg), no interpreted operators in the hot path."""
+    from git_etl_spark.plans.audit import codegen_stage_count
+
+    assert codegen_stage_count(_q(spark, "tpch_q1_pricing_summary")) >= 2
