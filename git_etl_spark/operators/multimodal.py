@@ -57,6 +57,21 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("multimodal_binaryfile_listing")  # rows-only: file metadata has no oracle view
+def multimodal_binaryfile_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 ``binaryFile`` source: ingest opaque files (the sf dir's own
+    parquet files as stand-ins for media blobs) as (path, length,
+    content) rows — the entry point for a media corpus at 100 TB,
+    where each row is one object-store blob. Returns deterministic
+    metadata (basename, byte length, md5 of content)."""
+    files = spark.read.format("binaryFile").load(f"{sf_dir}/*.parquet")
+    return files.select(
+        F.element_at(F.split("path", "/"), -1).alias("file_name"),
+        F.col("length").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    ).orderBy("file_name")
+
+
 def decode_image_stub(payload: bytes) -> dict:
     """Stand-in for a media decode (PIL/ffmpeg are not available in
     this environment). Real formats raise; the UTF-8 stand-in payload

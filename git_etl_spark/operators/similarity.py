@@ -111,6 +111,44 @@ def simsearch_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "vector_centroid_per_label",
+    oracle="""
+    WITH elems AS (
+        SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS val
+        FROM embeddings
+    )
+    SELECT label, pos,
+           list_aggregate(list_sort(list(val)), 'sum') / COUNT(*) AS centroid_val,
+           COUNT(*) AS n_vecs
+    FROM elems GROUP BY label, pos
+    """,
+)
+def vector_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector aggregate: per-label centroid in long format (label, pos,
+    mean component) — the distributed shape of a k-means update step /
+    class-prototype computation, one shuffle keyed on (label, pos).
+
+    Determinism: the per-group mean sums *sorted* doubles sequentially
+    (collect → sort → fold). A plain double SUM is partial-merge-order
+    dependent, and a decimal detour rounds doubles HALF_UP in Spark vs
+    HALF_EVEN in DuckDB (observed 1-ulp-of-scale mismatches) — sorting
+    makes the fold order itself canonical instead."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    elems = emb.select(
+        "label",
+        F.posexplode("embedding").alias("pos", "raw"),
+    ).select("label", "pos", F.col("raw").cast("double").alias("val"))
+    seq_sum = F.aggregate(
+        F.array_sort(F.collect_list("val")), F.lit(0.0), lambda acc, v: acc + v
+    )
+    return elems.groupBy("label", "pos").agg(
+        (seq_sum / F.count("*")).alias("centroid_val"),
+        F.count("*").alias("n_vecs"),
+    )
+
+
 @query("simsearch_ann_ml_lsh")  # rows-only: pyspark.ml LSH is seed-dependent
 def simsearch_ann_ml_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pyspark.ml BucketedRandomProjectionLSH approximate similarity

@@ -58,6 +58,7 @@ def load_all() -> None:
         relational_ext,
         setops,
         similarity,
+        streaming_bridge,
         text,
         windows,
     )

@@ -14,8 +14,17 @@ SF_CORRECTNESS = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
+    import tempfile
+
     from git_etl_spark.session import get_spark
 
-    spark = get_spark(app_name="git-etl-spark-tests", cpus=8, shuffle_partitions=8)
+    spark = get_spark(
+        app_name="git-etl-spark-tests",
+        cpus=8,
+        shuffle_partitions=8,
+        # static config — must be set at session build (bucketing tests
+        # saveAsTable into it)
+        extra_conf={"spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="ges-wh-")},
+    )
     yield spark
     spark.stop()
