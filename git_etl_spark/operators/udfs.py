@@ -1,0 +1,134 @@
+"""UDF surface — SURVEY.md §2.10 X11: the three Python escape hatches,
+each demonstrated on a real operator *and* held to the DuckDB oracle
+where the computation is engine-independent.
+
+Hierarchy (fastest first — and the order to try when building ops):
+
+1. built-in functions (everything else in operators/) — JVM, codegen;
+2. ``pandas_udf`` — Arrow-batched columnar Python, ~10-100× faster
+   than row UDFs; right for numpy/vectorizable logic;
+3. ``applyInPandas`` (grouped map) — per-group pandas frames; right
+   for per-entity model scoring / sequence logic;
+4. row-at-a-time ``udf`` — last resort, kept here only as the
+   comparison point (its oracle twin shows the same op as pure SQL).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType
+
+from ..io import load_table
+from ..registry import query
+
+
+@query(
+    "udf_pandas_token_count",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def udf_pandas_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar ``pandas_udf``: vectorized token counting over Arrow
+    batches. Integer outputs are engine-exact, so this Python path is
+    fully oracle-checked — proving the Arrow round-trip is lossless."""
+
+    @F.pandas_udf(LongType())
+    def n_tokens(texts: pd.Series) -> pd.Series:
+        return texts.str.split(" ").str.len().astype("int64")
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        n_tokens("text").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+@query(
+    "udf_grouped_running_value",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
+    FROM events
+    """,
+)
+def udf_grouped_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map ``applyInPandas``: per-user running total via exact
+    integer-cent cumsum (a raw float cumsum would NOT match: DuckDB
+    window sums tree-aggregate, pandas folds sequentially — exact
+    arithmetic sidesteps the order entirely, the same rule as
+    functions/exact.py). The grouped-map shape is the custom-operator
+    escape hatch (per-entity sequence features, session models) — one
+    shuffle on the group key."""
+
+    def running(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        cents = (pdf["value"] * 100).round().astype("int64")
+        pdf["running_value"] = cents.cumsum() / 100.0
+        return pdf[["event_id", "user_id", "running_value"]]
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return ev.groupBy("user_id").applyInPandas(
+        running, schema="event_id long, user_id long, running_value double"
+    )
+
+
+@query(
+    "udf_python_rot13",
+    oracle="""
+    SELECT doc_id,
+           translate(source,
+                     'abcdefghijklmnopqrstuvwxyz0123456789',
+                     'nopqrstuvwxyzabcdefghijklm0123456789') AS source_rot13
+    FROM documents
+    """,
+)
+def udf_python_rot13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python ``udf`` — the LAST-RESORT path, included as
+    the measured comparison point: same op as a single built-in
+    ``translate`` (the oracle), but each row crosses the JVM↔Python
+    boundary individually. Never ship this shape on a 100 TB hot path."""
+    import codecs
+
+    @F.udf(StringType())
+    def rot13(s: str) -> str:
+        return codecs.encode(s, "rot13") if s is not None else None
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", rot13("source").alias("source_rot13"))
+
+
+@query("udf_mapinpandas_batch_stats")  # rows-only: batch boundaries are runtime-dependent
+def udf_mapinpandas_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInPandas`` pass-through with per-batch introspection:
+    emits one row per Arrow batch (size, min/max id) — the tool for
+    verifying batch shaping (``spark.sql.execution.arrow.maxRecordsPerBatch``)
+    before pointing a heavy decode UDF at 100 TB."""
+
+    def batch_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for i, pdf in enumerate(batches):
+            yield pd.DataFrame(
+                {
+                    "batch_rows": [len(pdf)],
+                    "min_doc_id": [int(pdf["doc_id"].min())],
+                    "max_doc_id": [int(pdf["doc_id"].max())],
+                }
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        batch_stats, schema="batch_rows long, min_doc_id long, max_doc_id long"
+    )

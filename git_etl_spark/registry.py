@@ -60,5 +60,6 @@ def load_all() -> None:
         similarity,
         streaming_bridge,
         text,
+        udfs,
         windows,
     )

@@ -146,3 +146,33 @@ def test_streaming_late_rows_dropped(spark, tmp_path):
         by_bucket[r.hour_bucket.hour] = by_bucket.get(r.hour_bucket.hour, 0) + r.n
     # bucket 10 still n=1 (late row never leaked), bucket 12 closed with 1
     assert by_bucket == {10: 1, 12: 1}, f"unexpected emissions: {by_bucket}"
+
+
+def test_stateful_running_totals_match_batch(spark, events_dir):
+    """applyInPandasWithState: after replaying all files, each user's
+    final state must equal the batch per-user aggregate."""
+    from git_etl_spark.io import load_table
+    from git_etl_spark.streaming.stateful import running_user_totals
+
+    updates: list = []
+    q = (
+        running_user_totals(_stream(spark, events_dir))
+        .writeStream.foreachBatch(lambda df, _id: updates.extend(df.collect()))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # last update per user wins (state is cumulative across batches)
+    final: dict = {}
+    for r in updates:
+        final[r.user_id] = (r.n_events, round(r.total_value, 6))
+
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("t"))
+    )
+    want = {r.user_id: (r.n, round(r.t, 6)) for r in batch.collect()}
+    assert final == want
