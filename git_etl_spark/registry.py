@@ -60,6 +60,7 @@ def load_all() -> None:
         similarity,
         streaming_bridge,
         text,
+        tpch_more,
         udfs,
         windows,
     )

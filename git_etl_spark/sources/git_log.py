@@ -189,3 +189,44 @@ def repo_commits_df(
         batches = list(pool.map(lambda p: scan_repo_commits(p, branch), repo_paths))
     rows = [c for batch in batches for c in batch]
     return spark.createDataFrame(rows, COMMITS_SCHEMA)
+
+
+def repo_commits_df_distributed(
+    spark: SparkSession,
+    repo_paths: list[str],
+    branch: str | None = None,
+    slices: int | None = None,
+) -> DataFrame:
+    """S1 scale path: the repo *list* becomes a DataFrame and each
+    executor shells out to git for its slice inside ``mapInPandas`` —
+    ingestion bandwidth scales with the cluster instead of the driver.
+    Same parser (``parse_git_log_text``) as the driver-side version,
+    so the two paths cannot diverge semantically (asserted equal in
+    tests/test_git_etl_e2e.py).
+
+    Requirements at real scale: repos must be on storage every
+    executor can reach (shared FS / pre-synced clones), and one repo's
+    log must fit an Arrow batch — for monorepos, shard further by
+    commit range (``git log <since>..<until>``) using the same
+    function shape."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    if not repo_paths:
+        return spark.createDataFrame([], COMMITS_SCHEMA)
+
+    def scan_slice(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for path in pdf["path"]:
+                commits = scan_repo_commits(path, branch)
+                if commits:
+                    yield pd.DataFrame(commits)
+
+    repo_df = spark.createDataFrame(
+        [(p,) for p in repo_paths], "path string"
+    ).repartition(slices or min(len(repo_paths), 64))
+    # mapInPandas carries the nested file_changes as object columns;
+    # rebuilding rows through the explicit schema keeps types exact
+    out = repo_df.mapInPandas(scan_slice, schema=COMMITS_SCHEMA)
+    return out

@@ -185,3 +185,19 @@ def test_discovery_finds_repo(synthetic_repo, tmp_path):
 
     cfg.write_text(json.dumps({"paths": [str(root)], "ignore": [str(synthetic_repo)]}))
     assert load_repositories_config(str(cfg)) == []
+
+
+def test_distributed_ingestion_matches_driver_side(spark, synthetic_repo):
+    """S1 scale path: mapInPandas executor-side scans must produce
+    exactly the driver-side thread-pool result."""
+    from git_etl_spark.sources.git_log import (
+        repo_commits_df,
+        repo_commits_df_distributed,
+    )
+
+    a = repo_commits_df(spark, [str(synthetic_repo)])
+    b = repo_commits_df_distributed(spark, [str(synthetic_repo)])
+    sa = sorted(map(repr, a.collect()))
+    sb = sorted(map(repr, b.collect()))
+    assert sa == sb
+    assert b.schema == a.schema
