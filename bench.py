@@ -48,6 +48,9 @@ def main() -> None:
     # billed to whichever pandas-UDF query happens to run first)
     run("join_multiway_regional_revenue")
     run("multimodal_decode_features")
+    # first broadcast of a driver-local relation pays ~1.5s of one-time
+    # JVM warm-up — absorb it here, not in whichever query runs first
+    run("join_broadcast_lookup")
 
     timings: dict[str, float] = {}
     for name in sorted(registry.QUERIES):

@@ -50,6 +50,7 @@ def load_all() -> None:
     """Import every operator module so registrations run."""
     from .operators import (  # noqa: F401
         aggregates,
+        collections,
         dedup,
         events,
         joins,
