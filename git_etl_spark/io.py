@@ -38,9 +38,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in CORPUS_TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {CORPUS_TABLES}")
+    if name == "events":
+        # defensive: the caller's session may not be ours (the driver
+        # passes its own) — this conf is runtime-settable
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # ns → µs → TIMESTAMP_NTZ via pure NTZ arithmetic: no session-
+        # timezone dependence (timestamp_micros() would yield a TZ-aware
+        # timestamp that collects shifted under a non-UTC session)
+        df = df.withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, ts div 1000,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
+        )
     return df
 
 

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.exact import dsum
+from ..functions.timeutil import epoch_sec, trunc_hour_ntz
 from ..io import load_table
 from ..registry import query
 
@@ -35,7 +36,7 @@ def events_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``window(ts, '1 hour')`` which is the same bucketing."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy(
-        F.date_trunc("hour", F.col("ts")).alias("hour_bucket"),
+        trunc_hour_ntz("ts").alias("hour_bucket"),
         "event_type",
     ).agg(
         F.count("*").alias("n"),
@@ -76,7 +77,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``session_window(ts, '10 minutes')`` in streaming/events_stream.py."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    gap = epoch_sec("ts") - epoch_sec(F.lag("ts").over(w))
     new_session = F.when(
         gap.isNull() | (gap > SESSION_GAP_SEC), F.lit(1)
     ).otherwise(F.lit(0))
@@ -93,7 +94,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
         (
-            F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+            epoch_sec(F.max("ts")) - epoch_sec(F.min("ts"))
         ).alias("duration_sec"),
     )
 

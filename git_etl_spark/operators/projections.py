@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.timeutil import epoch_sec, trunc_hour_ntz
 from ..io import load_table
 from ..registry import query
 
@@ -107,8 +108,8 @@ def proj_time_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hour("ts").alias("h"),
         F.dayofweek("ts").alias("dow"),
         F.date_format("ts", "yyyy-MM-dd").alias("iso_day"),
-        F.date_trunc("hour", F.col("ts")).alias("hour_bucket"),
-        F.unix_timestamp("ts").alias("epoch_sec"),
+        trunc_hour_ntz("ts").alias("hour_bucket"),
+        epoch_sec("ts").alias("epoch_sec"),
     )
 
 

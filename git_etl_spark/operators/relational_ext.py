@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.exact import dsum
+from ..functions.timeutil import ts_ntz
 from ..io import load_table
 from ..registry import query
 
@@ -59,7 +60,7 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (1 + F.col("l_tax"))
     ).cast("decimal(24,8)")
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        li.filter(F.col("l_shipdate") <= ts_ntz("1998-09-02"))
         .groupBy(
             F.col("l_returnflag").alias("returnflag"),
             F.col("l_linestatus").alias("linestatus"),
@@ -102,10 +103,10 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment") == "BUILDING"
     )
     o = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+        F.col("o_orderdate") < ts_ntz("1995-03-15")
     )
     l = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+        F.col("l_shipdate") > ts_ntz("1995-03-15")
     )
     revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
         "decimal(24,8)"

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.exact import count_if
+from ..functions.timeutil import ts_ntz
 from ..io import load_table
 from ..registry import query
 
@@ -36,8 +37,8 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(24,8)")
     return (
         li.filter(
-            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            (F.col("l_shipdate") >= ts_ntz("1996-01-01"))
+            & (F.col("l_shipdate") < ts_ntz("1997-01-01"))
             & F.col("l_discount").between(0.05, 0.07)
             & (F.col("l_quantity") < 24)
         )
@@ -66,8 +67,8 @@ def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lineitem shipped after its order date) → left-semi join with a
     non-equi term riding on the equi key."""
     o = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+        (F.col("o_orderdate") >= ts_ntz("1996-07-01"))
+        & (F.col("o_orderdate") < ts_ntz("1996-10-01"))
     )
     l = load_table(spark, sf_dir, "lineitem")
     return (
@@ -99,8 +100,8 @@ def tpch_q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape: fact-fact join + IN-list CASE counts."""
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        (F.col("l_shipdate") >= ts_ntz("1996-01-01"))
+        & (F.col("l_shipdate") < ts_ntz("1997-01-01"))
     )
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
@@ -132,8 +133,8 @@ def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: conditional-revenue ratio over a broadcast
     part join (promo share of one month's revenue)."""
     l = load_table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp"))
+        (F.col("l_shipdate") >= ts_ntz("1995-09-01"))
+        & (F.col("l_shipdate") < ts_ntz("1995-10-01"))
     )
     p = load_table(spark, sf_dir, "part")
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(

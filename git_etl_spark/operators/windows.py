@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.exact import dsum
+from ..functions.timeutil import epoch_sec
 from ..io import load_table
 from ..registry import query
 
@@ -75,7 +76,7 @@ def window_lag_lead_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.lag("value").over(w).alias("prev_value"),
         F.lead("event_type").over(w).alias("next_type"),
-        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))).alias(
+        (epoch_sec("ts") - epoch_sec(F.lag("ts").over(w))).alias(
             "gap_sec"
         ),
     )
@@ -131,7 +132,7 @@ def window_moving_7day_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
-        .orderBy(F.unix_timestamp("o_orderdate"))
+        .orderBy(epoch_sec("o_orderdate"))
         .rangeBetween(-604800, 0)
     )
     return orders.select(

@@ -20,8 +20,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.timeutil import instant_to_ntz, ntz_to_instant
+
 WATERMARK = "10 minutes"
 SESSION_GAP = "10 minutes"
+
+
+def _with_event_time(events: DataFrame) -> DataFrame:
+    """Watermarks require a real TIMESTAMP; the corpus reads as
+    TIMESTAMP_NTZ. Convert deterministically (wall time read as UTC) —
+    outputs convert back so results stay session-tz independent."""
+    if dict(events.dtypes).get("ts") == "timestamp_ntz":
+        return events.withColumn("ts", ntz_to_instant("ts"))
+    return events
 
 
 def hourly_counts(events: DataFrame) -> DataFrame:
@@ -29,7 +40,8 @@ def hourly_counts(events: DataFrame) -> DataFrame:
     twin of ``events_hourly_agg`` (same buckets: window.start ==
     date_trunc('hour', ts) for in-window events)."""
     return (
-        events.withWatermark("ts", WATERMARK)
+        _with_event_time(events)
+        .withWatermark("ts", WATERMARK)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n"),
@@ -38,7 +50,7 @@ def hourly_counts(events: DataFrame) -> DataFrame:
             .alias("sum_value"),
         )
         .select(
-            F.col("w.start").alias("hour_bucket"),
+            instant_to_ntz(F.col("w.start")).alias("hour_bucket"),
             "event_type",
             "n",
             "sum_value",
@@ -50,10 +62,15 @@ def sliding_counts(events: DataFrame) -> DataFrame:
     """Sliding 1-hour window every 15 minutes — each event lands in 4
     overlapping buckets."""
     return (
-        events.withWatermark("ts", WATERMARK)
+        _with_event_time(events)
+        .withWatermark("ts", WATERMARK)
         .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
         .agg(F.count("*").alias("n"))
-        .select(F.col("w.start").alias("win_start"), F.col("w.end").alias("win_end"), "n")
+        .select(
+            instant_to_ntz(F.col("w.start")).alias("win_start"),
+            instant_to_ntz(F.col("w.end")).alias("win_end"),
+            "n",
+        )
     )
 
 
@@ -62,13 +79,14 @@ def sessionized(events: DataFrame) -> DataFrame:
     of the batch lag/running-sum sessionization (same gap constant:
     operators/events.py SESSION_GAP_SEC = 600)."""
     return (
-        events.withWatermark("ts", WATERMARK)
+        _with_event_time(events)
+        .withWatermark("ts", WATERMARK)
         .groupBy(F.session_window("ts", SESSION_GAP).alias("s"), "user_id")
         .agg(F.count("*").alias("n_events"))
         .select(
             "user_id",
-            F.col("s.start").alias("session_start"),
-            F.col("s.end").alias("session_end"),
+            instant_to_ntz(F.col("s.start")).alias("session_start"),
+            instant_to_ntz(F.col("s.end")).alias("session_end"),
             "n_events",
         )
     )
@@ -79,6 +97,9 @@ def dedup_within_watermark(events: DataFrame) -> DataFrame:
     watermark — ``dropDuplicatesWithinWatermark`` keeps state only for
     the watermark horizon (the unbounded-state-safe form of the batch
     keyed dedup)."""
-    return events.withWatermark("ts", WATERMARK).dropDuplicatesWithinWatermark(
-        ["user_id", "event_type"]
-    )
+    out = _with_event_time(events).withWatermark(
+        "ts", WATERMARK
+    ).dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    if dict(events.dtypes).get("ts") == "timestamp_ntz":
+        out = out.withColumn("ts", instant_to_ntz("ts"))
+    return out
