@@ -409,3 +409,83 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.9)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+@query(
+    "dedup_cluster_components",
+    oracle=f"""
+    WITH RECURSIVE sets AS (
+        SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS toks
+        FROM documents
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sets a, sets b
+        WHERE a.doc_id < b.doc_id
+          AND len(list_filter(a.toks, t -> list_contains(b.toks, t))) * 1.0
+                / (len(a.toks) + len(b.toks)
+                   - len(list_filter(a.toks, t -> list_contains(b.toks, t))))
+              >= {JACCARD_THRESHOLD}
+    ),
+    e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+    verts AS (SELECT a AS v FROM e UNION SELECT b FROM e),
+    cc(v, lbl) AS (
+        SELECT v, v FROM verts
+        UNION
+        SELECT e.b AS v, cc.lbl FROM cc JOIN e ON cc.v = e.a WHERE cc.lbl < e.b
+    )
+    SELECT v AS doc_id, MIN(lbl) AS cluster_id FROM cc GROUP BY v
+    """,
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 cluster collapse: connected components over the near-dup pair
+    graph (cluster id = min doc_id in the component) — the step that
+    turns pairwise matches into dedup groups, so one representative per
+    cluster survives.
+
+    Spark side: iterative min-label propagation — each round joins
+    labels across edges and keeps the elementwise min; terminates when
+    no label changes (≤ graph diameter rounds; near-dup components are
+    shallow). Each round ends in an eager ``localCheckpoint`` so the
+    lineage (and Catalyst planning time) stays O(1) per round instead
+    of doubling — the same trick GraphFrames uses for its iterative
+    algorithms. The DuckDB oracle computes the same fixpoint with a
+    recursive CTE, so the distributed iteration is verified against a
+    declarative ground truth. At 100 TB swap the simple propagation for
+    the large-star/small-star variant — same per-round join shape,
+    provably O(log n) rounds — and checkpoint to reliable storage."""
+    edges = (
+        dedup_jaccard_pairs(spark, sf_dir)
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()  # materialize: don't replay the pair-gen plan per round
+    labels = (
+        sym.select(F.col("a").alias("v"))
+        .distinct()
+        .withColumn("lbl", F.col("v"))
+        .localCheckpoint()
+    )
+    for _ in range(20):  # diameter bound; breaks as soon as stable
+        neighbor_min = (
+            sym.join(labels, sym.a == labels.v)
+            .groupBy(F.col("b").alias("v"))
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        stepped = (
+            labels.join(neighbor_min, "v", "left")
+            .select(
+                "v",
+                F.least(F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))).alias(
+                    "lbl"
+                ),
+                (F.coalesce("nlbl", F.col("lbl")) < F.col("lbl")).alias("chg"),
+            )
+            .localCheckpoint()
+        )
+        labels = stepped.select("v", "lbl")
+        if stepped.filter("chg").limit(1).count() == 0:
+            break
+    return labels.select(F.col("v").alias("doc_id"), F.col("lbl").alias("cluster_id"))

@@ -127,6 +127,39 @@ def events_dedup_earliest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_asof_last_signup",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           last_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS last_signup_at
+    FROM events
+    """,
+)
+def join_asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join (self, backward): attach to every event the user's
+    most recent signup at-or-before it. Spark has no asof-join
+    operator; the composition is ``last(..., ignorenulls) over a
+    running window`` after a union of both streams — one shuffle on
+    the entity key, no range join needed. For two separate tables the
+    same shape applies: tag sides, union, window, filter back to the
+    probe side."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    signup_ts = F.when(F.col("event_type") == "signup", F.col("ts"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.last(signup_ts, ignorenulls=True).over(w).alias("last_signup_at"),
+    )
+
+
+@query(
     "events_daily_activity",
     oracle="""
     SELECT CAST(ts AS DATE) AS event_day,
