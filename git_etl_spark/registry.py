@@ -62,6 +62,7 @@ def load_all() -> None:
         streaming_bridge,
         text,
         tpch_more,
+        tpch_subqueries,
         udfs,
         windows,
     )
