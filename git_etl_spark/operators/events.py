@@ -160,6 +160,74 @@ def join_asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_range_prior_hour",
+    oracle="""
+    SELECT p.event_id AS event_id,
+           COUNT(e.event_id) AS n_prior,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS prior_value
+    FROM events p
+    LEFT JOIN events e
+      ON e.user_id = p.user_id
+     AND e.ts >= p.ts - INTERVAL 1 HOUR
+     AND e.ts < p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id
+    """,
+)
+def join_range_prior_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE (interval) join: for every purchase, the count and value
+    of the same user's events in the preceding hour. Spark would plan
+    the naive form as an equi join on user_id with the range as a
+    post-join filter — fine until one user's history is large. The
+    scale form here is **bucketed**: both sides key on
+    (user_id, hour_bucket), the probe side explodes into the only two
+    buckets its window can overlap, and the exact range predicate
+    filters after the equi join. Work per probe row is bounded by two
+    bucket partitions regardless of per-user history length, and the
+    join stays a plain shuffled hash join Catalyst/AQE can size.
+    Purchases with an empty window are restored by a left join back to
+    the probe side (count 0, sum NULL — same as the oracle's outer
+    aggregate)."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def bucket(col: F.Column) -> F.Column:
+        return F.floor(epoch_sec(col) / F.lit(3600))
+
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    probe = purchases.withColumn(
+        "bucket", F.explode(F.array(bucket(F.col("p_ts")) - 1, bucket(F.col("p_ts"))))
+    )
+    build = ev.select(
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+        "value",
+    ).withColumn("bucket", bucket(F.col("e_ts")))
+    in_window = (
+        F.col("e_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")
+    ) & (F.col("e_ts") < F.col("p_ts"))
+    matched = (
+        probe.join(
+            build,
+            (F.col("p_user") == F.col("e_user"))
+            & (probe.bucket == build.bucket),
+        )
+        .filter(in_window)
+        .groupBy("event_id")
+        .agg(
+            F.count("*").alias("n_prior"),
+            dsum("value").alias("prior_value"),
+        )
+    )
+    return purchases.join(matched, "event_id", "left").select(
+        "event_id",
+        F.coalesce("n_prior", F.lit(0)).alias("n_prior"),
+        "prior_value",
+    )
+
+
+@query(
     "events_daily_activity",
     oracle="""
     SELECT CAST(ts AS DATE) AS event_day,

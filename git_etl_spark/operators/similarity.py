@@ -149,6 +149,119 @@ def vector_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+K_CELLS = 16  # IVF coarse cells
+N_PROBE = 2  # cells searched per query
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str, n_probe: int = N_PROBE) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: Lloyd k-means learns
+    K_CELLS coarse cells, every vector is posted to its nearest cell,
+    and each query scores candidates only in its ``n_probe`` nearest
+    cells. With ``n_probe == K_CELLS`` this degrades to exact brute
+    force (the recall test asserts that equality); with small
+    ``n_probe`` the scored-candidate count drops to ~n_probe/K of the
+    corpus — the scale path where brute force is the per-cell kernel.
+
+    Everything is deterministic: seeds are vec_id < K_CELLS, three
+    Lloyd rounds, and centroid means use the sorted-fold sum (see
+    vector_centroid_per_label) so no double addition depends on
+    partitioning. Each round ends in a localCheckpoint (16 rows) so
+    lineage stays flat.
+
+    At 100 TB: centroids are always broadcast (K·dim doubles); the
+    cell assignment is one narrow shuffle; per-cell search is an equi
+    join on cell id — skewed (hot) cells split by AQE. Training runs
+    on a sample; assignment streams."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    l2 = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+    centroids = vecs.filter(F.col("vec_id") < K_CELLS).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("cv")
+    ).localCheckpoint()
+    w_assign = Window.partitionBy("vec_id").orderBy("dist", "cell")
+    for _ in range(3):
+        assigned = (
+            vecs.crossJoin(F.broadcast(centroids))
+            .withColumn("dist", l2(F.col("v"), F.col("cv")))
+            .withColumn("rn", F.row_number().over(w_assign))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cell", "v")
+        )
+        elems = assigned.select("cell", F.posexplode("v").alias("pos", "val"))
+        seq_sum = F.aggregate(
+            F.array_sort(F.collect_list("val")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        means = elems.groupBy("cell", "pos").agg(
+            (seq_sum / F.count("*")).alias("m")
+        )
+        centroids = (
+            means.groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s.getField("m"),
+                ).alias("cv")
+            )
+            .localCheckpoint()
+        )
+    posting = (
+        vecs.crossJoin(F.broadcast(centroids))
+        .withColumn("dist", l2(F.col("v"), F.col("cv")))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell")
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    q_vecs = queries.select(
+        "q_id", F.transform("q_emb", lambda x: x.cast("double")).alias("qv")
+    )
+    w_probe = Window.partitionBy("q_id").orderBy("dist", "cell")
+    probes = (
+        q_vecs.crossJoin(F.broadcast(centroids))
+        .withColumn("dist", l2(F.col("qv"), F.col("cv")))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= n_probe)
+        .select("q_id", "cell")
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(posting, "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+    )
+    scored = (
+        cand.join(emb.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(queries), "q_id")
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("q_emb"), F.col("embedding")).alias("cos_sim"),
+        )
+    )
+    w_rank = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rnk", F.row_number().over(w_rank)).filter(
+        F.col("rnk") <= TOP_K
+    )
+
+
+@query("simsearch_ivf")  # rows-only: learned cells are engine-internal
+def simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors at the default n_probe (see
+    ivf_topk — the registered surface of the IVF index)."""
+    return ivf_topk(spark, sf_dir, N_PROBE)
+
+
 @query("simsearch_ann_ml_lsh")  # rows-only: pyspark.ml LSH is seed-dependent
 def simsearch_ann_ml_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pyspark.ml BucketedRandomProjectionLSH approximate similarity

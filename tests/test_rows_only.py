@@ -74,6 +74,44 @@ def test_approx_sketches_close_to_exact(spark):
         assert rel_err < 0.1, f"{r.event_type}: HLL rel err {rel_err:.3f}"
 
 
+def test_ivf_full_probe_equals_bruteforce(spark):
+    """With n_probe == K_CELLS the IVF index scans every cell, so its
+    top-k must equal exact brute force bit-for-bit — the structural
+    correctness property that holds regardless of data geometry."""
+    from git_etl_spark.operators.similarity import K_CELLS, ivf_topk
+
+    exact = {
+        (r.q_id, r.rnk): (r.neighbor_id, r.cos_sim)
+        for r in _q("simsearch_topk_bruteforce")(spark, SF_CORRECTNESS).collect()
+    }
+    full = {
+        (r.q_id, r.rnk): (r.neighbor_id, r.cos_sim)
+        for r in ivf_topk(spark, SF_CORRECTNESS, n_probe=K_CELLS).collect()
+    }
+    assert full == exact
+
+
+def test_ivf_default_probe_subset_and_exact_scores(spark):
+    """At the default n_probe the result is approximate, but every
+    returned score must equal the brute-force score for that neighbor
+    (IVF only *prunes* candidates, never alters scoring), ranks must
+    be 1..k per query, and every query must return k rows."""
+    from git_etl_spark.operators.similarity import TOP_K
+
+    exact_scores = {
+        (r.q_id, r.neighbor_id): r.cos_sim
+        for r in _q("simsearch_topk_bruteforce")(spark, SF_CORRECTNESS).collect()
+    }
+    rows = _q("simsearch_ivf")(spark, SF_CORRECTNESS).collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.q_id, []).append(r.rnk)
+        if (r.q_id, r.neighbor_id) in exact_scores:
+            assert r.cos_sim == exact_scores[(r.q_id, r.neighbor_id)]
+    for q, rnks in per_q.items():
+        assert sorted(rnks) == list(range(1, TOP_K + 1)), f"q{q}: {rnks}"
+
+
 def test_ml_lsh_ann_returns_near_neighbors(spark):
     rows = _q("simsearch_ann_ml_lsh")(spark, SF_CORRECTNESS).collect()
     assert rows, "ANN join returned nothing at distance 3.0"
