@@ -249,3 +249,160 @@ def events_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_type") == "purchase", 1).otherwise(0)
         ).cast("long").alias("n_purchases"),
     )
+
+
+@query(
+    "events_funnel_conversion",
+    oracle="""
+    WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t2
+          FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t1
+          WHERE e.event_type = 'click' GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t3
+          FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t2
+          WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_click_after_view,
+           (SELECT COUNT(*) FROM p) AS n_purchase_after_click
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase): users counted at each
+    stage only if the stage event strictly follows their first event of
+    the previous stage. Each stage is a per-user MIN + a non-equi
+    semi-ish join against the previous stage's firsts — all stages
+    shuffle on user_id, so Catalyst reuses one exchange across the
+    whole funnel. The canonical product-analytics sequence operator."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def firsts(df: DataFrame, etype: str, alias_ts: str) -> DataFrame:
+        return (
+            df.filter(F.col("event_type") == etype)
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(alias_ts))
+        )
+
+    v = firsts(ev, "view", "t1")
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").alias("n_click_after_view")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchase_after_click")))
+    )
+
+
+@query(
+    "events_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day FROM events
+        GROUP BY user_id
+    ),
+    active AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_day FROM events
+    )
+    SELECT f.cohort_day, datediff('day', f.cohort_day, a.active_day) AS day_offset,
+           COUNT(*) AS n_users
+    FROM firsts f JOIN active a USING (user_id)
+    GROUP BY f.cohort_day, datediff('day', f.cohort_day, a.active_day)
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day, one
+    row per (cohort day, day offset) with the count of users still
+    active. Two aggregates over the same user_id shuffle (first-seen
+    and distinct active days) joined per user — the standard retention
+    triangle, linear in events."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("cohort_day")
+    )
+    active = ev.select("user_id", F.to_date("ts").alias("active_day")).distinct()
+    return (
+        firsts.join(active, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("active_day", "cohort_day").alias("day_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+@query(
+    "events_gapfill_locf",
+    oracle="""
+    WITH bounds AS (
+        SELECT user_id, date_trunc('hour', MIN(ts)) AS h0,
+               date_trunc('hour', MAX(ts)) AS h1
+        FROM events GROUP BY user_id
+    ),
+    spine AS (
+        SELECT user_id,
+               unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_bucket
+        FROM bounds
+    ),
+    hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS hour_bucket,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS hour_value
+        FROM events GROUP BY user_id, date_trunc('hour', ts)
+    )
+    SELECT s.user_id, s.hour_bucket,
+           last_value(h.hour_value IGNORE NULLS)
+               OVER (PARTITION BY s.user_id ORDER BY s.hour_bucket
+                     ROWS UNBOUNDED PRECEDING) AS locf_value,
+           CASE WHEN h.hour_value IS NULL THEN 1 ELSE 0 END AS filled
+    FROM spine s
+    LEFT JOIN hourly h ON h.user_id = s.user_id
+                      AND h.hour_bucket = s.hour_bucket
+    """,
+)
+def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style gap-fill: a per-user hourly spine between the
+    user's first and last event, hourly sums attached, missing hours
+    filled by last-observation-carried-forward (the time-series
+    interpolation step a rollup pipeline needs before diffing or
+    charting). The spine is generated with ``sequence`` per user — no
+    driver-side loop — and the LOCF is one running window over the
+    same user_id shuffle the hourly aggregate used."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.groupBy("user_id").agg(
+        trunc_hour_ntz(F.min("ts")).alias("h0"),
+        trunc_hour_ntz(F.max("ts")).alias("h1"),
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_bucket"),
+    )
+    hourly = ev.groupBy(
+        "user_id", trunc_hour_ntz("ts").alias("hour_bucket")
+    ).agg(dsum("value").alias("hour_value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, ["user_id", "hour_bucket"], "left")
+        .select(
+            "user_id",
+            "hour_bucket",
+            F.last("hour_value", ignorenulls=True).over(w).alias("locf_value"),
+            F.when(F.col("hour_value").isNull(), 1).otherwise(0).alias("filled"),
+        )
+    )

@@ -511,3 +511,40 @@ def window_first_last_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_orderkey").over(w_full).alias("last_order"),
         F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
     )
+
+
+@query(
+    "sample_stratified_hash",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_sampled,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE substring(md5(CAST(event_id AS VARCHAR)), 1, 1) IN ('0', '1')
+    GROUP BY event_type
+    """,
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~1/8 sample per stratum via content hashing
+    (md5(event_id) first hex digit ∈ {0,1}) — reproducible across
+    engines, runs, and cluster sizes, unlike ``df.sample`` whose
+    output depends on partitioning. The predicate is partition-local
+    (no shuffle before the aggregate) and composes with any
+    stratification key. The pattern a training pipeline uses for
+    eval-split carving and data ablations at 100 TB: the sample
+    decision rides the scan, costs one hash per row, and never moves
+    data."""
+    ev = load_table(spark, sf_dir, "events")
+    digit = F.substring(
+        F.md5(F.col("event_id").cast("string").cast("binary")), 1, 1
+    )
+    return (
+        ev.filter(digit.isin("0", "1"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.countDistinct("user_id").alias("n_users"),
+            dsum("value").alias("sum_value"),
+        )
+    )

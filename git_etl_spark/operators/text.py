@@ -10,7 +10,7 @@ no Python in the hot path. The same expressions run unchanged over a
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
@@ -203,4 +203,58 @@ def text_token_bpe_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_bpe_tokens"
         ),
         F.size(F.split("text", " ")).cast("long").alias("n_ws_tokens"),
+    )
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf,
+               CAST(tf.tf AS DOUBLE) * n.n_docs / df.df AS score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY CAST(tf.tf AS DOUBLE) * n.n_docs / df.df DESC,
+                            tf.term) AS rnk
+        FROM tf JOIN df USING (term), n
+    )
+    SELECT doc_id, term, tf, score, CAST(rnk AS INT) AS rnk
+    FROM scored WHERE rnk <= 3
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-style salient terms: top-3 terms per document scored by
+    tf · N/df. The inverse document frequency is kept as the raw ratio
+    (no logarithm) so the score is a ratio of exact integers — libm's
+    ln differs between engines in the last ulp and would break the
+    value-hash compare; the *ranking* is identical either way since
+    ln is monotonic.
+
+    Plan: one shuffle for tf (doc, term), one for df (term), broadcast
+    the one-row corpus count, rank per doc. At 100 TB the df table is
+    the only wide state and it's bounded by vocabulary size."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.col("tf").cast("double") * F.col("n_docs") / F.col("df"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "score", "rnk")
     )
