@@ -406,3 +406,60 @@ def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("hour_value").isNull(), 1).otherwise(0).alias("filled"),
         )
     )
+
+
+@query(
+    "scd2_purchase_tier_history",
+    oracle="""
+    WITH tiers AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN value >= 50 THEN 'high' ELSE 'low' END AS tier
+        FROM events WHERE event_type = 'purchase'
+    ),
+    flagged AS (
+        SELECT user_id, event_id, ts, tier,
+               lag(tier) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_tier
+        FROM tiers
+    ),
+    changes AS (
+        SELECT user_id, event_id, ts, tier FROM flagged
+        WHERE prev_tier IS NULL OR tier <> prev_tier
+    )
+    SELECT user_id, tier, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to,
+           CASE WHEN lead(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS is_current
+    FROM changes
+    """,
+)
+def scd2_purchase_tier_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension build from a change stream: per-user
+    purchase-tier history with change capture (consecutive identical
+    tiers collapse via a lag compare) and validity intervals
+    (valid_from/valid_to via lead; open row flagged current). This is
+    the distributed form of the reference's upsert-with-history load
+    pattern: both window passes ride one user_id shuffle, and at
+    100 TB the change-capture filter drops the (dominant) unchanged
+    rows before the second pass."""
+    ev = load_table(spark, sf_dir, "events")
+    tier = F.when(F.col("value") >= 50, "high").otherwise("low")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", "ts", tier.alias("tier"))
+        .withColumn("prev_tier", F.lag("tier").over(w))
+    )
+    changes = flagged.filter(
+        F.col("prev_tier").isNull() | (F.col("tier") != F.col("prev_tier"))
+    )
+    lead_ts = F.lead("ts").over(w)
+    return changes.select(
+        "user_id",
+        "tier",
+        F.col("ts").alias("valid_from"),
+        lead_ts.alias("valid_to"),
+        F.when(lead_ts.isNull(), 1).otherwise(0).alias("is_current"),
+    )

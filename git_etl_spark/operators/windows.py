@@ -314,3 +314,31 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", 0.5).alias("approx_p50_value"),
         F.countDistinct("user_id").alias("exact_users"),
     )
+
+
+@query(
+    "window_distribution_functions",
+    oracle="""
+    SELECT c_mktsegment AS segment, c_custkey AS custkey,
+           c_acctbal AS acctbal,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank and cume_dist of
+    every customer's balance within its market segment. The custkey
+    tie-break makes every rank (and thus both ratios of exact
+    integers) unique and bit-deterministic across engines. One shuffle
+    on the segment key serves both functions."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
