@@ -83,3 +83,60 @@ def test_q1_fully_codegens(spark):
     from git_etl_spark.plans.audit import codegen_stage_count
 
     assert codegen_stage_count(_q(spark, "tpch_q1_pricing_summary")) >= 2
+
+
+def test_q10_topk_take_ordered_and_pruned(spark):
+    """Q10's top-20 must plan TakeOrderedAndProject, and the lineitem
+    scan must push the returnflag equality."""
+    from git_etl_spark.plans.audit import has_take_ordered, pushed_filters
+
+    df = _q(spark, "tpch_q10_returned_items")
+    assert has_take_ordered(df)
+    assert any("l_returnflag" in f and "EqualTo" in f for f in pushed_filters(df)), (
+        pushed_filters(df)
+    )
+
+
+def test_q2_part_filter_pushdown_and_broadcast(spark):
+    """Q2: the p_size predicate reaches the part scan; the part dim
+    broadcasts (never sort-merges against lineitem)."""
+    from git_etl_spark.plans.audit import has_broadcast_join, pushed_filters
+
+    df = _q(spark, "tpch_q2_min_price_supplier")
+    assert has_broadcast_join(df)
+    assert any("p_size" in f for f in pushed_filters(df)), pushed_filters(df)
+
+
+def test_q22_anti_join_prefiltered_broadcast(spark):
+    """Q22: the urgency filter must sit below the anti join (pushed to
+    the orders scan), and the global-average scalar is a broadcast,
+    not a shuffle."""
+    from git_etl_spark.plans.audit import physical_plan, pushed_filters
+
+    df = _q(spark, "tpch_q22_global_sales_opportunity")
+    assert any("o_orderpriority" in f for f in pushed_filters(df)), (
+        pushed_filters(df)
+    )
+    assert "CartesianProduct" not in physical_plan(df)
+
+
+def test_q21_semi_anti_ride_equi_joins(spark):
+    """Q21's EXISTS/NOT EXISTS must plan as semi/anti hash joins with
+    the different-supplier term as a join condition — no nested loop
+    over the cross product."""
+    from git_etl_spark.plans.audit import physical_plan
+
+    plan = physical_plan(_q(spark, "tpch_q21_waiting_suppliers"))
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan
+
+
+def test_range_join_is_equi_bucketed(spark):
+    """The interval join must execute as an equi hash join on
+    (user, bucket) — a plain broadcast/shuffled hash or sort-merge —
+    never a nested loop driven by the range predicate alone."""
+    from git_etl_spark.plans.audit import physical_plan
+
+    plan = physical_plan(_q(spark, "join_range_prior_hour"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
