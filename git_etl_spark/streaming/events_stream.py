@@ -103,3 +103,56 @@ def dedup_within_watermark(events: DataFrame) -> DataFrame:
     if dict(events.dtypes).get("ts") == "timestamp_ntz":
         out = out.withColumn("ts", instant_to_ntz("ts"))
     return out
+
+
+def enrich_stream_static(events: DataFrame, dim: DataFrame, key: str = "user_id") -> DataFrame:
+    """Stream-static join: every micro-batch joins against the current
+    snapshot of a (small) dimension — the standard enrichment step
+    before a streaming aggregate. Stateless (no watermark needed on
+    either side); the dim is broadcast so each executor joins locally.
+    At 100 TB/day the dim refresh cadence is the micro-batch interval —
+    Spark re-plans the static side every batch, picking up updates."""
+    return _with_event_time(events).join(F.broadcast(dim), key)
+
+
+def purchase_click_attribution(events: DataFrame) -> DataFrame:
+    """Stream-stream self-join with event-time bounds: every purchase
+    paired with the same user's clicks in the preceding 30 minutes —
+    streaming attribution. Both sides carry watermarks, and the join
+    condition bounds click_ts to [purchase_ts − 30 min, purchase_ts],
+    which is what lets the state store evict expired click rows (state
+    is bounded by watermark + window, not history).
+
+    Batch twin: the same filter/join expressions over the static
+    table — the test replays the corpus in one micro-batch and the
+    pair sets must be identical."""
+    ev = _with_event_time(events)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", WATERMARK)
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", WATERMARK)
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES")),
+    )
+    out = joined.select(
+        F.col("p_user").alias("user_id"), "purchase_id", "click_id",
+        "purchase_ts", "click_ts",
+    )
+    return out

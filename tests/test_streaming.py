@@ -176,3 +176,66 @@ def test_stateful_running_totals_match_batch(spark, events_dir):
     )
     want = {r.user_id: (r.n, round(r.t, 6)) for r in batch.collect()}
     assert final == want
+
+
+def test_stream_static_enrichment(spark, events_dir):
+    """Stream-static broadcast join: every streamed event must carry
+    its dimension attributes; row count is preserved (inner join on a
+    complete dim)."""
+    from git_etl_spark.io import load_table
+    from git_etl_spark.streaming.events_stream import enrich_stream_static
+
+    dim = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_seen"))
+    )
+    _run_to_memory(
+        enrich_stream_static(_stream(spark, events_dir), dim), "enriched"
+    )
+    rows = spark.sql("SELECT * FROM enriched").collect()
+    assert len(rows) == 1000
+    assert all(r.first_seen is not None and r.first_seen <= r.ts for r in rows)
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path_factory):
+    """Stream-stream time-bounded self-join replayed in ONE micro-batch
+    (single source file → no cross-batch state eviction) must produce
+    exactly the batch join's pair set."""
+    from git_etl_spark.io import load_table
+    from git_etl_spark.streaming.events_stream import purchase_click_attribution
+
+    path = tmp_path_factory.mktemp("ssj") / "events"
+    ev = load_table(spark, SF_SMOKE, "events")
+    ev.coalesce(1).write.parquet(str(path))
+    stream = spark.readStream.schema(ev.schema).parquet(str(path))
+
+    _run_to_memory(purchase_click_attribution(stream), "attributed")
+    got = {
+        (r.purchase_id, r.click_id)
+        for r in spark.sql("SELECT * FROM attributed").collect()
+    }
+
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    want = {
+        (r.purchase_id, r.click_id)
+        for r in purchases.join(
+            clicks,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (
+                F.col("click_ts")
+                >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES")
+            ),
+        ).collect()
+    }
+    assert got == want and got
