@@ -200,3 +200,51 @@ def join_broadcast_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("language")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+@query(
+    "join_fuzzy_levenshtein_blocked",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS edit_dist
+    FROM names a JOIN names b
+      ON substring(a.p_name, 1, 1) = substring(b.p_name, 1, 1)
+     AND a.p_name < b.p_name
+     AND abs(len(a.p_name) - len(b.p_name)) <= 3
+    WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3
+    """,
+)
+def join_fuzzy_levenshtein_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance) matching with **blocking**, run over the
+    deduplicated name dictionary — the entity-resolution shape:
+    dictionary-dedupe first (64 distinct names here vs 20k rows at
+    sf0.1; real catalogs are equally repetitive), then candidate pairs
+    form only within a block (same first character) and pass a cheap
+    length filter (|Δlen| ≤ 3, a necessary condition for distance ≤ 3)
+    before the O(n·m) Levenshtein runs. Cost is Σ block² over the
+    *dictionary*, not the fact table; matched name pairs join back to
+    rows by name when needed. Blocks are the shuffle key at 100 TB,
+    skewed blocks split by AQE. Distance 0 is excluded — exact dupes
+    belong to the hash-equality dedup family."""
+    names = (
+        load_table(spark, sf_dir, "part").select("p_name").distinct()
+    )
+    a = names.select(F.col("p_name").alias("name_a")).withColumn(
+        "blk", F.substring("name_a", 1, 1)
+    )
+    b = names.select(F.col("p_name").alias("name_b")).withColumn(
+        "blk", F.substring("name_b", 1, 1)
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(
+            b,
+            (a.blk == b.blk)
+            & (F.col("name_a") < F.col("name_b"))
+            & (F.abs(F.length("name_a") - F.length("name_b")) <= 3),
+        )
+        .withColumn("edit_dist", dist)
+        .filter(dist.between(1, 3))
+        .select("name_a", "name_b", "edit_dist")
+    )

@@ -342,3 +342,79 @@ def window_distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+@query(
+    "window_range_frame_30day_spend",
+    oracle="""
+    SELECT o_orderkey AS orderkey, o_custkey AS custkey,
+           CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) AS order_epoch,
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+               OVER (PARTITION BY o_custkey
+                     ORDER BY CAST(FLOOR(epoch(o_orderdate)) AS BIGINT)
+                     RANGE BETWEEN 2592000 PRECEDING AND 1 PRECEDING),
+               CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS prior_30d_spend
+    FROM orders
+    """,
+)
+def window_range_frame_30day_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window (value-based frame, not row-based): each
+    order carries the customer's total spend in the preceding 30 days
+    — frame bounds are *seconds offsets* on the event-time axis, so
+    same-timestamp orders enter/leave the frame together (what a ROWS
+    frame gets wrong). One shuffle on the customer key; state per key
+    is bounded by the frame span. Exact decimal sum inside the frame,
+    cast to double at the edge."""
+    o = load_table(spark, sf_dir, "orders")
+    epoch = epoch_sec("o_orderdate")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(epoch)
+        .rangeBetween(-2592000, -1)
+    )
+    spend = F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w)
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_custkey").alias("custkey"),
+        epoch.alias("order_epoch"),
+        F.coalesce(spend, F.lit(0).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("prior_30d_spend"),
+    )
+
+
+@query(
+    "agg_monthly_growth",
+    oracle="""
+    WITH monthly AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+        FROM orders GROUP BY CAST(date_trunc('month', o_orderdate) AS DATE)
+    )
+    SELECT month,
+           CAST(revenue AS DOUBLE) AS revenue,
+           CAST(lag(revenue) OVER (ORDER BY month) AS DOUBLE) AS prev_revenue,
+           CAST(revenue - lag(revenue) OVER (ORDER BY month) AS DOUBLE)
+               AS mom_delta
+    FROM monthly
+    """,
+)
+def agg_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: aggregate to a monthly series,
+    then a lag window for the delta. The unpartitioned window runs
+    over the *aggregated* series (dozens of rows), never the fact
+    table — the correct place for a global ORDER BY at any scale. The
+    delta subtracts exact decimals; only the final projection casts
+    to double."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.to_date(F.date_trunc("month", "o_orderdate")).alias("month")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"))
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        F.col("revenue").cast("double").alias("revenue"),
+        prev.cast("double").alias("prev_revenue"),
+        (F.col("revenue") - prev).cast("double").alias("mom_delta"),
+    )
