@@ -148,7 +148,11 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (For larger sets or lower thresholds, |A∆B| grows past 2: extend to
     deletion-d subsets with d = ⌈(1/t−1)·max|∩|⌉ − 1 on each side —
     same plan shape, more keys.)"""
-    docs = load_table(spark, sf_dir, "documents")
+    # one input split otherwise: the per-doc deletion-key md5 fan-out
+    # would run on a single task
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     sets = docs.select(
         "doc_id",
         F.array_sort(F.array_distinct(F.split("text", " "))).alias("toks"),
@@ -241,7 +245,7 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"u{i}")
             for i in range(dim)
         ],
-    ).repartition(8)
+    ).repartition(spark.sparkContext.defaultParallelism)
     a, b = unit.alias("a"), unit.alias("b")
     dot_uu = reduce(
         lambda x, y: x + y,
