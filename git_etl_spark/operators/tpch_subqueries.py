@@ -1,6 +1,9 @@
-"""TPC-H correlated-subquery / decorrelation pack (Q2, Q7, Q10, Q11,
-Q13, Q15, Q17, Q20, Q21, Q22 shapes), adapted to this corpus's star
-schema (no partsupp table — part-supplier facts come from lineitem).
+"""TPC-H correlated-subquery / decorrelation pack (Q2, Q7, Q8, Q9,
+Q10, Q11, Q13, Q15, Q16, Q17, Q20, Q21, Q22 shapes), adapted to this
+corpus's star schema (no partsupp table — part-supplier facts come
+from lineitem). Together with tpch_more.py and the Q1/Q3/Q5 shapes in
+aggregates/joins, every TPC-H query shape Q1–Q22 is registered under
+the differential oracle.
 
 These are the query shapes whose reference-engine counterparts need a
 subquery interpreter; in Spark each one is stated as the decorrelated
@@ -512,4 +515,159 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
             F.count("*").alias("numcust"),
             dsum("c_acctbal").alias("totacctbal"),
         )
+    )
+
+
+@query(
+    "tpch_q8_market_share",
+    oracle=f"""
+    WITH vol AS (
+        SELECT EXTRACT(YEAR FROM o.o_orderdate) AS order_year,
+               n1.n_name AS supp_nation,
+               {_REV_SQL} AS volume
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n2.n_regionkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+        WHERE r.r_name = 'ASIA'
+    )
+    SELECT order_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                         ELSE CAST(0 AS DECIMAL(24,8)) END) AS DOUBLE)
+               / CAST(SUM(volume) AS DOUBLE) AS mkt_share,
+           COUNT(*) AS n_lines
+    FROM vol GROUP BY order_year
+    """,
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's market share of a region's import
+    volume by year — a conditional-share ratio over a six-table join
+    where the numerator condition (supplier nation) and the population
+    filter (customer region) come from two *different* dimension
+    branches. Dims broadcast; the ratio divides exact decimal sums in
+    double."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region"))
+    vol = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(r), F.col("n2_region") == F.col("r_regionkey"))
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            F.col("supp_nation"),
+            _rev().alias("volume"),
+        )
+    )
+    target = F.when(
+        F.col("supp_nation") == "NATION_3", F.col("volume")
+    ).otherwise(F.lit(0).cast("decimal(24,8)"))
+    return vol.groupBy("order_year").agg(
+        (F.sum(target).cast("double") / F.sum("volume").cast("double")).alias(
+            "mkt_share"
+        ),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@query(
+    "tpch_q9_product_profit",
+    oracle="""
+    SELECT n.n_name AS nation_name,
+           EXTRACT(YEAR FROM o.o_orderdate) AS order_year,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         - l.l_quantity * p.p_retailprice * 0.1
+                         AS DECIMAL(24,8))) AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY n.n_name, EXTRACT(YEAR FROM o.o_orderdate)
+    """,
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-line profit by supplier nation and
+    year (cost modeled as 10% of retail price per unit — this corpus
+    has no partsupp). The profit expression is double arithmetic in
+    one fixed order, cast to decimal before the order-independent
+    sum. The part-name LIKE prunes the broadcast side first."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("l_quantity") * F.col("p_retailprice") * 0.1
+    ).cast("decimal(24,8)")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation_name"),
+            F.year("o_orderdate").cast("long").alias("order_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("profit"))
+    )
+
+
+@query(
+    "tpch_q16_supplier_count",
+    oracle="""
+    SELECT p.p_brand AS brand, p.p_type AS type, p.p_size AS size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#13'
+      AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                              WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def tpch_q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier counts per part attribute
+    group, with a NOT IN exclusion subquery (suppliers in deficit —
+    the corpus analogue of Q16's complaints filter). NOT IN
+    decorrelates to a left-anti join against the (pre-filtered,
+    broadcast) exclusion set; lineitem serves as the part-supplier
+    bridge since this corpus has no partsupp."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    excluded = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(
+            F.broadcast(excluded),
+            l.l_suppkey == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("p_type").alias("type"),
+            F.col("p_size").alias("size"),
+        )
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
