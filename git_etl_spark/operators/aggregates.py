@@ -216,3 +216,46 @@ def agg_avg_balance_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_customers"),
         davg("c_acctbal").alias("avg_balance"),
     )
+
+
+@query(
+    "agg_salted_two_phase",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_salted_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof two-phase aggregation, registered under the plain
+    GROUP BY oracle to prove the rewrite is semantics-preserving:
+    phase 1 aggregates on (key, salt) — 16-way splitting any hot key
+    across tasks — phase 2 merges the partials per key. COUNT/SUM
+    merge as sums; COUNT DISTINCT pre-deduplicates (user_id, key) in
+    the salted phase so the merge stays exact. This is the manual form
+    of what AQE's skew-join splitting does for joins; for aggregation
+    over a few hot keys (the 100 TB reality: one event_type dominating
+    a day's traffic) the salt bounds any single task's input."""
+    ev = load_table(spark, sf_dir, "events")
+    salted = ev.withColumn("salt", (F.col("event_id") % 16).cast("int"))
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count("*").alias("pn"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("psum"),
+    )
+    merged = partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n"),
+        F.sum("psum").cast("double").alias("sum_value"),
+    )
+    # exact COUNT DISTINCT under salting: dedup (key, user) first —
+    # the dedup shuffle is itself salted by user_id's hash
+    distinct_users = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_users"))
+    )
+    return merged.join(distinct_users, "event_type").select(
+        "event_type", "n", "n_users", "sum_value"
+    )
