@@ -53,6 +53,7 @@ def load_all() -> None:
         collections,
         dedup,
         events,
+        graph,
         joins,
         multimodal,
         projections,

@@ -116,3 +116,19 @@ def test_ml_lsh_ann_returns_near_neighbors(spark):
     rows = _q("simsearch_ann_ml_lsh")(spark, SF_CORRECTNESS).collect()
     assert rows, "ANN join returned nothing at distance 3.0"
     assert all(r.dist <= 3.0 for r in rows)
+
+
+def test_pagerank_deterministic_and_conserving(spark):
+    """Two runs must agree bit-for-bit (sorted-fold sums); every node
+    gets a rank ≥ (1−d); total rank stays near node count (bipartite
+    graph has no dangling nodes — every node has out-edges)."""
+    rows1 = {r.node: r.rank for r in _q("graph_pagerank_bipartite")(spark, SF_CORRECTNESS).collect()}
+    rows2 = {r.node: r.rank for r in _q("graph_pagerank_bipartite")(spark, SF_CORRECTNESS).collect()}
+    assert rows1 == rows2, "pagerank must be bitwise deterministic"
+    assert rows1 and all(r >= 0.15 for r in rows1.values())
+    total = sum(sorted(rows1.values()))
+    assert abs(total - len(rows1)) / len(rows1) < 0.01
+    # suppliers aggregate demand from many customers → must outrank
+    supp = [v for k, v in rows1.items() if k.startswith("s")]
+    cust = [v for k, v in rows1.items() if k.startswith("c")]
+    assert min(supp) > max(cust)
