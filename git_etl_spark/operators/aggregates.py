@@ -259,3 +259,82 @@ def agg_salted_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.join(distinct_users, "event_type").select(
         "event_type", "n", "n_users", "sum_value"
     )
+
+
+@query(
+    "agg_price_histogram",
+    oracle="""
+    WITH b AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+               FROM orders)
+    SELECT LEAST(CAST(FLOOR((o_totalprice - b.lo) / (b.hi - b.lo) * 10)
+                      AS BIGINT) + 1, 10) AS bucket,
+           COUNT(*) AS n,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS bucket_min,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS bucket_max
+    FROM orders, b
+    GROUP BY LEAST(CAST(FLOOR((o_totalprice - b.lo) / (b.hi - b.lo) * 10)
+                        AS BIGINT) + 1, 10)
+    """,
+)
+def agg_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram against data-driven bounds (broadcast
+    one-row min/max aggregate). The bin expression
+    ``least(floor((x−lo)/(hi−lo)·10)+1, 10)`` is written identically
+    on both engines — same IEEE operation order, so bucket assignment
+    is bit-deterministic. The two-pass shape (bounds, then binning)
+    is the standard distributed histogram at any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    bucket = F.least(
+        F.floor(
+            (F.col("o_totalprice") - F.col("lo"))
+            / (F.col("hi") - F.col("lo"))
+            * 10
+        ).cast("bigint")
+        + 1,
+        F.lit(10).cast("bigint"),
+    )
+    return (
+        o.crossJoin(F.broadcast(bounds))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").cast("double").alias("bucket_min"),
+            F.max("o_totalprice").cast("double").alias("bucket_max"),
+        )
+    )
+
+
+@query(
+    "sql_api_correlated_exists",
+    oracle="""
+    SELECT c.c_custkey AS custkey, c.c_acctbal AS acctbal
+    FROM customer c
+    WHERE c.c_acctbal > 9000
+      AND EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > c.c_acctbal * 40)
+    """,
+)
+def sql_api_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same correlated-EXISTS surface through ``spark.sql`` text
+    instead of the DataFrame API — proving the engine's SQL entry
+    point (temp views + Catalyst's own subquery decorrelation) matches
+    the oracle too. Catalyst rewrites the correlated EXISTS with the
+    cross-table comparison into a left-semi join; the DataFrame
+    queries in this pack state that plan explicitly, this one lets the
+    optimizer derive it."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey AS custkey, c.c_acctbal AS acctbal
+        FROM customer c
+        WHERE c.c_acctbal > 9000
+          AND EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > c.c_acctbal * 40)
+        """
+    )
