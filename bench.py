@@ -41,7 +41,17 @@ def main() -> None:
         df = registry.QUERIES[name](spark, sf_dir)
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
-        return time.perf_counter() - t0
+        elapsed = time.perf_counter() - t0
+        # iterative operators leave localCheckpoint RDD blocks behind;
+        # drop the Python refs and nudge the JVM so ContextCleaner
+        # unpersists them — otherwise executor storage fills over a
+        # 120-query run and later queries pay GC stalls
+        del df
+        import gc
+
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        return elapsed
 
     # warm-up: JVM JIT + codegen + parquet footer caches, plus the
     # Python/Arrow worker pool (otherwise its one-time startup cost is

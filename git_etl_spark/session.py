@@ -59,7 +59,9 @@ def get_spark(
         # events.parquet stores TIMESTAMP(NANOS); Spark has no nanosecond
         # timestamp type, so read as long and convert in io.load_table
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode puts executors in the driver JVM: shuffle blocks +
+        # localCheckpoint storage for the iterative operators live here
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "10m")
     )

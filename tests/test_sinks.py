@@ -106,3 +106,24 @@ def test_jsonl_corrupt_record_quarantine(spark, tmp_path):
     assert (4, None) in clean_rows  # missing field is null, not corrupt
     assert clean.count() + quarantine.count() == 5
     assert any("not json" in b for b in bad)
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Data-lake schema evolution: files written with different (but
+    compatible) schemas read back as the union schema under
+    mergeSchema, with absent columns null-filled — the append-only
+    evolution path a long-lived 100 TB table needs."""
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "evolving")
+    spark.range(3).select("id", F.lit("v1").alias("tag")).write.mode(
+        "append"
+    ).parquet(t)
+    spark.range(3, 6).select(
+        "id", F.lit(2.5).alias("score")
+    ).write.mode("append").parquet(t)
+    merged = spark.read.option("mergeSchema", "true").parquet(t)
+    assert set(merged.columns) == {"id", "tag", "score"}
+    rows = {r.id: (r.tag, r.score) for r in merged.collect()}
+    assert rows[0] == ("v1", None) and rows[5] == (None, 2.5)
+    assert len(rows) == 6
