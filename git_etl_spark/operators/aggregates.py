@@ -338,3 +338,124 @@ def sql_api_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
                         AND o.o_totalprice > c.c_acctbal * 40)
         """
     )
+
+
+@query(
+    "agg_topn_plus_other",
+    oracle="""
+    WITH per AS (
+        SELECT n_name,
+               COUNT(*) AS n_customers,
+               SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS bal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name),
+    ranked AS (
+        SELECT *, row_number() OVER (ORDER BY bal DESC, n_name) AS rk
+        FROM per)
+    SELECT CASE WHEN rk <= 5 THEN n_name ELSE 'OTHER' END AS nation_group,
+           CAST(SUM(n_customers) AS BIGINT) AS n_customers,
+           CAST(SUM(bal) AS DOUBLE) AS total_balance
+    FROM ranked
+    GROUP BY CASE WHEN rk <= 5 THEN n_name ELSE 'OTHER' END
+    """,
+)
+def agg_topn_plus_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N-plus-other reporting rollup: rank groups by a measure,
+    keep the top 5 named, collapse the tail into ``'OTHER'`` — the
+    dashboard shape behind the reference's leaderboard queries
+    (``README.md:60-75``) whenever the key has unbounded cardinality.
+
+    Scale shape: phase 1 is an ordinary partial+final hash aggregate
+    (one row per group crosses the shuffle); the ranking window then
+    runs over *group rows only* (25 nations here, maybe 10⁵ groups at
+    100 TB — trivially window-able), never over fact rows, and the
+    relabel+re-aggregate is a second tiny shuffle. Money stays decimal
+    through BOTH aggregation phases (sum of sums is exact), cast to
+    double only at the end."""
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    per = (
+        cust.join(
+            F.broadcast(nat), cust.c_nationkey == nat.n_nationkey
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("bal"),
+        )
+    )
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(
+        Window.orderBy(F.col("bal").desc(), F.col("n_name"))
+    )
+    return (
+        per.withColumn("rk", rk)
+        .withColumn(
+            "nation_group",
+            F.when(F.col("rk") <= 5, F.col("n_name")).otherwise(F.lit("OTHER")),
+        )
+        .groupBy("nation_group")
+        .agg(
+            F.sum("n_customers").cast("bigint").alias("n_customers"),
+            F.sum("bal").cast("double").alias("total_balance"),
+        )
+    )
+
+
+@query(
+    "agg_equidepth_histogram",
+    oracle="""
+    WITH b AS (
+        SELECT round(CAST(quantile_cont(o_totalprice, 0.25) AS DOUBLE), 4) AS q1,
+               round(CAST(quantile_cont(o_totalprice, 0.50) AS DOUBLE), 4) AS q2,
+               round(CAST(quantile_cont(o_totalprice, 0.75) AS DOUBLE), 4) AS q3
+        FROM orders)
+    SELECT CAST((CASE WHEN o_totalprice > b.q1 THEN 1 ELSE 0 END
+          + CASE WHEN o_totalprice > b.q2 THEN 1 ELSE 0 END
+          + CASE WHEN o_totalprice > b.q3 THEN 1 ELSE 0 END) + 1 AS BIGINT)
+               AS bucket,
+           COUNT(*) AS n,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS bucket_min,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS bucket_max
+    FROM orders, b
+    GROUP BY 1
+    """,
+)
+def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile-bucket) histogram, the companion to the
+    equi-width one: bucket boundaries are the exact quartiles, so each
+    bucket holds ~25% of rows regardless of the value distribution —
+    what a skewed money column actually needs.
+
+    Scale shape: two passes, NO global sort — pass 1 computes the
+    three boundary values with the exact ``percentile`` aggregate
+    (partial sketches per partition, merged once; a one-row result
+    broadcast back), pass 2 bins by three comparisons inside
+    whole-stage codegen and hash-aggregates. This deliberately avoids
+    the ntile-over-global-ORDER-BY formulation, which plans a
+    single-partition window — a non-starter at 100 TB. Boundaries are
+    rounded to 4 dp on both engines so interpolation last-bit noise
+    can't flip a boundary-adjacent row's bucket."""
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.25)), 4).alias("q1"),
+        F.round(F.percentile("o_totalprice", F.lit(0.50)), 4).alias("q2"),
+        F.round(F.percentile("o_totalprice", F.lit(0.75)), 4).alias("q3"),
+    )
+    p = F.col("o_totalprice")
+    bucket = (
+        F.when(p > F.col("q1"), 1).otherwise(0)
+        + F.when(p > F.col("q2"), 1).otherwise(0)
+        + F.when(p > F.col("q3"), 1).otherwise(0)
+        + 1
+    ).cast("bigint")
+    return (
+        o.crossJoin(F.broadcast(bounds))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min(p).cast("double").alias("bucket_min"),
+            F.max(p).cast("double").alias("bucket_max"),
+        )
+    )

@@ -140,3 +140,55 @@ def test_range_join_is_equi_bucketed(spark):
     plan = physical_plan(_q(spark, "join_range_prior_hour"))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_runtime_bloom_filter_join_pruning(spark):
+    """Runtime bloom-filter injection: a selective filter on the build
+    side of a shuffle join should inject might_contain pruning into the
+    probe-side scan, so the big table drops non-joining rows before the
+    shuffle — at 100 TB this is the difference between shuffling the
+    fact table and shuffling 2% of it. Thresholds are lowered because
+    the defaults (10 GB application side) target real clusters."""
+    from pyspark.sql import functions as F
+
+    from git_etl_spark.io import load_table
+    from git_etl_spark.plans.audit import physical_plan
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in [
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        ]
+    }
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
+        )
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        from .conftest import SF_CORRECTNESS
+
+        orders = load_table(spark, SF_CORRECTNESS, "orders").filter(
+            F.col("o_totalprice") > 550000  # selective build side
+        )
+        lineitem = load_table(spark, SF_CORRECTNESS, "lineitem")
+        joined = lineitem.join(
+            orders, lineitem.l_orderkey == orders.o_orderkey
+        ).groupBy("o_orderpriority").agg(F.sum("l_quantity").alias("qty"))
+        plan = physical_plan(joined)
+        assert "might_contain" in plan or "bloomfilter" in plan.lower(), plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
