@@ -112,3 +112,68 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield out[["doc_id", "n_bytes", "magic", "mean_byte", "max_byte"]]
 
     return docs.mapInPandas(extract, schema=FEATURE_SCHEMA)
+
+
+FRAME_BYTES = 256  # stand-in "frame" granularity for the video payload
+FRAME_SCHEMA = (
+    "doc_id long, frame_idx int, n_frames int, frame_mean double,"
+    " thumb_hex string"
+)
+
+
+def sample_frames_stub(payload: bytes, max_frames: int = 8) -> list[dict]:
+    """Stand-in for video frame-sampling + resize (ffmpeg absent): the
+    payload is treated as a sequence of fixed-size frames; every
+    stride-th frame is 'decoded' to a mean-byte feature and a 4-byte
+    strided 'thumbnail'. Deterministic in payload alone, so retries /
+    speculative tasks produce identical rows at any parallelism."""
+    if payload[:4] in (b"\x89PNG", b"\xff\xd8\xff\xe0", b"RIFF"):
+        raise NotImplementedError(
+            "real media decode requires PIL/ffmpeg; not present in this env"
+        )
+    n_frames = max(1, -(-len(payload) // FRAME_BYTES))
+    stride = max(1, n_frames // max_frames)
+    out = []
+    for idx in range(0, n_frames, stride):
+        frame = payload[idx * FRAME_BYTES : (idx + 1) * FRAME_BYTES]
+        mv = memoryview(frame)
+        step = max(1, len(frame) // 4)
+        out.append(
+            {
+                "frame_idx": idx,
+                "n_frames": n_frames,
+                "frame_mean": (sum(mv) / len(frame)) if frame else 0.0,
+                "thumb_hex": frame[::step][:4].hex(),
+            }
+        )
+    return out
+
+
+@query("multimodal_frame_sample")  # rows-only: frame explode has no oracle view
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 frame-sampling over 'video' payloads with ``mapInPandas`` in
+    its row-expanding form: each input row yields a variable number of
+    output rows (one per sampled frame) — the shape that matters for
+    video pipelines, where the 1→N expansion must happen executor-side
+    (never a driver-side loop) and downstream repartitioning rebalances
+    the exploded rows. The decode itself is stubbed deterministically
+    (see sample_frames_stub); batch iteration, Arrow transfer, schema,
+    and the expansion are the real thing."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+
+    def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for f in sample_frames_stub(payload):
+                    rows.append({"doc_id": doc_id, **f})
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "n_frames", "frame_mean", "thumb_hex"
+                ],
+            )
+
+    return docs.mapInPandas(expand, schema=FRAME_SCHEMA)

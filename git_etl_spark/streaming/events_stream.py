@@ -156,3 +156,38 @@ def purchase_click_attribution(events: DataFrame) -> DataFrame:
         "purchase_ts", "click_ts",
     )
     return out
+
+
+def stream_upsert_to_parquet(
+    spark: SparkSession,
+    events: DataFrame,
+    target: str,
+    checkpoint: str,
+    natural_key: list[str] | None = None,
+):
+    """``foreachBatch`` lake sink: every micro-batch merges into the
+    parquet table by natural key (``sinks.upsert.upsert_parquet``), so
+    the end-to-end pipeline is *idempotent* — Structured Streaming
+    guarantees at-least-once delivery to foreachBatch after a failure,
+    and the key-merge turns redelivered rows into no-ops (effective
+    exactly-once at the table level). This is the production shape for
+    continuous ingestion into a lake table: the same merge the batch
+    loads use (reference load semantics, ``main.ts:102-103``), driven
+    by the streaming engine's checkpointed offsets. At 100 TB the
+    merge is partition-scoped (dynamic partition overwrite) so a
+    micro-batch only rewrites partitions it touches.
+
+    Returns the started StreamingQuery (caller awaits termination)."""
+    from ..sinks.upsert import upsert_parquet
+
+    key = natural_key or ["event_id"]
+
+    def _merge(batch_df: DataFrame, _batch_id: int) -> None:
+        upsert_parquet(spark, batch_df, target, key)
+
+    return (
+        events.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

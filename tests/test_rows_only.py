@@ -132,3 +132,27 @@ def test_pagerank_deterministic_and_conserving(spark):
     supp = [v for k, v in rows1.items() if k.startswith("s")]
     cust = [v for k, v in rows1.items() if k.startswith("c")]
     assert min(supp) > max(cust)
+
+
+def test_frame_sample_expansion_consistent(spark):
+    """Each doc expands to ceil(n_bytes/256) frames sampled at stride
+    max(1, n//8); rows deterministic and consistent with binary_meta."""
+    df = _q("multimodal_frame_sample")(spark, SF_CORRECTNESS)
+    assert df.columns == ["doc_id", "frame_idx", "n_frames", "frame_mean", "thumb_hex"]
+    rows = [tuple(r) for r in df.collect()]
+    assert rows == [tuple(r) for r in _q("multimodal_frame_sample")(spark, SF_CORRECTNESS).collect()]
+    meta = {
+        r.doc_id: r.n_bytes
+        for r in _q("multimodal_binary_meta")(spark, SF_CORRECTNESS).collect()
+    }
+    per_doc = {}
+    for doc_id, frame_idx, n_frames, _mean, thumb in rows:
+        expect_frames = max(1, -(-meta[doc_id] // 256))
+        assert n_frames == expect_frames
+        assert 0 <= frame_idx < n_frames
+        assert len(thumb) <= 8
+        per_doc.setdefault(doc_id, []).append(frame_idx)
+    for doc_id, idxs in per_doc.items():
+        stride = max(1, (max(1, -(-meta[doc_id] // 256))) // 8)
+        assert sorted(idxs) == list(range(0, max(1, -(-meta[doc_id] // 256)), stride))
+    assert set(per_doc) == set(meta)
