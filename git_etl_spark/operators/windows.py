@@ -418,3 +418,34 @@ def agg_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev.cast("double").alias("prev_revenue"),
         (F.col("revenue") - prev).cast("double").alias("mom_delta"),
     )
+
+
+@query("agg_hll_reaggregatable")  # no oracle: sketch bytes are engine-specific
+def agg_hll_reaggregatable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable distinct sketches — the 100 TB pattern behind
+    every "distinct users over an arbitrary date range" dashboard:
+    persist one HLL sketch per (key, day) partition (Datasketches
+    HllSketch via ``hll_sketch_agg``), answer range queries by
+    ``hll_union_agg`` over the stored sketches — no rescan of fact
+    rows, and unlike ``approx_count_distinct``'s opaque final value
+    the partial state is mergeable across days/loads. Emits per
+    event_type: the union-of-daily-sketches estimate, the direct
+    whole-column sketch estimate (must agree — HLL union is lossless
+    at equal lgConfigK), and the exact count for error bounding
+    (asserted in tests)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id", 12).alias("sk"))
+    unioned = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_from_daily"),
+        F.count("*").alias("n_daily_sketches"),
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", 12)).alias("est_direct"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    return unioned.join(direct, "event_type").select(
+        "event_type", "est_from_daily", "est_direct", "exact_users",
+        "n_daily_sketches",
+    )

@@ -156,3 +156,16 @@ def test_frame_sample_expansion_consistent(spark):
         stride = max(1, (max(1, -(-meta[doc_id] // 256))) // 8)
         assert sorted(idxs) == list(range(0, max(1, -(-meta[doc_id] // 256)), stride))
     assert set(per_doc) == set(meta)
+
+
+def test_hll_union_lossless_and_bounded_error(spark):
+    """Union of daily sketches must equal the whole-column sketch
+    exactly (HLL union at equal lgConfigK is lossless) and estimates
+    must be within HLL error bounds of exact (lgK=12 → ~1.6% rsd;
+    assert a generous 5%)."""
+    rows = _q("agg_hll_reaggregatable")(spark, SF_CORRECTNESS).collect()
+    assert rows
+    for r in rows:
+        assert r.est_from_daily == r.est_direct, r
+        assert abs(r.est_direct - r.exact_users) / r.exact_users < 0.05, r
+        assert r.n_daily_sketches >= 1
