@@ -1,0 +1,195 @@
+"""Data-quality operators — the checks a training-data pipeline runs
+before rows reach a model: constraint auditing, statistical outlier
+filtering, and null imputation. Extends the reference's row-level
+validation (``src/validation.ts`` composite checks; quarantine split
+in operators/projections.py) to table-level and distribution-level
+rules, all as single-pass declarative plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import query
+
+
+@query(
+    "quality_constraint_report",
+    oracle="""
+    SELECT 'orders.o_custkey_fk' AS rule,
+           CAST(COUNT(*) AS BIGINT) AS n_checked,
+           CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violations
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'orders.o_orderkey_unique',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders.o_totalprice_positive',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders.o_orderstatus_domain',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    """,
+)
+def quality_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-level constraint audit: referential integrity (orphaned
+    FKs via null-probe left join), key uniqueness, value range, and
+    categorical domain — one row per rule with checked/violation
+    counts. The declarative audit replaces what the reference gets
+    implicitly from SQLite constraints (``db/schema.ts`` UNIQUE / FK
+    clauses): a lake has no enforcement, so the pipeline must measure.
+
+    Scale shape: each rule is a partial+final aggregate (violation
+    counts cross the shuffle as one row per rule); the FK probe is a
+    shuffle join on the key with the dimension's key column only
+    (pruned scan), and the per-rule results union driver-free."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+
+    fk = (
+        o.join(c, o.o_custkey == c.c_custkey, "left")
+        .agg(
+            F.count("*").alias("n_checked"),
+            F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violations"),
+        )
+        .select(F.lit("orders.o_custkey_fk").alias("rule"), "n_checked", "n_violations")
+    )
+    uniq = o.agg(
+        F.count("*").alias("n_checked"),
+        (F.count("*") - F.countDistinct("o_orderkey")).cast("bigint").alias(
+            "n_violations"
+        ),
+    ).select(
+        F.lit("orders.o_orderkey_unique").alias("rule"), "n_checked", "n_violations"
+    )
+    rng = o.agg(
+        F.count("*").alias("n_checked"),
+        F.sum(
+            F.when(
+                F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_violations"),
+    ).select(
+        F.lit("orders.o_totalprice_positive").alias("rule"),
+        "n_checked",
+        "n_violations",
+    )
+    dom = o.agg(
+        F.count("*").alias("n_checked"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_violations"),
+    ).select(
+        F.lit("orders.o_orderstatus_domain").alias("rule"),
+        "n_checked",
+        "n_violations",
+    )
+    return fk.unionByName(uniq).unionByName(rng).unionByName(dom)
+
+
+@query(
+    "quality_outliers_iqr",
+    oracle="""
+    WITH b AS (
+        SELECT round(CAST(quantile_cont(value, 0.25) AS DOUBLE), 4) AS q1,
+               round(CAST(quantile_cont(value, 0.75) AS DOUBLE), 4) AS q3
+        FROM events)
+    SELECT event_id, event_type, value,
+           value < q1 - 1.5 * (q3 - q1) AS low_outlier,
+           value > q3 + 1.5 * (q3 - q1) AS high_outlier
+    FROM events, b
+    WHERE value < q1 - 1.5 * (q3 - q1) OR value > q3 + 1.5 * (q3 - q1)
+    """,
+)
+def quality_outliers_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical outlier detection (Tukey fences: outside
+    [Q1−1.5·IQR, Q3+1.5·IQR]) — the standard pre-training numeric
+    filter. Same two-pass no-global-sort shape as the equi-depth
+    histogram: exact quartiles once (one-row broadcast), then a
+    codegen comparison filter over the fact rows. Boundaries rounded
+    to 4 dp on both engines so interpolation last-bit noise can't flip
+    a fence-adjacent row."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.round(F.percentile("value", F.lit(0.25)), 4).alias("q1"),
+        F.round(F.percentile("value", F.lit(0.75)), 4).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    low = F.col("value") < F.col("q1") - 1.5 * iqr
+    high = F.col("value") > F.col("q3") + 1.5 * iqr
+    return (
+        ev.crossJoin(F.broadcast(bounds))
+        .filter(low | high)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            low.alias("low_outlier"),
+            high.alias("high_outlier"),
+        )
+    )
+
+
+@query(
+    "quality_impute_group_mean",
+    oracle="""
+    WITH masked AS (
+        SELECT event_id, event_type,
+               CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value
+        FROM events),
+    m AS (
+        SELECT event_type,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value)
+                   AS grp_mean
+        FROM masked GROUP BY event_type)
+    SELECT event_id, masked.event_type,
+           COALESCE(masked.value, m.grp_mean) AS value_imputed,
+           masked.value IS NULL AS was_imputed
+    FROM masked JOIN m ON masked.event_type = m.event_type
+    """,
+)
+def quality_impute_group_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null imputation with the per-group mean — the fill strategy for
+    sparse numeric features. Nulls are synthesized deterministically
+    (event_id % 7) since the corpus is dense; the imputation itself is
+    the production shape: per-group means are a tiny aggregate
+    broadcast back onto the fact rows (never a window over the full
+    partition), and the mean is computed order-independently
+    (decimal sum / count) so the filled values hash-match across
+    engines. ``was_imputed`` keeps provenance for downstream weighting."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(
+            F.col("value")
+        ).alias("value"),
+    )
+    means = ev.groupBy("event_type").agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count("value")
+        ).alias("grp_mean")
+    )
+    return ev.join(F.broadcast(means), "event_type").select(
+        "event_id",
+        "event_type",
+        F.coalesce("value", "grp_mean").alias("value_imputed"),
+        F.col("value").isNull().alias("was_imputed"),
+    )

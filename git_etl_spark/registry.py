@@ -57,6 +57,7 @@ def load_all() -> None:
         joins,
         multimodal,
         projections,
+        quality,
         relational_ext,
         setops,
         similarity,
