@@ -193,3 +193,60 @@ def quality_impute_group_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("value", "grp_mean").alias("value_imputed"),
         F.col("value").isNull().alias("was_imputed"),
     )
+
+
+@query(
+    "quality_profile_table",
+    oracle="""
+    SELECT 'c_acctbal' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT(c_acctbal) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT c_acctbal) AS BIGINT) AS n_distinct,
+           CAST(MIN(c_acctbal) AS DOUBLE) AS min_num,
+           CAST(MAX(c_acctbal) AS DOUBLE) AS max_num
+    FROM customer
+    UNION ALL
+    SELECT 'c_mktsegment',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(c_mktsegment) AS BIGINT),
+           CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT),
+           NULL, NULL
+    FROM customer
+    UNION ALL
+    SELECT 'c_nationkey',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(c_nationkey) AS BIGINT),
+           CAST(COUNT(DISTINCT c_nationkey) AS BIGINT),
+           CAST(MIN(c_nationkey) AS DOUBLE),
+           CAST(MAX(c_nationkey) AS DOUBLE)
+    FROM customer
+    """,
+)
+def quality_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling summary — row counts, null counts, distinct
+    cardinality, numeric min/max per column — the first thing a data
+    pipeline computes about an unfamiliar 100 TB table. One aggregate
+    per profiled column over a shared scan (Catalyst reuses the
+    exchange); distinct counts are the exact form here because they're
+    oracle-checked — the scale variant swaps in the HLL sketches
+    registered as agg_hll_reaggregatable."""
+    cust = load_table(spark, sf_dir, "customer")
+
+    def prof(col: str, numeric: bool) -> DataFrame:
+        aggs = [
+            F.count("*").alias("n_rows"),
+            (F.count("*") - F.count(col)).cast("bigint").alias("n_null"),
+            F.countDistinct(col).cast("bigint").alias("n_distinct"),
+            (F.min(col).cast("double") if numeric else F.lit(None).cast("double")).alias("min_num"),
+            (F.max(col).cast("double") if numeric else F.lit(None).cast("double")).alias("max_num"),
+        ]
+        return cust.agg(*aggs).select(
+            F.lit(col).alias("column_name"), "n_rows", "n_null", "n_distinct",
+            "min_num", "max_num",
+        )
+
+    return (
+        prof("c_acctbal", True)
+        .unionByName(prof("c_mktsegment", False))
+        .unionByName(prof("c_nationkey", True))
+    )

@@ -548,3 +548,33 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value").alias("sum_value"),
         )
     )
+
+
+@query(
+    "sort_paginate_offset",
+    oracle="""
+    SELECT o_orderkey AS orderkey, o_totalprice AS totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20 OFFSET 40
+    """,
+)
+def sort_paginate_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset-stable pagination: total order (measure + unique
+    tie-break) → OFFSET/LIMIT page. Spark plans the whole thing as a
+    single TakeOrderedAndProject-style top-(offset+limit) per
+    partition merged on the driver — no global sort materialization.
+    (At 100 TB deep pages should switch to keyset pagination — WHERE
+    (price, key) < last_seen ORDER BY ... LIMIT n — same total-order
+    requirement, no deepening offset cost; this query registers the
+    OFFSET surface itself.)"""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_totalprice").alias("totalprice"),
+        )
+        .offset(40)
+        .limit(20)
+    )
