@@ -463,3 +463,40 @@ def scd2_purchase_tier_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         lead_ts.alias("valid_to"),
         F.when(lead_ts.isNull(), 1).otherwise(0).alias("is_current"),
     )
+
+
+@query(
+    "events_rolling_7day_distinct_users",
+    oracle="""
+    WITH d AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+    SELECT d.day AS day, CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS wau
+    FROM d JOIN events e
+      ON CAST(e.ts AS DATE) BETWEEN d.day - 6 AND d.day
+    GROUP BY d.day
+    """,
+)
+def events_rolling_7day_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users (WAU per day) — COUNT(DISTINCT)
+    over a sliding frame is NOT a window function (distinct state
+    can't slide), so engines either self-join a day spine against the
+    fact (the oracle's O(days·rows-in-range) form) or, the scale-right
+    shape used here: each event fans out to the ≤7 window-days it
+    contributes to (bounded explode — sequence(day, day+6)), then one
+    distinct aggregate per (window_day, user). The fan-out factor is
+    the window length — constant — so the shuffle is 7× events
+    regardless of day count, beats the spine join once days × events
+    outgrows it, and a hot day salts like any grouped distinct.
+    A semi-join against observed days drops the spill-over days past
+    the corpus edge."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    days = ev.select(day.alias("day")).distinct()
+    contrib = ev.select(
+        F.explode(F.sequence(day, F.date_add(day, 6))).alias("day"),
+        "user_id",
+    )
+    return (
+        contrib.join(F.broadcast(days), "day", "left_semi")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
+    )
