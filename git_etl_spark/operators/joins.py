@@ -248,3 +248,53 @@ def join_fuzzy_levenshtein_blocked(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(dist.between(1, 3))
         .select("name_a", "name_b", "edit_dist")
     )
+
+
+@query(
+    "join_salted_replicated",
+    oracle="""
+    SELECT e.event_type AS event_type, d.weight AS weight,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events e
+    JOIN (SELECT DISTINCT event_type,
+                 CAST(length(event_type) AS BIGINT) AS weight
+          FROM events) d
+      ON e.event_type = d.event_type
+    GROUP BY e.event_type, d.weight
+    """,
+)
+def join_salted_replicated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted replicated join under the PLAIN join oracle — proof the
+    skew rewrite preserves semantics. A low-cardinality hot key
+    (event_type: a handful of values, every one a skew cell in a
+    shuffle join) is salted on the fact side with a deterministic
+    16-way hash of the row key; the dim side is replicated ×16 with an
+    exploded salt column, and the join key becomes (key, salt) — every
+    hot key's rows now spread over 16 tasks. This is the manual form
+    of AQE skew-join splitting, needed when the skew is in a grouped
+    join-aggregate AQE can't split (or on engines/configs without it).
+    Salt fans the small side only (16×|dim| rows); the post-join
+    aggregate merges across salts, so results are salt-invariant —
+    which is exactly what the oracle checks. (Here the dim would
+    broadcast at this size; broadcast is disabled for this plan to
+    exercise the shuffle-join path the pattern exists for.)"""
+    n_salt = 16
+    ev = load_table(spark, sf_dir, "events")
+    dim = (
+        ev.select("event_type").distinct()
+        .withColumn("weight", F.length("event_type").cast("bigint"))
+    )
+    dim_rep = dim.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    ev_salted = ev.withColumn(
+        "salt", (F.crc32(F.col("event_id").cast("string")) % n_salt).cast("int")
+    )
+    joined = ev_salted.hint("shuffle_hash").join(
+        dim_rep, ["event_type", "salt"]
+    )
+    return joined.groupBy("event_type", "weight").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )

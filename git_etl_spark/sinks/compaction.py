@@ -82,3 +82,51 @@ def compact_parquet(
         bytes_before=bytes_before,
         rows=rows,
     )
+
+
+def zorder_value(cols: list[str], bits: int = 16):
+    """Morton (Z-order) interleave of the low ``bits`` bits of each
+    column: points close in EVERY dimension get close z-values, so
+    range-partitioning + sorting on z tightens per-file min/max on ALL
+    clustered columns at once — multi-dimensional data skipping, where
+    lexicographic sort only serves its leading column. Columns must be
+    non-negative ints (rank/bucket-encode first otherwise)."""
+    from pyspark.sql import functions as F
+
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            bit = F.shiftright(F.col(c).cast("long"), i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * len(cols) + j))
+    return z
+
+
+def compact_parquet_zorder(
+    spark: SparkSession,
+    path: str,
+    cluster_by: list[str],
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> CompactionStats:
+    """Compaction with Z-order clustering across ``cluster_by``
+    (two or more dimensions); same atomic-swap semantics as
+    compact_parquet."""
+    files = _parquet_files(path)
+    bytes_before = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, -(-bytes_before // target_file_bytes))
+
+    df = spark.read.parquet(path)
+    rows = df.count()
+    df = (
+        df.withColumn("__z", zorder_value(cluster_by))
+        .repartitionByRange(n_out, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    staged = write_staging(df, path)
+    publish(staged, path)
+    return CompactionStats(
+        files_before=len(files),
+        files_after=len(_parquet_files(path)),
+        bytes_before=bytes_before,
+        rows=rows,
+    )

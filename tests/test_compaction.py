@@ -80,3 +80,42 @@ def test_compaction_skips_nothing_on_single_file(spark, tmp_path):
     assert stats.files_before == 1
     assert stats.files_after == 1
     assert spark.read.parquet(t).count() == 10
+
+
+def test_zorder_tightens_both_dimensions(spark, tmp_path):
+    """Z-order clustering on (x, y): per-file spans shrink on BOTH
+    columns vs the unclustered layout (lexicographic would only serve
+    x). Grid: 64×64 points, uniform."""
+    import pyarrow.parquet as pq
+
+    from git_etl_spark.sinks.compaction import compact_parquet_zorder
+
+    t = str(tmp_path / "zz")
+    (
+        spark.range(4096)
+        .select(
+            (F.col("id") % 64).alias("x"),
+            (F.col("id") / 64).cast("long").alias("y"),
+            F.col("id").alias("payload"),
+        )
+        .repartition(30)  # scattered small files, full-range spans
+        .write.mode("overwrite")
+        .parquet(t)
+    )
+
+    def spans(col):
+        out = []
+        for f in _parquet_files(t):
+            vals = pq.read_table(f, columns=[col]).column(col).to_pylist()
+            if vals:
+                out.append(max(vals) - min(vals))
+        return out
+
+    assert min(spans("x")) > 55 and min(spans("y")) > 55  # pre: all wide
+
+    stats = compact_parquet_zorder(spark, t, ["x", "y"], target_file_bytes=3 * 1024)
+    assert stats.files_after > 4
+    sx, sy = spans("x"), spans("y")
+    # every file now covers a narrow rectangle in both dims
+    assert sum(sx) / len(sx) < 32 and sum(sy) / len(sy) < 32, (sx, sy)
+    assert spark.read.parquet(t).count() == 4096
