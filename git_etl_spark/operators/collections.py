@@ -24,15 +24,23 @@ from ..registry import query
            len(list_filter(e, x -> x > 0)) AS n_positive,
            round(CAST(list_aggregate(list_transform(e[1:8],
                  x -> CAST(x AS DOUBLE)), 'sum') AS DOUBLE), 6) AS head8_sum,
-           list_sort(list_transform(e[1:3], x -> round(CAST(x AS DOUBLE), 3)))
-               AS head3_sorted
+           array_to_string(list_sort(list_transform(e[1:3],
+                 x -> CAST(round(round(CAST(x AS DOUBLE), 3) * 1000) AS BIGINT))),
+                 ',') AS head3_sorted
     FROM t
     """,
 )
 def array_functions_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array scalar surface over the vector column: size, indexing
     (1-based + negative), exists/filter lambdas, slice + sequential
-    sum, sort. Mirrored element-order operations keep float parity."""
+    sum, sort. Mirrored element-order operations keep float parity.
+    ``head3_sorted`` is projected to a comma-joined string of integer
+    milli-units: the driver's pandas canonicalizer cannot hash
+    array-typed cells, and BIGINT→string rendering is identical across
+    engines where double→string notation thresholds are not. The
+    double round (3dp, then to integer after ×1000) keeps the value a
+    ulp away from any .5 boundary so HALF_UP-vs-HALF_EVEN never
+    fires."""
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
     e = F.col("embedding")
     head8 = F.aggregate(
@@ -48,8 +56,19 @@ def array_functions_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.exists(e, lambda x: x > 0).alias("any_positive"),
         F.size(F.filter(e, lambda x: x > 0)).alias("n_positive"),
         F.round(head8, 6).alias("head8_sum"),
-        F.array_sort(
-            F.transform(F.slice(e, 1, 3), lambda x: F.round(x.cast("double"), 3))
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.transform(
+                        F.slice(e, 1, 3),
+                        lambda x: F.round(
+                            F.round(x.cast("double"), 3) * 1000, 0
+                        ).cast("bigint"),
+                    )
+                ),
+                lambda v: v.cast("string"),
+            ),
+            ",",
         ).alias("head3_sorted"),
     )
 
