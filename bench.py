@@ -11,6 +11,13 @@ Each query executes its full plan with the noop sink (no driver-side
 collect — measuring the engine, not result transfer). One warm-up run
 of the flagship query absorbs JVM/codegen warm-up so per-query numbers
 reflect steady state.
+
+The JSON line is guaranteed to be the ONLY stdout output: the real
+stdout fd is saved and redirected to stderr before the JVM starts
+(Spark/log4j/Ivy write log noise directly to fd 1, bypassing
+``sys.stdout``), and restored just to emit the result. The same object
+is also written to ``BENCH.json`` next to this script so a consumer
+that truncates stdout still gets the numbers.
 """
 
 from __future__ import annotations
@@ -23,6 +30,13 @@ import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+# Capture the real stdout, then point fd 1 at stderr so every byte of
+# JVM/Spark noise (written straight to the fd, not via sys.stdout) lands
+# in stderr. Restored in main() for the single JSON result line.
+_REAL_STDOUT_FD = os.dup(1)
+os.dup2(2, 1)
+sys.stdout = sys.stderr
 
 from git_etl_spark import registry
 from git_etl_spark.session import get_spark
@@ -38,8 +52,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     def run(name: str) -> float:
-        df = registry.QUERIES[name](spark, sf_dir)
+        # time the build too: several operators legitimately do work at
+        # plan-build time (streaming replay, iterative loops, memoized
+        # materialization) — starting the clock after the build would
+        # under-bill exactly the queries that front-load execution
         t0 = time.perf_counter()
+        df = registry.QUERIES[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         elapsed = time.perf_counter() - t0
         # iterative operators leave localCheckpoint RDD blocks behind;
@@ -67,18 +85,19 @@ def main() -> None:
         timings[name] = round(run(name), 4)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "n_queries": len(timings),
-            }
-        )
+    result = json.dumps(
+        {
+            "metric": "total_query_wall_time",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "n_queries": len(timings),
+        }
     )
+    (Path(__file__).resolve().parent / "BENCH.json").write_text(result + "\n")
+    with os.fdopen(_REAL_STDOUT_FD, "w") as real_stdout:
+        real_stdout.write(result + "\n")
     spark.stop()
 
 

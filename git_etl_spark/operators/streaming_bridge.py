@@ -12,6 +12,7 @@ batch operator (not just a rows-only smoke check).
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -46,19 +47,32 @@ def streaming_hourly_agg_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = spark.readStream.schema(events.schema).parquet(src_dir)
     name = f"stream_hourly_{run_id}"
-    q = (
-        hourly_counts(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    # Streaming aggregations ignore AQE: every micro-batch commits one
+    # state-store instance per shuffle partition, so the session's 32
+    # partitions mean 32 HDFSBackedStateStore snapshots per trigger for
+    # a result of a few hundred groups. Pin the stateful shuffle to 4
+    # partitions for this bounded replay and restore the session conf
+    # after — on a real cluster this knob is sized to state volume, not
+    # to the batch default.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            hourly_counts(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     # materialize the sink contents so the temp table/dir can be dropped
     result = spark.table(name).select(
         "hour_bucket", "event_type", "n", "sum_value"
     )
     rows = result.collect()
     spark.catalog.dropTempView(name)
+    shutil.rmtree(src_dir, ignore_errors=True)
     return spark.createDataFrame(rows, result.schema)
