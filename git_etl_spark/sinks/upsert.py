@@ -15,13 +15,17 @@ columnar store:
 - K6 multi-table transaction → staging-then-publish: every table writes
   to a staging dir; publish atomically renames all or nothing.
 
-Scale notes: rewrite-on-merge is partition-scoped in production —
-partition by a stable prefix of the natural key (repo_name) and
-rewrite only partitions receiving new keys
-(``partitionOverwriteMode=dynamic``); a Delta/Iceberg MERGE backend
-slots behind the same function signature. Correctness (idempotence:
-running the same load twice yields identical tables) is asserted in
-tests/test_sinks.py.
+Scale notes: plain ``upsert_parquet`` rewrites the whole table per
+merge — fine for the test warehouse, wrong at 100 TB.
+``upsert_parquet_partitioned`` is the scale path: the table is laid
+out ``partitionBy(partition_col)`` and a merge touches ONLY the
+partitions that receive incoming keys — existing reads prune to those
+partitions (partition filter at the scan) and the write uses
+``partitionOverwriteMode=dynamic`` so untouched partitions' files are
+not even opened. A Delta/Iceberg MERGE backend slots behind the same
+function signature. Correctness (idempotence: running the same load
+twice yields identical tables; untouched-partition bytes identical)
+is asserted in tests/test_sinks.py.
 """
 
 from __future__ import annotations
@@ -41,19 +45,35 @@ def _merged(
     keep: str,
 ) -> DataFrame:
     """Window-dedup merge. ``keep='last'`` = last-writer-wins (new rows
-    shadow existing, K1); ``keep='first'`` = first-writer-wins (K3)."""
-    incoming = incoming.withColumn("_version", F.lit(1))
+    shadow existing, K1); ``keep='first'`` = first-writer-wins (K3).
+
+    Within-batch duplicate natural keys resolve by ingest ordinal —
+    the reference's SQLite loop inserts sequentially, so its
+    ``ON CONFLICT DO UPDATE`` keeps the batch's last row and
+    ``INSERT OR IGNORE`` its first; ``monotonically_increasing_id``
+    captured here reproduces that positional semantic (deterministic
+    for a deterministic incoming partition layout, which every
+    pipeline batch in this repo has)."""
+    incoming = incoming.withColumn("_version", F.lit(1)).withColumn(
+        "_ord", F.monotonically_increasing_id()
+    )
     if existing is not None:
-        existing = existing.withColumn("_version", F.lit(0))
+        existing = existing.withColumn("_version", F.lit(0)).withColumn(
+            "_ord", F.lit(0).cast("long")
+        )
         all_rows = existing.unionByName(incoming)
     else:
         all_rows = incoming
-    order = F.desc("_version") if keep == "last" else F.asc("_version")
-    w = Window.partitionBy(*natural_key).orderBy(order)
+    order = (
+        [F.desc("_version"), F.desc("_ord")]
+        if keep == "last"
+        else [F.asc("_version"), F.asc("_ord")]
+    )
+    w = Window.partitionBy(*natural_key).orderBy(*order)
     return (
         all_rows.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_rn", "_version")
+        .drop("_rn", "_version", "_ord")
     )
 
 
@@ -77,6 +97,59 @@ def upsert_parquet(
     publish(tmp, path)
 
 
+def upsert_parquet_partitioned(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    natural_key: list[str],
+    partition_col: str,
+    keep: str = "last",
+) -> None:
+    """Partition-scoped merge — the 100 TB path promised in the module
+    docstring. The table is laid out ``partitionBy(partition_col)``
+    (which must be a prefix component of the natural key, e.g.
+    ``repo_name``); a merge:
+
+    1. collects the distinct partition values present in ``df``
+       (driver-side, bounded: one value per ingested repo/tenant);
+    2. reads ONLY those partitions of the existing table — the
+       ``isin`` filter on the partition column prunes at file listing,
+       so untouched partitions are never scanned;
+    3. window-merges on the natural key exactly like ``upsert_parquet``;
+    4. writes with ``partitionOverwriteMode=dynamic``, which replaces
+       only the partition directories present in the merged frame —
+       untouched partitions' files are not rewritten (byte-identical
+       after the merge, asserted in tests/test_sinks.py).
+
+    Unlike ``upsert_parquet`` there is no staging+rename swap: dynamic
+    overwrite commits per-partition via Spark's file-commit protocol.
+    Concurrent readers of a partition being replaced can observe the
+    swap; production deployments layer Delta/Iceberg snapshot isolation
+    behind this same signature.
+    """
+    if partition_col not in natural_key:
+        raise ValueError(
+            f"partition column {partition_col!r} must be part of the "
+            f"natural key {natural_key} so a key's rows live in exactly "
+            "one partition"
+        )
+    existing = None
+    if os.path.exists(path):
+        touched = [
+            r[0] for r in df.select(partition_col).distinct().collect()
+        ]
+        existing = spark.read.parquet(path).filter(
+            F.col(partition_col).isin(touched)
+        )
+    merged = _merged(existing, df, natural_key, keep)
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+
+
 def write_staging(df: DataFrame, final_path: str) -> str:
     """First half of the K6 transaction: write to a staging dir,
     return its path for a later ``publish``."""
@@ -86,7 +159,29 @@ def write_staging(df: DataFrame, final_path: str) -> str:
 
 
 def publish(staging_path: str, final_path: str) -> None:
-    """Atomic (rename-level) swap of a staged table into place."""
+    """Atomic (rename-level) swap of a staged table into place.
+
+    Filesystem contract: ``os.rename`` is atomic only within one
+    filesystem — staging dirs are therefore always created as siblings
+    of the final path (same parent directory ⇒ same mount), asserted
+    below. On object stores (S3/GCS) directory rename is copy+delete,
+    not atomic: deploy this sink there behind a metadata pointer
+    (versioned-table sink in sinks/versioned.py) or a table format.
+    Readers racing a publish can observe a brief missing-path window
+    between the two renames and should retry.
+
+    Failure hygiene: whatever the outcome, the staging dir is gone when
+    this returns — renamed into place on success, deleted after the
+    rollback on failure — so no ``.staging-*`` orphans accumulate.
+    """
+    if os.path.dirname(os.path.abspath(staging_path)) != os.path.dirname(
+        os.path.abspath(final_path)
+    ):
+        raise ValueError(
+            "staging dir must be a sibling of the final path "
+            "(same filesystem, or rename loses atomicity): "
+            f"{staging_path} -> {final_path}"
+        )
     backup = f"{final_path}.old-{uuid.uuid4().hex[:8]}"
     if os.path.exists(final_path):
         os.rename(final_path, backup)
@@ -95,14 +190,25 @@ def publish(staging_path: str, final_path: str) -> None:
     except OSError:
         if os.path.exists(backup):
             os.rename(backup, final_path)  # roll back
+        shutil.rmtree(staging_path, ignore_errors=True)
         raise
     if os.path.exists(backup):
         shutil.rmtree(backup)
 
 
 def publish_all(staged: dict[str, str]) -> None:
-    """K6 multi-table all-or-nothing publish: stage every table first,
-    then swap; a failure before any swap leaves all tables untouched
-    (the BEGIN/COMMIT analogue — reference ``src/transactions.ts:43-56``)."""
-    for staging_path, final_path in staged.items():
-        publish(staging_path, final_path)
+    """K6 multi-table publish: every table is fully staged before the
+    first swap, so a failure during *staging* leaves all tables
+    untouched (the BEGIN/COMMIT analogue — reference
+    ``src/transactions.ts:43-56``). A failure mid-swap cleans up every
+    not-yet-published staging dir so no orphans remain; cross-table
+    snapshot atomicity (all swaps or none) needs a metadata pointer —
+    see sinks/versioned.py for that tier."""
+    items = list(staged.items())
+    for i, (staging_path, final_path) in enumerate(items):
+        try:
+            publish(staging_path, final_path)
+        except Exception:
+            for later_staging, _ in items[i + 1 :]:
+                shutil.rmtree(later_staging, ignore_errors=True)
+            raise
