@@ -169,3 +169,50 @@ def test_hll_union_lossless_and_bounded_error(spark):
         assert r.est_from_daily == r.est_direct, r
         assert abs(r.est_direct - r.exact_users) / r.exact_users < 0.05, r
         assert r.n_daily_sketches >= 1
+
+
+def test_minhash_lsh_recall_vs_bruteforce_oracle(spark):
+    """VERDICT item 6: recall measured against the *brute-force* exact
+    Jaccard ≥ 0.9 pair set (every pair, no candidate scheme — the
+    deletion-neighborhood generator is only lossless down to ~0.95 for
+    these set sizes, so the ground truth here is computed directly).
+
+    With 8 bands × 16 rows the collision probability is
+    1−(1−j¹⁶)⁸: ≈0.80 at the j=0.90 boundary, ≈0.99 by j=0.95 —
+    so the tiered floors below are theory-backed, and the seeded hash
+    family makes the measured numbers reproducible (0.857 overall at
+    sf0.01). Precision must be exact: the operator verifies every
+    candidate with true Jaccard before emitting."""
+    import itertools
+
+    from git_etl_spark.io import load_table
+
+    rows = load_table(spark, SF_CORRECTNESS, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    sets = {r.doc_id: frozenset(r.text.split(" ")) for r in rows}
+    exact = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        sa, sb = sets[a], sets[b]
+        inter = len(sa & sb)
+        j = inter / (len(sa) + len(sb) - inter)
+        if j >= 0.9:
+            exact[(a, b)] = j
+
+    lsh = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in _q("dedup_minhash_lsh")(spark, SF_CORRECTNESS).collect()
+    }
+    assert exact, "planted corpus lost its near-dup pairs?"
+    # precision is exact by construction (candidates are verified)
+    assert set(lsh) <= set(exact)
+    for p, j in lsh.items():
+        assert abs(j - exact[p]) < 1e-12
+
+    recall = len(set(lsh) & set(exact)) / len(exact)
+    assert recall >= 0.85, f"overall recall {recall:.3f} below floor"
+
+    high = {p for p, j in exact.items() if j >= 0.95}
+    if high:
+        high_recall = len(high & set(lsh)) / len(high)
+        assert high_recall >= 0.99, f"j>=0.95 recall {high_recall:.3f}"
