@@ -72,6 +72,29 @@ def multimodal_binaryfile_listing(spark: SparkSession, sf_dir: str) -> DataFrame
     ).orderBy("file_name")
 
 
+@query(
+    "multimodal_binaryfile_meta",
+    oracle="""
+    SELECT string_split(filename, '/')[-1] AS file_name,
+           CAST(size AS BIGINT) AS n_bytes
+    FROM read_blob('/root/testdata/sf0.01/*.parquet')
+    """,
+)
+def multimodal_binaryfile_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracled twin of the ``binaryFile`` listing: name + byte length
+    verified against DuckDB's independent filesystem view
+    (``read_blob``) — proving the Spark source reads the same objects
+    at the same sizes. Content md5 stays in the rows-only listing
+    query: DuckDB 1.0 has no BLOB md5 to compare against. The oracle
+    path is literal because the harness registers table views, not the
+    directory; it runs at sf0.01 by contract."""
+    files = spark.read.format("binaryFile").load(f"{sf_dir}/*.parquet")
+    return files.select(
+        F.element_at(F.split("path", "/"), -1).alias("file_name"),
+        F.col("length").alias("n_bytes"),
+    )
+
+
 def decode_image_stub(payload: bytes) -> dict:
     """Stand-in for a media decode (PIL/ffmpeg are not available in
     this environment). Real formats raise; the UTF-8 stand-in payload

@@ -1,12 +1,12 @@
 """Streaming-as-a-query bridge — SURVEY.md §2.10 X7.
 
-Registers the *actual Structured Streaming pipeline* as a driver-
-checkable query: the events table is replayed through a file-source
+Registers the *actual Structured Streaming pipelines* as driver-
+checkable queries: the events table is replayed through a file-source
 stream with ``trigger(availableNow=True)`` into an in-memory table,
-and the result is returned as a batch DataFrame. Its oracle is the
-same SQL as the batch twin — so the streaming engine's windowed
-aggregation is held to the exact same DuckDB hash-match as every
-batch operator (not just a rows-only smoke check).
+and the result is returned as a batch DataFrame. The oracle is the
+same SQL as the batch twin — so the streaming engine's windowed /
+session aggregation is held to the exact same DuckDB hash-match as
+every batch operator (not just a rows-only smoke check).
 """
 
 from __future__ import annotations
@@ -15,13 +15,61 @@ import os
 import shutil
 import tempfile
 import uuid
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..registry import query
-from ..streaming.events_stream import hourly_counts
+from ..streaming.events_stream import hourly_counts, sessionized
+
+
+def _replay(
+    spark: SparkSession,
+    sf_dir: str,
+    transform: Callable[[DataFrame], DataFrame],
+    out_cols: list[str],
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Deterministic replay harness: events → parquet file stream →
+    ``transform`` (a streaming/events_stream pipeline) → memory sink,
+    with ``availableNow`` so every event is processed before the query
+    stops. The result must therefore equal the batch twin bit-for-bit.
+
+    Streaming aggregations ignore AQE: every micro-batch commits one
+    state-store instance per shuffle partition, so the session's 32
+    partitions would mean 32 HDFSBackedStateStore snapshots per trigger
+    for a result of a few hundred groups. The stateful shuffle is
+    pinned to 4 partitions for this bounded replay (restored after) —
+    on a real cluster this knob is sized to state volume, not to the
+    batch default."""
+    events = load_table(spark, sf_dir, "events")
+    run_id = uuid.uuid4().hex[:8]
+    src_dir = os.path.join(tempfile.gettempdir(), f"ges-stream-{run_id}")
+    events.repartition(4).write.parquet(src_dir)
+
+    stream = spark.readStream.schema(events.schema).parquet(src_dir)
+    name = f"stream_replay_{run_id}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            transform(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    # materialize the sink contents so the temp table/dir can be dropped
+    result = spark.table(name).select(*out_cols)
+    rows = result.collect()
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(src_dir, ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)
 
 
 @query(
@@ -35,44 +83,49 @@ from ..streaming.events_stream import hourly_counts
 )
 def streaming_hourly_agg_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window streaming aggregation, replayed deterministically:
-    events → parquet file stream → watermarked 1-hour window
-    (streaming/events_stream.py) → complete-mode memory sink. With
-    ``availableNow`` every event is processed before the query stops,
-    so the streaming result must equal the batch group-by bit-for-bit —
-    which the DuckDB oracle then verifies."""
-    events = load_table(spark, sf_dir, "events")
-    run_id = uuid.uuid4().hex[:8]
-    src_dir = os.path.join(tempfile.gettempdir(), f"ges-stream-{run_id}")
-    events.repartition(4).write.parquet(src_dir)
-
-    stream = spark.readStream.schema(events.schema).parquet(src_dir)
-    name = f"stream_hourly_{run_id}"
-    # Streaming aggregations ignore AQE: every micro-batch commits one
-    # state-store instance per shuffle partition, so the session's 32
-    # partitions mean 32 HDFSBackedStateStore snapshots per trigger for
-    # a result of a few hundred groups. Pin the stateful shuffle to 4
-    # partitions for this bounded replay and restore the session conf
-    # after — on a real cluster this knob is sized to state volume, not
-    # to the batch default.
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
-        q = (
-            hourly_counts(stream)
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    # materialize the sink contents so the temp table/dir can be dropped
-    result = spark.table(name).select(
-        "hour_bucket", "event_type", "n", "sum_value"
+    watermarked 1-hour windows (streaming/events_stream.py) must equal
+    the batch group-by — which the DuckDB oracle then verifies."""
+    return _replay(
+        spark, sf_dir, hourly_counts,
+        ["hour_bucket", "event_type", "n", "sum_value"],
     )
-    rows = result.collect()
-    spark.catalog.dropTempView(name)
-    shutil.rmtree(src_dir, ignore_errors=True)
-    return spark.createDataFrame(rows, result.schema)
+
+
+@query(
+    "streaming_session_window_replay",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         >= INTERVAL 10 MINUTE
+                         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                            IS NULL
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM seq
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 10 MINUTE AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM numbered GROUP BY user_id, sid
+    """,
+)
+def streaming_session_window_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-window streaming aggregation (10-minute inactivity gap,
+    ``F.session_window``) replayed deterministically and verified
+    against the declarative gaps-and-islands form: a session breaks
+    when consecutive per-user events are ≥ gap apart (Spark merges
+    half-open [ts, ts+gap) windows, so a gap of exactly 10 minutes
+    does NOT merge), session_end = last event + gap. The engine's
+    merging session-state implementation is thereby held to the exact
+    SQL fixpoint, not just row counts."""
+    return _replay(
+        spark, sf_dir, sessionized,
+        ["user_id", "session_start", "session_end", "n_events"],
+    )

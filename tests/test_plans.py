@@ -192,3 +192,18 @@ def test_runtime_bloom_filter_join_pruning(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_q21_reuses_identical_aggregate_exchange(spark):
+    """Q21's l1/l2/l3 branches share the per-(order,supplier) subtree;
+    AQE must execute that shuffle once and replay it (ReusedExchange),
+    not recompute it per branch — at 100 TB the difference is two full
+    lineitem shuffles."""
+    from git_etl_spark import registry
+    from git_etl_spark.plans.audit import reused_exchange_count
+
+    registry.load_all()
+    df = registry.QUERIES["tpch_q21_waiting_suppliers"](
+        spark, "/root/testdata/sf0.001"
+    )
+    assert reused_exchange_count(df) >= 1
