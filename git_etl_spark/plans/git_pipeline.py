@@ -22,7 +22,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.exact import count_if
-from ..sinks.upsert import publish_all, upsert_parquet, write_staging
+from ..sinks.upsert import (
+    publish_all,
+    upsert_parquet,
+    upsert_parquet_partitioned,
+    write_staging,
+)
 from ..sources.git_log import (
     has_commits_by_author,
     list_tracked_files,
@@ -125,11 +130,21 @@ def etl_repos(
     repo_paths: list[str],
     output_dir: str,
     author_pattern: str | None = None,
+    layout: str = "flat",
 ) -> dict:
     """O1/O2: multi-repo ETL into a five-table Parquet warehouse with
     idempotent natural-key merges and K6 staged publish. Returns a run
     report (per-repo success/skip/fail counts — the reference's
-    summary banner, ``main.ts:357-369``)."""
+    summary banner, ``main.ts:357-369``).
+
+    ``layout='partitioned'`` is the at-scale warehouse shape: the
+    repo-keyed tables (commits / file_changes / tags) are laid out
+    ``partitionBy(repo_name)`` and incremental merges rewrite only the
+    partitions of repos present in the batch
+    (``upsert_parquet_partitioned``); the global tables (authors,
+    repos) still merge whole — they are node-scale, not fact-scale.
+    Both layouts produce identical table *contents* (asserted in
+    tests/test_git_etl_e2e.py)."""
     report = {"processed": [], "skipped": [], "failed": []}
     selected: list[str] = []
     for path in repo_paths:
@@ -170,16 +185,27 @@ def etl_repos(
         "tags": ["repo_name", "tag_name"],
     }
 
+    partitioned = {"commits", "file_changes", "tags"} if layout == "partitioned" else set()
+
     out = lambda t: os.path.join(output_dir, t)  # noqa: E731
     if any(os.path.exists(out(t)) for t in GIT_TABLES):
         # incremental run: per-table natural-key merge (idempotent)
         for t, df in tables.items():
             keep = "first" if t == "file_changes" else "last"
-            upsert_parquet(spark, df, out(t), keys[t], keep=keep)
+            if t in partitioned:
+                upsert_parquet_partitioned(
+                    spark, df, out(t), keys[t], "repo_name", keep=keep
+                )
+            else:
+                upsert_parquet(spark, df, out(t), keys[t], keep=keep)
     else:
         # first run: stage everything, then publish all-or-nothing (K6)
         staged = {
-            write_staging(df.dropDuplicates(keys[t]), out(t)): out(t)
+            write_staging(
+                df.dropDuplicates(keys[t]),
+                out(t),
+                partition_col="repo_name" if t in partitioned else None,
+            ): out(t)
             for t, df in tables.items()
         }
         publish_all(staged)

@@ -150,11 +150,18 @@ def upsert_parquet_partitioned(
     )
 
 
-def write_staging(df: DataFrame, final_path: str) -> str:
+def write_staging(
+    df: DataFrame, final_path: str, partition_col: str | None = None
+) -> str:
     """First half of the K6 transaction: write to a staging dir,
-    return its path for a later ``publish``."""
+    return its path for a later ``publish``. ``partition_col`` lays the
+    staged table out partitioned, so the published table supports the
+    partition-scoped merge path from day one."""
     tmp = f"{final_path}.staging-{uuid.uuid4().hex[:8]}"
-    df.write.mode("overwrite").parquet(tmp)
+    writer = df.write.mode("overwrite")
+    if partition_col is not None:
+        writer = writer.partitionBy(partition_col)
+    writer.parquet(tmp)
     return tmp
 
 

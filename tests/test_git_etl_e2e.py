@@ -201,3 +201,53 @@ def test_distributed_ingestion_matches_driver_side(spark, synthetic_repo):
     sb = sorted(map(repr, b.collect()))
     assert sa == sb
     assert b.schema == a.schema
+
+
+def test_partitioned_layout_equal_contents_and_scoped_merge(
+    spark, synthetic_repo, tmp_path_factory, tmp_path
+):
+    """layout='partitioned' end-to-end: same table contents as the flat
+    layout, and an incremental merge touching one repo leaves the other
+    repo's commits partition files byte-identical (the at-scale merge
+    contract, through the real pipeline rather than the sink alone)."""
+    import os as _os
+
+    from git_etl_spark.plans.git_pipeline import etl_repos
+
+    other = tmp_path_factory.mktemp("repos2") / "proj-beta"
+    other.mkdir()
+    _git(other, "init", "-q", "-b", "main")
+    _commit(
+        other, "Cara Coder", "cara@example.com", "2024-03-01T09:00:00+00:00",
+        "beta initial", {"b.py": "b = 1\n"},
+    )
+
+    flat, part = tmp_path / "flat", tmp_path / "part"
+    repos = [str(synthetic_repo), str(other)]
+    etl_repos(spark, repos, str(flat))
+    etl_repos(spark, repos, str(part), layout="partitioned")
+
+    for table in ("commits", "file_changes", "authors", "repos", "tags"):
+        a = spark.read.parquet(str(flat / table))
+        b = spark.read.parquet(str(part / table)).select(*a.columns)
+        assert sorted(map(repr, a.collect())) == sorted(map(repr, b.collect())), table
+
+    # incremental: new commit lands in proj-beta only
+    pdir = part / "commits" / "repo_name=proj-alpha"
+    before = sorted(
+        (f, _os.path.getsize(pdir / f), _os.stat(pdir / f).st_mtime_ns)
+        for f in _os.listdir(pdir) if not f.startswith(("_", "."))
+    )
+    _commit(
+        other, "Cara Coder", "cara@example.com", "2024-03-02T09:00:00+00:00",
+        "beta second", {"b2.py": "b = 2\n"},
+    )
+    etl_repos(spark, [str(other)], str(part), layout="partitioned")
+
+    after = sorted(
+        (f, _os.path.getsize(pdir / f), _os.stat(pdir / f).st_mtime_ns)
+        for f in _os.listdir(pdir) if not f.startswith(("_", "."))
+    )
+    assert after == before  # untouched repo partition never rewritten
+    commits = spark.read.parquet(str(part / "commits"))
+    assert commits.filter("repo_name = 'proj-beta'").count() == 2
