@@ -1,0 +1,111 @@
+"""End-to-end training-corpus curation — the composite the LLM-data
+operators exist for (SURVEY.md §2.10 X1/X4 composed): quality gate →
+canonical dedup → deterministic train/val/test split, as ONE
+declarative plan the optimizer can see whole.
+
+Plan shape at 100 TB: the quality gate is a scan-level filter (no
+shuffle); dedup is one shuffle on the bag-of-words fingerprint; the
+split is a pure projection off a cryptographic hash — no sampling
+state, no RNG, reproducible across engines and runs by construction
+(the property a training pipeline actually needs: re-running curation
+tomorrow must put the same document in the same split).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import query
+
+MIN_CHARS = 120          # drop boilerplate-short docs
+MIN_STOPWORD_RATIO = 0.05  # drop keyword-soup (no function words)
+
+
+@query(
+    "pipeline_corpus_curation",
+    oracle=f"""
+    WITH gated AS (
+        SELECT doc_id, lang, source, n_chars,
+               md5(array_to_string(list_sort(list_distinct(
+                   string_split(text, ' '))), ' ')) AS fingerprint
+        FROM documents
+        WHERE n_chars >= {MIN_CHARS}
+          AND len(list_filter(string_split(text, ' '),
+                  t -> t IN ('the','and','of','to','a','in','is','it')))
+              * 1.0 / len(string_split(text, ' ')) >= {MIN_STOPWORD_RATIO}
+    ),
+    deduped AS (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY fingerprint
+                   ORDER BY n_chars DESC, doc_id ASC) AS rn
+        FROM gated
+    )
+    SELECT doc_id, lang, source, n_chars, fingerprint,
+           CASE WHEN bucket < 8 THEN 'train'
+                WHEN bucket = 8 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT *, CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                       AS BIGINT) % 10 AS bucket
+        FROM deduped WHERE rn = 1
+    )
+    """,
+)
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1+X4 composite: (1) quality gate — length floor + function-word
+    ratio floor, both scan-level predicates; (2) exact near-dup
+    collapse on the bag-of-words canonical fingerprint (md5 of the
+    sorted distinct token set — token-order-robust), keeping the
+    longest representative with a doc_id tie-break; (3) deterministic
+    8/1/1 train/val/test assignment from the doc_id's md5 — a pure
+    projection, so the split is stable across runs, engines, and
+    cluster sizes (never ``rand()``, which reshuffles splits every
+    run and leaks val into train on retries)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stop_ratio = (
+        F.size(
+            F.filter(
+                toks,
+                lambda t: t.isin("the", "and", "of", "to", "a", "in", "is", "it"),
+            )
+        ).cast("double")
+        / F.size(toks)
+    )
+    gated = docs.filter(
+        (F.col("n_chars") >= MIN_CHARS) & (stop_ratio >= MIN_STOPWORD_RATIO)
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))).alias(
+            "fingerprint"
+        ),
+    )
+    w = Window.partitionBy("fingerprint").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    best = (
+        gated.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("bigint")
+        % 10
+    )
+    return best.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        "fingerprint",
+        F.when(bucket < 8, "train")
+        .when(bucket == 8, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

@@ -68,6 +68,7 @@ def load_all() -> None:
         tpch_more,
         tpch_subqueries,
         text,
+        curation,
         events,
         quality,
         udfs,
