@@ -21,6 +21,7 @@ from ..registry import query
 
 MIN_CHARS = 120          # drop boilerplate-short docs
 MIN_STOPWORD_RATIO = 0.05  # drop keyword-soup (no function words)
+PACK_BUDGET = 256        # tokens per packed training sequence
 
 
 @query(
@@ -108,4 +109,59 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(bucket == 8, "val")
         .otherwise("test")
         .alias("split"),
+    )
+
+
+@query(
+    "pipeline_sequence_packing",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id, source,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ),
+    packed AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(FLOOR((SUM(n_tokens) OVER (
+                    PARTITION BY source ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) - n_tokens)
+                    / {PACK_BUDGET}) AS BIGINT) AS pack_id
+        FROM sized
+    )
+    SELECT source, pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+           MIN(doc_id) AS first_doc
+    FROM packed
+    GROUP BY source, pack_id
+    """,
+)
+def pipeline_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training: documents are packed into
+    fixed-token-budget sequences by a *streaming* first-fit — each doc
+    joins the pack where the running token total (in deterministic
+    doc_id order, per source shard) crossed its budget boundary. The
+    window cumulative sum is one shuffle keyed by shard; integer token
+    counts make the assignment bit-identical across engines (pandas
+    cumsum vs segment-tree float issues don't apply — see
+    oracle-determinism notes). At 100 TB the shard key is the file /
+    shard id, so packing parallelism ∝ shard count and no pack spans a
+    shard boundary — exactly how training-data writers shard anyway."""
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = sized.withColumn(
+        "pack_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / PACK_BUDGET),
+    )
+    return packed.groupBy("source", "pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+        F.min("doc_id").alias("first_doc"),
     )
