@@ -165,3 +165,96 @@ def pipeline_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("pack_tokens"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+NGRAM_N = 8  # contamination shingle width (tokens)
+
+
+@query(
+    "pipeline_decontamination",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, string_split(text, ' ') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, source,
+               unnest(list_distinct(list_transform(
+                   range(1, len(t) - {NGRAM_N - 2}),
+                   i -> array_to_string(t[i:i+{NGRAM_N - 1}], ' ')))) AS g
+        FROM toks WHERE len(t) >= {NGRAM_N}
+    ),
+    eval_sh AS (SELECT DISTINCT g FROM sh WHERE source = 'src0'),
+    train_sh AS (SELECT doc_id, g FROM sh WHERE source <> 'src0'),
+    counts AS (
+        SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM train_sh t JOIN eval_sh e ON t.g = e.g
+        GROUP BY t.doc_id
+    ),
+    totals AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+        FROM sh WHERE source <> 'src0' GROUP BY doc_id
+    )
+    SELECT c.doc_id, c.n_shared, tt.n_shingles,
+           CAST(c.n_shared AS DOUBLE) / tt.n_shingles AS contamination
+    FROM counts c JOIN totals tt ON c.doc_id = tt.doc_id
+    """,
+)
+def pipeline_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training documents (here: every
+    source but ``src0``, which stands in for the eval set) are flagged
+    when they share ≥1 distinct 8-token shingle with any eval
+    document, with the shared-shingle count and contamination ratio.
+    This is *containment*, not symmetric similarity — a 50k-token doc
+    quoting one eval question has near-zero Jaccard but is still
+    contaminated, which is why near-dup dedup cannot subsume this op.
+
+    Scale shape: the eval side is orders of magnitude smaller than the
+    corpus — its distinct shingle set broadcasts, so the contamination
+    probe is a broadcast semi-join against the exploded training
+    shingles: no shuffle of the big side, parallelism ∝ corpus
+    partitions. (At a truly huge eval set, swap the broadcast for a
+    bloom-filter pre-probe + shuffle join — same plan tail.)"""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = F.split("text", " ")
+    # materialize the per-doc distinct shingle ARRAY once: three
+    # consumers (eval set, probe, totals) would otherwise each re-run
+    # the ×(len−7) concat fan-out (CollapseProject inlines the array
+    # expression into every consumer — see the size+explode gotcha),
+    # and totals come from the array length, not a second explode
+    arrs = docs.select(
+        "doc_id",
+        "source",
+        F.array_distinct(
+            F.when(
+                F.size(toks) >= NGRAM_N,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - (NGRAM_N - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, NGRAM_N)),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        ).alias("gs"),
+    ).localCheckpoint()
+    eval_sh = (
+        arrs.filter(F.col("source") == "src0")
+        .select(F.explode("gs").alias("g"))
+        .distinct()
+    )
+    train = arrs.filter(F.col("source") != "src0")
+    counts = (
+        train.select("doc_id", F.explode("gs").alias("g"))
+        .join(F.broadcast(eval_sh), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    totals = train.select("doc_id", F.size("gs").alias("n_shingles"))
+    return counts.join(totals, "doc_id").select(
+        "doc_id",
+        "n_shared",
+        "n_shingles",
+        (F.col("n_shared").cast("double") / F.col("n_shingles")).alias(
+            "contamination"
+        ),
+    )
