@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..registry import query
+from .text import _STOP_SQL, STOPWORDS
 
 MIN_CHARS = 120          # drop boilerplate-short docs
 MIN_STOPWORD_RATIO = 0.05  # drop keyword-soup (no function words)
@@ -34,7 +35,7 @@ PACK_BUDGET = 256        # tokens per packed training sequence
         FROM documents
         WHERE n_chars >= {MIN_CHARS}
           AND len(list_filter(string_split(text, ' '),
-                  t -> t IN ('the','and','of','to','a','in','is','it')))
+                  t -> t IN ({_STOP_SQL})))
               * 1.0 / len(string_split(text, ' ')) >= {MIN_STOPWORD_RATIO}
     ),
     deduped AS (
@@ -70,7 +71,7 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(
             F.filter(
                 toks,
-                lambda t: t.isin("the", "and", "of", "to", "a", "in", "is", "it"),
+                lambda t: t.isin(*STOPWORDS),
             )
         ).cast("double")
         / F.size(toks)
