@@ -85,7 +85,7 @@ def main() -> None:
         timings[name] = round(run(name), 4)
 
     total = round(sum(timings.values()), 4)
-    result = json.dumps(
+    full = json.dumps(
         {
             "metric": "total_query_wall_time",
             "value": total,
@@ -95,9 +95,55 @@ def main() -> None:
             "n_queries": len(timings),
         }
     )
-    (Path(__file__).resolve().parent / "BENCH.json").write_text(result + "\n")
+    (Path(__file__).resolve().parent / "BENCH.json").write_text(full + "\n")
+
+    # The consumer keeps only the LAST ~2000 chars of stdout and parses
+    # the JSON line out of that tail. 138 queries serialize to ~5 KB, so
+    # the full map can never fit — emit a headline subset (one query per
+    # engine family) on stdout and keep the complete per-query map in
+    # BENCH.json. `value`/`n_queries` still cover ALL queries, so the
+    # total stays comparable across rounds and against the baseline.
+    headline = [
+        "join_multiway_regional_revenue",
+        "tpch_q1_pricing_summary",
+        "tpch_q9_product_profit",
+        "tpch_q18_large_orders",
+        "tpch_q21_waiting_suppliers",
+        "agg_customer_order_stats",
+        "agg_salted_two_phase",
+        "window_running_total",
+        "join_broadcast_lookup",
+        "setop_union_distinct",
+        "dedup_exact_rebuild",
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "simsearch_topk_bruteforce",
+        "simsearch_ivf",
+        "text_tfidf_top_terms",
+        "events_sessionize",
+        "streaming_hourly_agg_replay",
+        "udf_grouped_running_value",
+        "multimodal_decode_features",
+        "pipeline_corpus_curation",
+    ]
+    head = {k: timings[k] for k in headline if k in timings}
+    while True:
+        line = json.dumps(
+            {
+                "metric": "total_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": head,
+                "sf": sf,
+                "n_queries": len(timings),
+                "full_map": "BENCH.json",
+            }
+        )
+        if len(line) <= 1800 or not head:
+            break
+        head.pop(next(reversed(head)))
     with os.fdopen(_REAL_STDOUT_FD, "w") as real_stdout:
-        real_stdout.write(result + "\n")
+        real_stdout.write(line + "\n")
     spark.stop()
 
 
