@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from ..functions.vector import norm
 from ..io import load_table
 from ..registry import query
+from ..session import loop_shuffle_partitions
 
 # DuckDB twin of functions.vector.norm over the raw embedding column
 _DUCK_NORM = (
@@ -135,40 +136,109 @@ def dedup_keep_longest_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 exact token-set Jaccard near-dup pairs (see
     :func:`_jaccard_pairs_impl` for the candidate-generation scheme).
-    Returns the per-session materialized pair set so the clustering
-    query that consumes the same pairs immediately afterwards does not
-    re-execute candidate generation."""
-    return _jaccard_pairs_materialized(spark, sf_dir)
+    Built from the per-session materialized collapsed graph so the
+    clustering query consuming the same pairs in the same session does
+    not re-execute candidate generation."""
+    return _jaccard_pairs_impl(spark, sf_dir)
+
+
+def _token_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, toks) with toks = sorted distinct whitespace tokens —
+    repartitioned off the single input split so the per-doc hashing
+    fan-out downstream parallelizes."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return docs.select(
+        "doc_id",
+        F.array_sort(F.array_distinct(F.split("text", " "))).alias("toks"),
+    )
+
+
+def _distinct_set_groups(sets: DataFrame) -> DataFrame:
+    """Collapse identical token sets: (set_key, doc_id, rep, toks) where
+    ``rep`` is the group's min doc_id. Real near-dup corpora are
+    dominated by *exact* duplicate cliques (here: one 248-doc clique →
+    30k of the 382k qualifying pairs); collapsing them first turns every
+    k-member clique into ONE node/row for all downstream candidate
+    generation and verification — the k² work reappears only in the
+    final constant-cost expansion join."""
+    w = Window.partitionBy("set_key")
+    return sets.withColumn(
+        "set_key", F.md5(F.concat_ws(" ", "toks"))
+    ).withColumn("rep", F.min("doc_id").over(w))
 
 
 def _jaccard_pairs_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 exact token-set Jaccard near-dup pairs at t ≥ 0.95 via
-    **deletion-neighborhood candidate generation**: J(A,B) ≥ t bounds
-    the symmetric difference |A∆B| ≤ (1/t−1)·|A∩B| ≤ 0.0526·31 < 2
-    for this corpus's set sizes — so a qualifying pair has identical
-    token sets (full-key collision) or differs by exactly one token
-    (one side's delete-one key equals the other's full key). Candidates
-    = equi-join on md5 keys of the full set and every single-deletion
-    subset: O(n·|set|) keys, never a cross join, candidate count ∝
-    near-dup density. Survivors get exact Jaccard verification.
+    **exact-clique collapse + deletion-neighborhood candidates**:
+
+    1. collapse docs with identical token sets to one representative
+       (``_distinct_set_groups``) — within-group pairs are emitted
+       directly with jaccard 1.0, never joined or verified;
+    2. deletion-neighborhood candidate generation over the *distinct*
+       sets only: J(A,B) ≥ t bounds |A∆B| ≤ (1/t−1)·|A∩B| ≤
+       0.0526·31 < 2 for this corpus's set sizes — a qualifying
+       non-identical pair differs by exactly one token, so one side's
+       delete-one md5 key equals the other's full-set key. O(n·|set|)
+       keys, never a cross join, candidate count ∝ near-dup density;
+    3. exact Jaccard verification on representative pairs only;
+    4. expand each verified representative pair over both groups'
+       members (token sets identical within a group ⇒ the pair Jaccard
+       is the representatives' Jaccard).
 
     The DuckDB oracle is the naive O(n²) definition — it independently
-    proves the candidate scheme loses no pairs at every driver round.
-    (For larger sets or lower thresholds, |A∆B| grows past 2: extend to
-    deletion-d subsets with d = ⌈(1/t−1)·max|∩|⌉ − 1 on each side —
-    same plan shape, more keys.)"""
-    # one input split otherwise: the per-doc deletion-key md5 fan-out
-    # would run on a single task
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+    proves the scheme loses no pairs at every driver round. (For larger
+    sets or lower thresholds, |A∆B| grows past 2: extend to deletion-d
+    subsets with d = ⌈(1/t−1)·max|∩|⌉ − 1 on each side — same plan
+    shape, more keys.)"""
+    members, rep_pairs = _rep_graph_materialized(spark, sf_dir)
+
+    # within-group: every doc pair sharing a token set, jaccard = 1.0
+    ma, mb = members.alias("ma"), members.alias("mb")
+    within = (
+        ma.join(
+            mb,
+            (F.col("ma.set_key") == F.col("mb.set_key"))
+            & (F.col("ma.doc_id") < F.col("mb.doc_id")),
+        )
+        .select(
+            F.col("ma.doc_id").alias("doc_a"),
+            F.col("mb.doc_id").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
     )
-    sets = docs.select(
-        "doc_id",
-        F.array_sort(F.array_distinct(F.split("text", " "))).alias("toks"),
+
+    # expand verified representative pairs over both member groups
+    cross = (
+        rep_pairs.join(ma, F.col("ma.set_key") == F.col("key_a"))
+        .join(mb, F.col("mb.set_key") == F.col("key_b"))
+        .select(
+            F.least("ma.doc_id", "mb.doc_id").alias("doc_a"),
+            F.greatest("ma.doc_id", "mb.doc_id").alias("doc_b"),
+            "jaccard",
+        )
     )
-    # full-set key + one key per single-token deletion (1-based slices)
-    keys = sets.select(
-        "doc_id",
+    return within.unionByName(cross)
+
+
+def _rep_graph_impl(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(members, rep_pairs): group membership (set_key, doc_id) and the
+    verified cross-group near-dup pairs between distinct token sets
+    (key_a, key_b, jaccard) — the collapsed form both the pair listing
+    and the clustering are derived from."""
+    grouped = _distinct_set_groups(_token_sets(spark, sf_dir))
+    members = grouped.select("set_key", "doc_id")
+    reps = grouped.filter(F.col("doc_id") == F.col("rep")).select(
+        "set_key", "toks"
+    )
+
+    # cross-group candidates over distinct sets: full key + one key per
+    # single-token deletion (1-based slices)
+    keys = reps.select(
+        "set_key",
         F.explode(
             F.expr(
                 "array_union("
@@ -182,42 +252,51 @@ def _jaccard_pairs_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a, b = keys.alias("a"), keys.alias("b")
     cand = (
-        a.join(b, (F.col("a.key") == F.col("b.key"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+        a.join(
+            b,
+            (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.set_key") < F.col("b.set_key")),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
+        .select(
+            F.col("a.set_key").alias("key_a"),
+            F.col("b.set_key").alias("key_b"),
+        )
+        .dropDuplicates(["key_a", "key_b"])
     )
-    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
-    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
-    verified = cand.join(sa, "doc_a").join(sb, "doc_b")
+    sa = reps.select(F.col("set_key").alias("key_a"), F.col("toks").alias("toks_a"))
+    sb = reps.select(F.col("set_key").alias("key_b"), F.col("toks").alias("toks_b"))
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
     union = F.size("toks_a") + F.size("toks_b") - inter
     jac = inter.cast("double") / union
-    return (
-        verified.withColumn("jaccard", jac)
+    rep_pairs = (
+        cand.join(sa, "key_a")
+        .join(sb, "key_b")
+        .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", "jaccard")
+        .select("key_a", "key_b", "jaccard")
     )
+    return members, rep_pairs
 
 
-# The verified pair set feeds both the registered pair query and the
-# connected-components clustering that runs right after it in the same
-# session — memoize one checkpointed copy per (session, sf_dir) so the
-# candidate-generation plan executes once, not once per consumer. Tiny
-# by construction (near-dup pairs only), so pinning it is safe.
-_PAIRS_MEMO: dict[tuple[str, str], DataFrame] = {}
+# The collapsed graph feeds both the registered pair query and the
+# connected-components clustering that runs in the same session —
+# memoize one checkpointed copy per (session, sf_dir) so candidate
+# generation + verification execute once, not once per consumer. Tiny
+# by construction (distinct sets + verified rep pairs), so pinning is
+# safe.
+_REP_GRAPH_MEMO: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
 
 
-def _jaccard_pairs_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _rep_graph_materialized(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
     key = (spark.sparkContext.applicationId, sf_dir)
-    df = _PAIRS_MEMO.get(key)
-    if df is None:
-        df = _jaccard_pairs_impl(spark, sf_dir).localCheckpoint()
-        _PAIRS_MEMO[key] = df
-    return df
+    pair = _REP_GRAPH_MEMO.get(key)
+    if pair is None:
+        members, rep_pairs = _rep_graph_impl(spark, sf_dir)
+        pair = (members.localCheckpoint(), rep_pairs.localCheckpoint())
+        _REP_GRAPH_MEMO[key] = pair
+    return pair
 
 
 @query(
@@ -351,11 +430,24 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     The corpus arrives as one small parquet file → one input split, so
     the shingle explode and the per-doc ranking window would otherwise
     run on a single task; the cheap repartition up front spreads the
-    CPU-heavy shingling across the cluster."""
+    CPU-heavy shingling across the cluster.
+
+    **Exact-duplicate collapse first**: identical texts have identical
+    shingle sets, so the whole PPJoin runs over one representative per
+    distinct text and verified pairs expand over group members at the
+    end (within-group pairs are emitted directly with jaccard 1.0).
+    Real corpora are dominated by exact-dup cliques — here a 248-doc
+    clique alone would otherwise contribute ~30k of the candidate
+    pairs through every stage of the pipeline."""
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    sets = docs.select(
+    keyed = docs.withColumn("text_key", F.md5("text")).withColumn(
+        "rep", F.min("doc_id").over(Window.partitionBy("text_key"))
+    )
+    members = keyed.select("text_key", "doc_id", "rep")
+    reps = keyed.filter(F.col("doc_id") == F.col("rep")).select("doc_id", "text")
+    sets = reps.select(
         "doc_id",
         F.array_distinct(
             F.expr(
@@ -449,7 +541,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "aggregate(zip_with(bs_a, bs_b, (x, y) -> bit_count(x & y)),"
         " 0, (acc, v) -> acc + v)"
     )
-    return (
+    rep_pairs = (
         cand.join(ba, "doc_a")
         .join(bb, "doc_b")
         .withColumn("inter", inter)
@@ -461,6 +553,37 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= NGRAM_JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
     )
+    # expand verified representative pairs over both groups' members;
+    # within-group pairs are exact duplicates (J = 1.0) — guarded to
+    # docs that actually have shingles, matching the oracle (shingle-
+    # less docs can never satisfy the join/division there)
+    ma, mb = members.alias("ma"), members.alias("mb")
+    cross = (
+        rep_pairs.join(ma, F.col("ma.rep") == F.col("doc_a"))
+        .join(mb, F.col("mb.rep") == F.col("doc_b"))
+        .select(
+            F.least("ma.doc_id", "mb.doc_id").alias("doc_a"),
+            F.greatest("ma.doc_id", "mb.doc_id").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    shingled = sets.filter(F.size("sh") > 0).select(
+        F.col("doc_id").alias("sh_rep")
+    )
+    within = (
+        ma.join(
+            mb,
+            (F.col("ma.text_key") == F.col("mb.text_key"))
+            & (F.col("ma.doc_id") < F.col("mb.doc_id")),
+        )
+        .join(shingled, F.col("ma.rep") == F.col("sh_rep"))
+        .select(
+            F.col("ma.doc_id").alias("doc_a"),
+            F.col("mb.doc_id").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return within.unionByName(cross)
 
 
 @query(
@@ -559,17 +682,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     5. exact Jaccard verification on the candidate set (≥ 0.9 kept).
 
     Identical token sets collide in every band, so recall of exact-
-    duplicate sets is 1.0 by construction (asserted in tests)."""
+    duplicate sets is 1.0 by construction (asserted in tests) — which
+    is also why the pipeline runs over one representative per distinct
+    token set (`_distinct_set_groups`): within-group pairs are emitted
+    directly with jaccard 1.0 (what every band would have produced),
+    and banding/verification only see the collapsed corpus."""
     coeffs = _minhash_coefficients()
-    # the corpus is one input split; without this the token explode and
-    # the ×128 hash expansion all run on a single task (measured 11.6 s
-    # → ~4 s at sf0.1 from the repartition alone)
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
-    sets = docs.select(
-        "doc_id",
-        F.array_sort(F.array_distinct(F.split("text", " "))).alias("toks"),
+    grouped = _distinct_set_groups(_token_sets(spark, sf_dir))
+    members = grouped.select("set_key", "doc_id")
+    sets = grouped.filter(F.col("doc_id") == F.col("rep")).select(
+        F.col("set_key"), "toks"
     )
     # Signatures via array higher-order functions, NOT explode+groupBy:
     # the naive pipeline (explode tokens ×128 hash indices, min per
@@ -617,9 +739,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = (
         sets.withColumn("th", th)
         .withColumn("sig", sig)
-        .select("doc_id", F.posexplode(band_keys).alias("band", "band_key"))
-        # docs × 8 small rows, consumed by both sides of the self-join:
-        # materialize so the ×128 signature stage runs exactly once
+        .select("set_key", F.posexplode(band_keys).alias("band", "band_key"))
+        # distinct sets × 8 small rows, consumed by both sides of the
+        # self-join: materialize so the ×128 signature stage runs once
         .localCheckpoint()
     )
     a, b = bands.alias("a"), bands.alias("b")
@@ -628,23 +750,46 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.set_key") < F.col("b.set_key")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
+        .select(F.col("a.set_key").alias("key_a"), F.col("b.set_key").alias("key_b"))
+        .dropDuplicates(["key_a", "key_b"])
     )
     sets_m = sets.localCheckpoint()  # token arrays reused by both verify sides
-    sa = sets_m.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
-    sb = sets_m.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    sa = sets_m.select(F.col("set_key").alias("key_a"), F.col("toks").alias("toks_a"))
+    sb = sets_m.select(F.col("set_key").alias("key_b"), F.col("toks").alias("toks_b"))
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
     union = F.size("toks_a") + F.size("toks_b") - inter
-    return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
+    rep_pairs = (
+        cand.join(sa, "key_a")
+        .join(sb, "key_b")
         .withColumn("jaccard", inter.cast("double") / union)
         .filter(F.col("jaccard") >= 0.9)
-        .select("doc_a", "doc_b", "jaccard")
+        .select("key_a", "key_b", "jaccard")
     )
+    ma, mb = members.alias("ma"), members.alias("mb")
+    cross = (
+        rep_pairs.join(ma, F.col("ma.set_key") == F.col("key_a"))
+        .join(mb, F.col("mb.set_key") == F.col("key_b"))
+        .select(
+            F.least("ma.doc_id", "mb.doc_id").alias("doc_a"),
+            F.greatest("ma.doc_id", "mb.doc_id").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    within = (
+        ma.join(
+            mb,
+            (F.col("ma.set_key") == F.col("mb.set_key"))
+            & (F.col("ma.doc_id") < F.col("mb.doc_id")),
+        )
+        .select(
+            F.col("ma.doc_id").alias("doc_a"),
+            F.col("mb.doc_id").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return within.unionByName(cross)
 
 
 @query(
@@ -680,48 +825,68 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     turns pairwise matches into dedup groups, so one representative per
     cluster survives.
 
-    Spark side: iterative min-label propagation — each round joins
-    labels across edges and keeps the elementwise min; terminates when
-    no label changes (≤ graph diameter rounds; near-dup components are
-    shallow). Each round ends in an eager ``localCheckpoint`` so the
-    lineage (and Catalyst planning time) stays O(1) per round instead
-    of doubling — the same trick GraphFrames uses for its iterative
-    algorithms. The DuckDB oracle computes the same fixpoint with a
-    recursive CTE, so the distributed iteration is verified against a
-    declarative ground truth. At 100 TB swap the simple propagation for
-    the large-star/small-star variant — same per-round join shape,
-    provably O(log n) rounds — and checkpoint to reliable storage."""
-    edges = (
-        dedup_jaccard_pairs(spark, sf_dir)
-        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-    )
+    Spark side: the iteration runs on the **exact-clique-collapsed
+    graph** (`_distinct_set_groups`): one node per distinct token set,
+    an edge per verified representative pair. Exact-duplicate cliques —
+    k² edges in the doc-pair graph — are single nodes here, so both the
+    edge count and the effective diameter shrink by the duplication
+    factor before any propagation happens. Per round: min label across
+    edges, elementwise least, eager ``localCheckpoint`` so lineage and
+    planning stay O(1) (the GraphFrames trick); terminates when no
+    label changes. The loop runs under a shuffle-partition count sized
+    to the collapsed edge list (~1 per 500k edges) instead of the
+    session default — at survey scale the rep graph is thousands of
+    rows and per-round fixed cost dominates, while at 100 TB the same
+    formula scales the round back out. Membership expansion happens
+    once, after convergence. The DuckDB oracle computes the fixpoint of
+    the full doc-pair graph with a recursive CTE, so the collapsed
+    iteration is verified against declarative ground truth. At 100 TB
+    swap simple propagation for large-star/small-star — same per-round
+    join shape, provably O(log n) rounds — and checkpoint to reliable
+    storage."""
+    members, rep_pairs = _rep_graph_materialized(spark, sf_dir)
+    edges = rep_pairs.select(F.col("key_a").alias("a"), F.col("key_b").alias("b"))
     sym = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint()  # materialize: don't replay the pair-gen plan per round
-    labels = (
-        sym.select(F.col("a").alias("v"))
-        .distinct()
-        .withColumn("lbl", F.col("v"))
-        .localCheckpoint()
+    ).localCheckpoint()
+    # nodes that appear in any doc-level pair: groups of size ≥ 2
+    # (internal clique edges) plus endpoints of cross-group edges
+    group_rep = members.groupBy("set_key").agg(
+        F.min("doc_id").alias("rep"), F.count("*").alias("sz")
     )
-    for _ in range(20):  # diameter bound; breaks as soon as stable
-        neighbor_min = (
-            sym.join(labels, sym.a == labels.v)
-            .groupBy(F.col("b").alias("v"))
-            .agg(F.min("lbl").alias("nlbl"))
+    nodes = (
+        group_rep.join(
+            sym.select(F.col("a").alias("set_key")).distinct(),
+            "set_key",
+            "left_semi",
         )
-        stepped = (
-            labels.join(neighbor_min, "v", "left")
-            .select(
-                "v",
-                F.least(F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))).alias(
-                    "lbl"
-                ),
-                (F.coalesce("nlbl", F.col("lbl")) < F.col("lbl")).alias("chg"),
+        .unionByName(group_rep.filter(F.col("sz") >= 2))
+        .dropDuplicates(["set_key"])
+        .select("set_key", F.col("rep").alias("lbl"))
+    )
+    with loop_shuffle_partitions(spark, sym.count()):
+        labels = nodes.localCheckpoint()
+        for _ in range(20):  # diameter bound; breaks as soon as stable
+            neighbor_min = (
+                sym.join(labels, sym.a == labels.set_key)
+                .groupBy(F.col("b").alias("set_key"))
+                .agg(F.min("lbl").alias("nlbl"))
             )
-            .localCheckpoint()
-        )
-        labels = stepped.select("v", "lbl")
-        if stepped.filter("chg").limit(1).count() == 0:
-            break
-    return labels.select(F.col("v").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+            stepped = (
+                labels.join(neighbor_min, "set_key", "left")
+                .select(
+                    "set_key",
+                    F.least(F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))).alias(
+                        "lbl"
+                    ),
+                    (F.coalesce("nlbl", F.col("lbl")) < F.col("lbl")).alias("chg"),
+                )
+                .localCheckpoint()
+            )
+            labels = stepped.select("set_key", "lbl")
+            if stepped.filter("chg").limit(1).count() == 0:
+                break
+    return (
+        members.join(labels, "set_key")
+        .select(F.col("doc_id"), F.col("lbl").alias("cluster_id"))
+    )

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..registry import query
+from ..session import loop_shuffle_partitions
 
 PAGERANK_ITERS = 6
 DAMPING = 0.85
@@ -59,21 +60,26 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-runs) — at scale this halves the per-iteration shuffle work
     outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     edges_w = edges.join(outdeg, "src").localCheckpoint()
-    ranks = (
-        edges.select("src").distinct().withColumn("rank", F.lit(1.0))
-    ).localCheckpoint()
     sorted_sum = F.aggregate(
         F.array_sort(F.collect_list("contrib")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    for _ in range(PAGERANK_ITERS):
-        contribs = edges_w.join(ranks, "src").select(
-            "dst", (F.col("rank") / F.col("deg")).alias("contrib")
-        )
+    # size each round's shuffle to the materialized edge list — the
+    # per-round fixed cost (tasks, AQE planning, checkpoint) dominates
+    # small rounds, while the sorted-fold aggregation is CPU-heavy
+    # enough that ~20k edges per task keeps cores busy at this scale
+    with loop_shuffle_partitions(spark, edges_w.count(), rows_per_partition=20_000):
         ranks = (
-            contribs.groupBy(F.col("dst").alias("src"))
-            .agg(((1 - DAMPING) + DAMPING * sorted_sum).alias("rank"))
-            .localCheckpoint()
-        )
+            edges.select("src").distinct().withColumn("rank", F.lit(1.0))
+        ).localCheckpoint()
+        for _ in range(PAGERANK_ITERS):
+            contribs = edges_w.join(ranks, "src").select(
+                "dst", (F.col("rank") / F.col("deg")).alias("contrib")
+            )
+            ranks = (
+                contribs.groupBy(F.col("dst").alias("src"))
+                .agg(((1 - DAMPING) + DAMPING * sorted_sum).alias("rank"))
+                .localCheckpoint()
+            )
     return ranks.select(F.col("src").alias("node"), "rank")

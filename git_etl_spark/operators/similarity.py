@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from ..functions.vector import cosine, duck_cosine
 from ..io import load_table
 from ..registry import query
+from ..session import loop_shuffle_partitions
 
 TOP_K = 5
 N_QUERIES = 10  # query set = vec_id < 10
@@ -186,40 +187,48 @@ def ivf_topk(spark: SparkSession, sf_dir: str, n_probe: int = N_PROBE) -> DataFr
         F.col("vec_id").alias("cell"), F.col("v").alias("cv")
     ).localCheckpoint()
     w_assign = Window.partitionBy("vec_id").orderBy("dist", "cell")
-    for _ in range(3):
-        assigned = (
+    # Lloyd rounds shuffle ~|corpus|·dim exploded elements; size the
+    # round to that working set instead of the session default (the
+    # training loop is the fixed-cost-dominated part of the query)
+    with loop_shuffle_partitions(
+        spark, vecs.count() * 64, rows_per_partition=20_000
+    ):
+        for _ in range(3):
+            assigned = (
+                vecs.crossJoin(F.broadcast(centroids))
+                .withColumn("dist", l2(F.col("v"), F.col("cv")))
+                .withColumn("rn", F.row_number().over(w_assign))
+                .filter(F.col("rn") == 1)
+                .select("vec_id", "cell", "v")
+            )
+            elems = assigned.select("cell", F.posexplode("v").alias("pos", "val"))
+            seq_sum = F.aggregate(
+                F.array_sort(F.collect_list("val")),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            means = elems.groupBy("cell", "pos").agg(
+                (seq_sum / F.count("*")).alias("m")
+            )
+            centroids = (
+                means.groupBy("cell")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                        lambda s: s.getField("m"),
+                    ).alias("cv")
+                )
+                .localCheckpoint()
+            )
+        posting = (
             vecs.crossJoin(F.broadcast(centroids))
             .withColumn("dist", l2(F.col("v"), F.col("cv")))
             .withColumn("rn", F.row_number().over(w_assign))
             .filter(F.col("rn") == 1)
-            .select("vec_id", "cell", "v")
+            .select("vec_id", "cell")
+            .localCheckpoint()  # reused below; keeps the assignment
+            # inside the sized-loop scope
         )
-        elems = assigned.select("cell", F.posexplode("v").alias("pos", "val"))
-        seq_sum = F.aggregate(
-            F.array_sort(F.collect_list("val")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        means = elems.groupBy("cell", "pos").agg(
-            (seq_sum / F.count("*")).alias("m")
-        )
-        centroids = (
-            means.groupBy("cell")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda s: s.getField("m"),
-                ).alias("cv")
-            )
-            .localCheckpoint()
-        )
-    posting = (
-        vecs.crossJoin(F.broadcast(centroids))
-        .withColumn("dist", l2(F.col("v"), F.col("cv")))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cell")
-    )
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )

@@ -12,7 +12,6 @@ every batch operator (not just a rows-only smoke check).
 from __future__ import annotations
 
 import os
-import shutil
 import tempfile
 import uuid
 from collections.abc import Callable
@@ -22,6 +21,10 @@ from pyspark.sql import DataFrame, SparkSession
 from ..io import load_table
 from ..registry import query
 from ..streaming.events_stream import hourly_counts, sessionized
+
+# replay source parquet per (session, sf_dir): written once, reused by
+# every streaming replay query in the session
+_SRC_MEMO: dict[tuple[str, str], str] = {}
 
 
 def _replay(
@@ -45,8 +48,14 @@ def _replay(
     batch default."""
     events = load_table(spark, sf_dir, "events")
     run_id = uuid.uuid4().hex[:8]
-    src_dir = os.path.join(tempfile.gettempdir(), f"ges-stream-{run_id}")
-    events.repartition(4).write.parquet(src_dir)
+    # the replay source is identical for every streaming query over the
+    # same (session, sf_dir) — write it once and reuse
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    src_dir = _SRC_MEMO.get(memo_key)
+    if src_dir is None:
+        src_dir = os.path.join(tempfile.gettempdir(), f"ges-stream-{run_id}")
+        events.repartition(4).write.parquet(src_dir)
+        _SRC_MEMO[memo_key] = src_dir
 
     stream = spark.readStream.schema(events.schema).parquet(src_dir)
     name = f"stream_replay_{run_id}"
@@ -68,7 +77,6 @@ def _replay(
     result = spark.table(name).select(*out_cols)
     rows = result.collect()
     spark.catalog.dropTempView(name)
-    shutil.rmtree(src_dir, ignore_errors=True)
     return spark.createDataFrame(rows, result.schema)
 
 

@@ -258,3 +258,205 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "term", "tf", "score", "rnk")
     )
+
+
+@query(
+    "text_repetition_metrics",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    b AS (
+        SELECT doc_id, len(toks) AS n_toks,
+               unnest([toks[i] || ' ' || toks[i + 1]
+                       FOR i IN range(1, len(toks))]) AS bg
+        FROM t WHERE len(toks) >= 2
+    ),
+    c AS (SELECT doc_id, n_toks, bg, COUNT(*) AS cnt FROM b GROUP BY 1, 2, 3),
+    p AS (
+        SELECT doc_id, n_toks, MAX(cnt) AS top_n,
+               CAST(SUM(cnt) AS BIGINT) AS n_bg
+        FROM c GROUP BY 1, 2
+    ),
+    d AS (
+        SELECT doc_id, len(toks) AS nt, len(list_distinct(toks)) AS nd FROM t
+    )
+    SELECT p.doc_id,
+           CAST(p.n_toks AS BIGINT) AS n_toks,
+           CAST(top_n AS DOUBLE) / n_bg AS top_bigram_frac,
+           CAST(nt - nd AS DOUBLE) / nt AS dup_token_frac,
+           (CAST(top_n AS DOUBLE) / n_bg >= 0.2)
+             OR (CAST(nt - nd AS DOUBLE) / nt >= 0.6) AS is_repetitive
+    FROM p JOIN d ON p.doc_id = d.doc_id
+    """,
+)
+def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: the
+    fraction of bigram mass held by the single most frequent bigram and
+    the duplicate-token fraction (1 − distinct/total), plus the
+    combined repetitive-document flag a curation pipeline would filter
+    on. One explode + two keyed aggregations — partial aggregation
+    (map-side combine) keeps the shuffle ∝ distinct (doc, bigram), and
+    nothing is corpus-global, so the plan is embarrassingly scalable.
+
+    Determinism: both fractions are exact-integer ratios divided once
+    as doubles, computed identically by the oracle, so the boolean
+    thresholds compare identical bit patterns."""
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    big = docs.filter(F.size("toks") >= 2).select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_toks"),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> concat(toks[i - 1], ' ', toks[i]))"
+            )
+        ).alias("bg"),
+    )
+    counts = big.groupBy("doc_id", "n_toks", "bg").agg(F.count("*").alias("cnt"))
+    per_doc = counts.groupBy("doc_id", "n_toks").agg(
+        F.max("cnt").alias("top_n"), F.sum("cnt").alias("n_bg")
+    )
+    tok_stats = docs.select(
+        "doc_id",
+        F.size("toks").alias("nt"),
+        F.size(F.array_distinct("toks")).alias("nd"),
+    )
+    top_frac = F.col("top_n").cast("double") / F.col("n_bg")
+    dup_frac = (F.col("nt") - F.col("nd")).cast("double") / F.col("nt")
+    return (
+        per_doc.join(tok_stats, "doc_id")
+        .select(
+            "doc_id",
+            "n_toks",
+            top_frac.alias("top_bigram_frac"),
+            dup_frac.alias("dup_token_frac"),
+            ((top_frac >= 0.2) | (dup_frac >= 0.6)).alias("is_repetitive"),
+        )
+    )
+
+
+# PII patterns kept to syntax with identical semantics in Java regex
+# (Spark) and RE2 (DuckDB): character classes, bounded repetition, no
+# backreferences or lookaround.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_IPV4_RE = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH pii AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com from 10.0.'
+                    || CAST(doc_id % 256 AS VARCHAR) || '.7' AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_IPV4_RE}')) AS BIGINT) AS n_ips,
+           md5(regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_IPV4_RE}', '<IP>', 'g')) AS scrubbed_hash
+    FROM pii
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction over a corpus (emails, IPv4) — the
+    counting and scrubbing stage every training-data pipeline runs
+    before anything else. The synthetic corpus contains no organic PII,
+    so a deterministic email + IP is injected per document *inside the
+    query with the same expression the oracle uses* — the redaction is
+    then provably exercised on every row (asserted by the hash of the
+    scrubbed text, not just the match counts).
+
+    Pure JVM regex (codegen'd, no UDF); patterns are restricted to the
+    syntax subset where Java regex and RE2 agree. At 100 TB this is an
+    embarrassingly parallel projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(t, _EMAIL_RE, "<EMAIL>"), _IPV4_RE, "<IP>"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(_EMAIL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(_IPV4_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_ips"),
+        F.md5(scrubbed).alias("scrubbed_hash"),
+    )
+
+
+@query(
+    "text_window_dup_fraction",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    w AS (
+        SELECT DISTINCT doc_id,
+               unnest([md5(array_to_string(toks[i:i + 7], ' '))
+                       FOR i IN range(1, len(toks) - 6)]) AS wk
+        FROM t WHERE len(toks) >= 8
+    ),
+    s AS (SELECT wk, COUNT(*) AS d FROM w GROUP BY wk),
+    p AS (
+        SELECT w.doc_id, COUNT(*) AS n_windows,
+               SUM(CASE WHEN s.d >= 2 THEN 1 ELSE 0 END) AS shared
+        FROM w JOIN s USING (wk) GROUP BY w.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_windows AS BIGINT) AS n_windows,
+           CAST(shared AS DOUBLE) / n_windows AS dup_window_frac,
+           CAST(shared AS DOUBLE) / n_windows >= 0.5 AS is_contaminated
+    FROM p
+    """,
+)
+def text_window_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document duplication: the fraction of a document's distinct
+    8-token windows that also occur in at least one other document —
+    the fixed-window approximation of suffix-array substring
+    contamination (CCNet/RefinedWeb-style), used to catch boilerplate
+    and cross-document template reuse that document-level dedup misses.
+
+    Plan: one explode to (doc, window-hash), per-doc distinct, one
+    count per window hash, one join back, one per-doc aggregate. The
+    window dictionary is the only corpus-wide state and it shrinks with
+    the md5 projection; every stage is partial-aggregatable, so the
+    shuffle volume is ∝ distinct windows, not corpus²."""
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    wins = (
+        docs.filter(F.size("toks") >= 8)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 7),"
+                    " i -> md5(concat_ws(' ', slice(toks, i, 8))))"
+                )
+            ).alias("wk"),
+        )
+        .distinct()
+    )
+    shared = wins.groupBy("wk").agg(F.count("*").alias("d"))
+    per_doc = (
+        wins.join(shared, "wk")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum(F.when(F.col("d") >= 2, 1).otherwise(0)).alias("shared"),
+        )
+    )
+    frac = F.col("shared").cast("double") / F.col("n_windows")
+    return per_doc.select(
+        "doc_id",
+        F.col("n_windows").cast("long").alias("n_windows"),
+        frac.alias("dup_window_frac"),
+        (frac >= 0.5).alias("is_contaminated"),
+    )

@@ -21,6 +21,7 @@ unchanged to a large cluster:
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager as _contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -68,3 +69,35 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+@_contextmanager
+def loop_shuffle_partitions(
+    spark: SparkSession, n_rows: int, rows_per_partition: int = 500_000
+):
+    """Run an iterative loop's rounds under a shuffle-partition count
+    proportional to the loop's working set (~1 per 500k rows, capped at
+    the session parallelism).
+
+    Iterative DataFrame algorithms (label propagation, PageRank) pay a
+    per-round fixed cost ∝ shuffle partitions: task launch, AQE
+    planning, checkpoint materialization. Once the working set is
+    materialized its size is known, so the round can be sized to the
+    data — a few thousand edges run as single-task rounds, while at
+    100 TB the same formula scales back to full parallelism. The
+    session default is restored on exit, so only the loop's own
+    shuffles are affected.
+    """
+    parts = max(
+        1,
+        min(
+            spark.sparkContext.defaultParallelism,
+            n_rows // rows_per_partition + 1,
+        ),
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        yield parts
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
