@@ -216,3 +216,39 @@ def test_minhash_lsh_recall_vs_bruteforce_oracle(spark):
     if high:
         high_recall = len(high & set(lsh)) / len(high)
         assert high_recall >= 0.99, f"j>=0.95 recall {high_recall:.3f}"
+
+
+def test_chunked_shingling_equals_naive(spark):
+    """The O(len²/64) chunked 5-gram shingling in dedup_ngram_jaccard
+    must produce bit-identical shingle arrays to the naive
+    per-position substring form (substring is O(i) on UTF8String, so
+    the naive form is quadratic per document — see dedup.py)."""
+    import pyspark.sql.functions as F
+
+    from git_etl_spark.io import load_table
+
+    docs = load_table(spark, SF_CORRECTNESS, "documents")
+    chunks = (
+        "transform(sequence(1, CAST(ceil((length(text) - 4) / 64.0) AS INT)),"
+        " c -> substring(text, (c - 1) * 64 + 1, 68))"
+    )
+    chunked = docs.select(
+        "doc_id",
+        F.expr(
+            f"CASE WHEN length(text) >= 5 THEN flatten(transform({chunks},"
+            " ch -> transform(sequence(1, greatest(length(ch) - 4, 0)),"
+            "                 i -> substring(ch, i, 5))))"
+            " ELSE array() END"
+        ).alias("sh"),
+    )
+    naive = docs.select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN length(text) >= 5 THEN"
+            " transform(sequence(1, length(text) - 4),"
+            "           i -> substring(text, i, 5))"
+            " ELSE array() END"
+        ).alias("sh"),
+    )
+    assert chunked.exceptAll(naive).count() == 0
+    assert naive.exceptAll(chunked).count() == 0
