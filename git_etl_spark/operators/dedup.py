@@ -901,3 +901,92 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         members.join(labels, "set_key")
         .select(F.col("doc_id"), F.col("lbl").alias("cluster_id"))
     )
+
+
+@query(
+    "dedup_incremental_index_join",
+    oracle=f"""
+    WITH sets AS (
+        SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS toks
+        FROM documents
+    ),
+    delta AS (SELECT * FROM sets WHERE doc_id % 17 = 0)
+    SELECT LEAST(d.doc_id, s.doc_id) AS doc_a,
+           GREATEST(d.doc_id, s.doc_id) AS doc_b,
+           len(list_filter(d.toks, t -> list_contains(s.toks, t))) * 1.0
+             / (len(d.toks) + len(s.toks)
+                - len(list_filter(d.toks, t -> list_contains(s.toks, t))))
+             AS jaccard,
+           CASE WHEN s.doc_id % 17 = 0 THEN 'new-new' ELSE 'new-old' END
+             AS pair_type
+    FROM delta d, sets s
+    WHERE d.doc_id <> s.doc_id
+      AND (s.doc_id % 17 <> 0 OR d.doc_id < s.doc_id)
+      AND len(list_filter(d.toks, t -> list_contains(s.toks, t))) * 1.0
+            / (len(d.toks) + len(s.toks)
+               - len(list_filter(d.toks, t -> list_contains(s.toks, t))))
+          >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_incremental_index_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup detection: a new batch of documents (the
+    deterministic ``doc_id % 17 = 0`` slice stands in for today's
+    ingest) is checked against the full corpus by joining the *delta's*
+    deletion-neighborhood keys against the corpus-wide key index —
+    discovering every qualifying new-new and new-old pair WITHOUT
+    re-running pair generation over the old corpus.
+
+    This is the shape a 100 TB ingest actually runs: the full key table
+    is a persisted index (built once, appended per batch), so per-batch
+    cost is |delta|·|set| key lookups ∝ batch size, never corpus².
+    Here both sides are computed in-query (no storage dependency), but
+    the join topology is identical. The oracle is the naive
+    delta × corpus definition, proving the key scheme loses no pairs.
+
+    Output: (doc_a, doc_b, jaccard, pair_type) with pair_type
+    distinguishing new-new from new-old matches — the former dedup
+    within the batch, the latter dedup against the archive."""
+    sets = _token_sets(spark, sf_dir)
+    key_expr = F.explode(
+        F.expr(
+            "array_union("
+            " array(md5(concat_ws(' ', toks))),"
+            " transform(sequence(1, size(toks)), i ->"
+            "   md5(concat_ws(' ', concat(slice(toks, 1, i - 1),"
+            "                             slice(toks, i + 1, size(toks))))))"
+            ")"
+        )
+    ).alias("key")
+    index = sets.select("doc_id", key_expr)  # the persisted-index stand-in
+    delta_keys = index.filter(F.col("doc_id") % 17 == 0)
+    d, s = delta_keys.alias("d"), index.alias("s")
+    cand = (
+        d.join(
+            s,
+            (F.col("d.key") == F.col("s.key"))
+            & (F.col("d.doc_id") != F.col("s.doc_id"))
+            # new-new pairs would match twice (once per side): keep the
+            # d.doc_id < s.doc_id orientation; new-old pairs match once
+            & ((F.col("s.doc_id") % 17 != 0) | (F.col("d.doc_id") < F.col("s.doc_id"))),
+        )
+        .select(F.col("d.doc_id").alias("id_d"), F.col("s.doc_id").alias("id_s"))
+        .dropDuplicates(["id_d", "id_s"])
+    )
+    ta = sets.select(F.col("doc_id").alias("id_d"), F.col("toks").alias("toks_d"))
+    tb = sets.select(F.col("doc_id").alias("id_s"), F.col("toks").alias("toks_s"))
+    inter = F.size(F.array_intersect("toks_d", "toks_s"))
+    union = F.size("toks_d") + F.size("toks_s") - inter
+    return (
+        cand.join(ta, "id_d")
+        .join(tb, "id_s")
+        .withColumn("jaccard", inter.cast("double") / union)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select(
+            F.least("id_d", "id_s").alias("doc_a"),
+            F.greatest("id_d", "id_s").alias("doc_b"),
+            "jaccard",
+            F.when(F.col("id_s") % 17 == 0, F.lit("new-new"))
+            .otherwise(F.lit("new-old"))
+            .alias("pair_type"),
+        )
+    )
