@@ -875,18 +875,39 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["set_key"])
         .select("set_key", F.col("rep").alias("lbl"))
     )
+    labels = _min_label_components(
+        spark, sym, nodes.select(F.col("set_key").alias("v"), "lbl")
+    ).select(F.col("v").alias("set_key"), "lbl")
+    return (
+        members.join(labels, "set_key")
+        .select(F.col("doc_id"), F.col("lbl").alias("cluster_id"))
+    )
+
+
+def _min_label_components(
+    spark: SparkSession, sym: DataFrame, nodes: DataFrame
+) -> DataFrame:
+    """Min-label propagation to a fixpoint: ``sym`` is the materialized
+    symmetric edge list (a, b); ``nodes`` the initial labels (v, lbl).
+    Per round: min label across edges, elementwise least, eager
+    ``localCheckpoint`` so lineage and planning stay O(1) (the
+    GraphFrames trick); terminates when no label changes (≤ diameter
+    rounds). Rounds run under a shuffle-partition count sized to the
+    edge list (`loop_shuffle_partitions`). At 100 TB swap for
+    large-star/small-star — same per-round join shape, provably
+    O(log n) rounds — and checkpoint to reliable storage."""
     with loop_shuffle_partitions(spark, sym.count()):
         labels = nodes.localCheckpoint()
         for _ in range(20):  # diameter bound; breaks as soon as stable
             neighbor_min = (
-                sym.join(labels, sym.a == labels.set_key)
-                .groupBy(F.col("b").alias("set_key"))
+                sym.join(labels, sym.a == labels.v)
+                .groupBy(F.col("b").alias("v"))
                 .agg(F.min("lbl").alias("nlbl"))
             )
             stepped = (
-                labels.join(neighbor_min, "set_key", "left")
+                labels.join(neighbor_min, "v", "left")
                 .select(
-                    "set_key",
+                    "v",
                     F.least(F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))).alias(
                         "lbl"
                     ),
@@ -894,13 +915,10 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 .localCheckpoint()
             )
-            labels = stepped.select("set_key", "lbl")
+            labels = stepped.select("v", "lbl")
             if stepped.filter("chg").limit(1).count() == 0:
                 break
-    return (
-        members.join(labels, "set_key")
-        .select(F.col("doc_id"), F.col("lbl").alias("cluster_id"))
-    )
+    return labels
 
 
 @query(
@@ -989,4 +1007,63 @@ def dedup_incremental_index_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit("new-old"))
             .alias("pair_type"),
         )
+    )
+
+
+@query(
+    "dedup_semantic_clusters",
+    oracle=f"""
+    WITH RECURSIVE unit AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                              x -> CAST(x AS DOUBLE) / {_DUCK_NORM}) AS u
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb
+        FROM unit a, unit b
+        WHERE a.vec_id < b.vec_id
+          AND list_aggregate(list_transform(list_zip(a.u, b.u),
+                             p -> p[1] * p[2]), 'sum') >= {COSINE_DUP_THRESHOLD}
+    ),
+    e AS (SELECT va AS a, vb AS b FROM pairs
+          UNION SELECT vb, va FROM pairs),
+    verts AS (SELECT a AS v FROM e UNION SELECT b FROM e),
+    cc(v, lbl) AS (
+        SELECT v, v FROM verts
+        UNION
+        SELECT e.b AS v, cc.lbl FROM cc JOIN e ON cc.v = e.a WHERE cc.lbl < e.b
+    )
+    SELECT v AS vec_id, MIN(lbl) AS cluster_id,
+           v = MIN(lbl) AS is_representative
+    FROM cc GROUP BY v
+    """,
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: connected components over
+    the embedding-cosine near-dup graph (cos ≥ threshold), cluster id =
+    min vec_id in the component, plus the keep-flag — retain exactly
+    one representative per semantic cluster, drop the rest.
+
+    Pair generation is the oracled exact tier
+    (:func:`dedup_embedding_cosine_pairs`); at 100 TB the edge list
+    instead comes from a blocked tier (LSH buckets / IVF cells — see
+    similarity.py) with the same downstream shape. Clustering reuses
+    the min-label propagation fixpoint (`_min_label_components`), and
+    the DuckDB recursive CTE verifies the full pipeline — pair
+    threshold, component structure, representative choice — end to
+    end."""
+    pairs = dedup_embedding_cosine_pairs(spark, sf_dir)
+    edges = pairs.select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b"))
+    sym = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    nodes = (
+        sym.select(F.col("a").alias("v")).distinct().withColumn("lbl", F.col("v"))
+    )
+    labels = _min_label_components(spark, sym, nodes)
+    return labels.select(
+        F.col("v").alias("vec_id"),
+        F.col("lbl").alias("cluster_id"),
+        (F.col("v") == F.col("lbl")).alias("is_representative"),
     )
