@@ -207,3 +207,42 @@ def test_q21_reuses_identical_aggregate_exchange(spark):
         spark, "/root/testdata/sf0.001"
     )
     assert reused_exchange_count(df) >= 1
+
+
+def test_window_dup_fraction_partial_aggregation(spark):
+    """text_window_dup_fraction's per-window count must partial-
+    aggregate (map-side combine) so shuffle volume is ∝ distinct
+    windows, and nothing in the plan is a cartesian product."""
+    from git_etl_spark.plans.audit import physical_plan
+
+    plan = physical_plan(_q(spark, "text_window_dup_fraction"))
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_incremental_index_join_is_equi_join(spark):
+    """dedup_incremental_index_join must candidate-generate via the
+    key equi-join (sort-merge or hash), never a nested loop over
+    delta × corpus — that is the entire point of the index."""
+    from git_etl_spark.plans.audit import physical_plan
+
+    plan = physical_plan(_q(spark, "dedup_incremental_index_join"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_clusters_representative_property(spark):
+    """Every cluster's representative is a member of the cluster and
+    carries the minimum vec_id (the deterministic keep-one rule)."""
+    import pyspark.sql.functions as F
+
+    df = _q(spark, "dedup_semantic_clusters")
+    bad = (
+        df.groupBy("cluster_id")
+        .agg(
+            F.min("vec_id").alias("mn"),
+            F.sum(F.col("is_representative").cast("int")).alias("n_rep"),
+        )
+        .filter((F.col("mn") != F.col("cluster_id")) | (F.col("n_rep") != 1))
+    )
+    assert bad.count() == 0
