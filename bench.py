@@ -51,11 +51,14 @@ def main() -> None:
     spark = get_spark(app_name="git-etl-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    n_run = 0
+
     def run(name: str) -> float:
         # time the build too: several operators legitimately do work at
         # plan-build time (streaming replay, iterative loops, memoized
         # materialization) — starting the clock after the build would
         # under-bill exactly the queries that front-load execution
+        nonlocal n_run
         t0 = time.perf_counter()
         df = registry.QUERIES[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
@@ -63,12 +66,16 @@ def main() -> None:
         # iterative operators leave localCheckpoint RDD blocks behind;
         # drop the Python refs and nudge the JVM so ContextCleaner
         # unpersists them — otherwise executor storage fills over a
-        # 120-query run and later queries pay GC stalls
+        # 140-query run and later queries pay GC stalls. A forced full
+        # GC costs 0.1–0.3 s, so amortize it over every 8th query —
+        # a handful of queries' checkpoint debris is tens of MB.
         del df
-        import gc
+        n_run += 1
+        if n_run % 8 == 0:
+            import gc
 
-        gc.collect()
-        spark.sparkContext._jvm.System.gc()
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
         return elapsed
 
     # warm-up: JVM JIT + codegen + parquet footer caches, plus the
