@@ -259,3 +259,69 @@ def pipeline_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             "contamination"
         ),
     )
+
+
+@query(
+    "pipeline_mixture_sampling",
+    oracle="""
+    WITH w AS (
+        SELECT source, COUNT(*) AS n_src,
+               (CAST(substring(source, 4) AS INT) % 4) + 1 AS w
+        FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_src) AS BIGINT) AS n_total,
+               CAST(SUM(w) AS BIGINT) AS total_w
+        FROM w
+    ),
+    plan AS (
+        SELECT w.source, w.n_src,
+               ((tot.n_total // 2) * w.w) // tot.total_w AS target_k
+        FROM w, tot
+    )
+    SELECT d.doc_id, d.source, plan.target_k
+    FROM documents d JOIN plan ON d.source = plan.source
+    WHERE (CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+                AS BIGINT) % 1000000) * plan.n_src
+          < plan.target_k * 1000000
+    """,
+)
+def pipeline_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture sampling: given per-source target weights (here a
+    deterministic weight 1–4 derived from the source id) and a total
+    token/doc budget (half the corpus), compute each source's target
+    count and keep a deterministic hash-based sample of that source at
+    the implied rate — the reweighting step that turns a raw crawl into
+    a training mixture.
+
+    Everything is exact integer arithmetic — budget and per-source
+    targets via integer division, the keep decision via
+    ``bucket(doc) · n_src < target_k · 10⁶`` with a million-bucket md5
+    hash — so Spark and DuckDB agree bit-for-bit, and re-running the
+    pipeline (or adding executors) never changes the sample. At 100 TB
+    the weight/count table is a broadcast dimension and sampling is an
+    embarrassingly parallel filter — no shuffle at all on the corpus
+    side (the one groupBy is over the tiny source dimension)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    weights = docs.groupBy("source").agg(F.count("*").alias("n_src")).withColumn(
+        "w", (F.regexp_replace("source", "src", "").cast("int") % 4) + 1
+    )
+    tot = weights.agg(
+        F.sum("n_src").cast("long").alias("n_total"),
+        F.sum("w").cast("long").alias("total_w"),
+    )
+    plan = weights.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_src",
+        F.expr("((n_total DIV 2) * w) DIV total_w").alias("target_k"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 1000000
+    )
+    return (
+        docs.join(F.broadcast(plan), "source")
+        .filter(bucket * F.col("n_src") < F.col("target_k") * 1000000)
+        .select("doc_id", "source", "target_k")
+    )
