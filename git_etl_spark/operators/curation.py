@@ -325,3 +325,79 @@ def pipeline_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(bucket * F.col("n_src") < F.col("target_k") * 1000000)
         .select("doc_id", "source", "target_k")
     )
+
+
+@query(
+    "pipeline_leakage_safe_split",
+    oracle="""
+    WITH RECURSIVE sets AS (
+        SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS toks
+        FROM documents
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sets a, sets b
+        WHERE a.doc_id < b.doc_id
+          AND len(list_filter(a.toks, t -> list_contains(b.toks, t))) * 1.0
+                / (len(a.toks) + len(b.toks)
+                   - len(list_filter(a.toks, t -> list_contains(b.toks, t))))
+              >= 0.95
+    ),
+    e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+    verts AS (SELECT a AS v FROM e UNION SELECT b FROM e),
+    cc(v, lbl) AS (
+        SELECT v, v FROM verts
+        UNION
+        SELECT e.b AS v, cc.lbl FROM cc JOIN e ON cc.v = e.a WHERE cc.lbl < e.b
+    ),
+    clusters AS (SELECT v AS doc_id, MIN(lbl) AS cluster_id FROM cc GROUP BY v)
+    SELECT d.doc_id,
+           COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+           CASE WHEN CAST('0x' || substring(
+                         md5(CAST(COALESCE(c.cluster_id, d.doc_id) AS VARCHAR)),
+                         1, 8) AS BIGINT) % 10 < 8 THEN 'train'
+                WHEN CAST('0x' || substring(
+                         md5(CAST(COALESCE(c.cluster_id, d.doc_id) AS VARCHAR)),
+                         1, 8) AS BIGINT) % 10 < 9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+    """,
+)
+def pipeline_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the split key is the *near-dup
+    cluster*, not the document, so near-duplicates can never straddle
+    train and eval (the standard contamination failure of naive
+    per-document splits). Documents outside any near-dup pair form
+    singleton clusters keyed by their own id.
+
+    Cluster labels come from the collapsed-graph connected components
+    (:func:`...operators.dedup.dedup_cluster_components`, memoized
+    candidate generation shared within the session); the 80/10/10
+    assignment hashes the cluster id through the same million-bucket
+    md5 rule both engines compute identically. The DuckDB oracle
+    re-derives the clusters with a recursive CTE, so the *entire*
+    chain — pair threshold, components, singleton fallback, split
+    hash — is verified end to end."""
+    from .dedup import dedup_cluster_components
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    clusters = dedup_cluster_components(spark, sf_dir)
+    labeled = docs.join(clusters, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 10
+    )
+    return labeled.select(
+        "doc_id",
+        "cluster_id",
+        F.when(bucket < 8, F.lit("train"))
+        .when(bucket < 9, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
