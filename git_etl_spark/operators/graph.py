@@ -83,3 +83,129 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .localCheckpoint()
             )
     return ranks.select(F.col("src").alias("node"), "rank")
+
+
+def large_star_small_star(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """Connected components via alternating Large-Star / Small-Star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the O(log n)-round algorithm the min-label-propagation docstrings
+    point to for 100 TB graphs, where round count must not depend on
+    component diameter.
+
+    ``edges``: undirected (a, b) pairs over a totally ordered node
+    type. Per round, over the symmetrized current edge set:
+
+    - Large-Star: every node connects its strictly-larger neighbors to
+      the minimum of its closed neighborhood — emit (v, m) for v ∈ N(u),
+      v > u, m = min(N(u) ∪ {u}).
+    - Small-Star: orient edges larger→smaller, then every node connects
+      its smaller-or-equal neighbors (and itself) to the minimum — with
+      v < u always here, emit (v, mn) for v ≠ mn plus (u, mn).
+
+    The fixpoint is a set of stars (child → component minimum).
+    Convergence is detected by an (edge-count, xxhash64-xor) signature
+    of consecutive Small-Star outputs; each round ends in an eager
+    localCheckpoint so lineage stays O(1). Returns (v, lbl) for every
+    vertex of the input edge set."""
+    verts = (
+        edges.select(F.col("a").alias("v"))
+        .unionByName(edges.select(F.col("b").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    cur = edges.filter(F.col("a") != F.col("b")).localCheckpoint()
+    prev_sig = None
+    with loop_shuffle_partitions(spark, cur.count(), rows_per_partition=100_000):
+        for _ in range(30):  # O(log n) expected; backstop bound
+            sym = cur.unionByName(
+                cur.select(F.col("b").alias("a"), F.col("a").alias("b"))
+            ).dropDuplicates(["a", "b"])
+            # Large-Star
+            mins = sym.groupBy("a").agg(
+                F.least(F.min("b"), F.first("a")).alias("m")
+            )
+            ls = (
+                sym.join(mins, "a")
+                .filter(F.col("b") > F.col("a"))
+                .select(F.col("b").alias("u"), F.col("m").alias("w"))
+                .filter(F.col("u") != F.col("w"))
+                .dropDuplicates(["u", "w"])
+            )
+            # Small-Star over larger→smaller orientation
+            d = ls.select(
+                F.greatest("u", "w").alias("u"), F.least("u", "w").alias("w")
+            )
+            mins_s = d.groupBy("u").agg(F.min("w").alias("mn"))
+            ss = (
+                d.join(mins_s, "u")
+                .select(F.col("w").alias("a"), F.col("mn").alias("b"))
+                .filter(F.col("a") != F.col("b"))
+                .unionByName(
+                    mins_s.select(F.col("u").alias("a"), F.col("mn").alias("b"))
+                )
+                .dropDuplicates(["a", "b"])
+                .localCheckpoint()
+            )
+            sig_row = ss.agg(
+                F.count("*").alias("n"),
+                # order-insensitive, overflow-free set signature
+                F.expr("bit_xor(xxhash64(a, b))").alias("h"),
+            ).collect()[0]
+            sig = (sig_row["n"], sig_row["h"])
+            cur = ss
+            if sig == prev_sig:
+                break
+            prev_sig = sig
+    return (
+        verts.join(
+            cur.select(F.col("a").alias("v"), F.col("b").alias("lbl")),
+            "v",
+            "left",
+        )
+        .groupBy("v")
+        .agg(F.coalesce(F.min("lbl"), F.first("v")).alias("lbl"))
+    )
+
+
+@query(
+    "graph_components_large_star",
+    oracle="""
+    WITH RECURSIVE sets AS (
+        SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS toks
+        FROM documents
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sets a, sets b
+        WHERE a.doc_id < b.doc_id
+          AND len(list_filter(a.toks, t -> list_contains(b.toks, t))) * 1.0
+                / (len(a.toks) + len(b.toks)
+                   - len(list_filter(a.toks, t -> list_contains(b.toks, t))))
+              >= 0.95
+    ),
+    e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+    verts AS (SELECT a AS v FROM e UNION SELECT b FROM e),
+    cc(v, lbl) AS (
+        SELECT v, v FROM verts
+        UNION
+        SELECT e.b AS v, cc.lbl FROM cc JOIN e ON cc.v = e.a WHERE cc.lbl < e.b
+    )
+    SELECT v AS doc_id, MIN(lbl) AS cluster_id FROM cc GROUP BY v
+    """,
+)
+def graph_components_large_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Large-Star/Small-Star engine run over the full doc-level
+    near-dup pair graph (not the collapsed one — deliberately, so the
+    O(log n) algorithm is exercised on the densest graph available) and
+    held to the same recursive-CTE ground truth as the propagation
+    engine. Two independent distributed CC implementations against one
+    declarative oracle."""
+    from .dedup import dedup_jaccard_pairs
+
+    pairs = dedup_jaccard_pairs(spark, sf_dir)
+    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    labels = large_star_small_star(spark, edges)
+    return labels.select(
+        F.col("v").alias("doc_id"), F.col("lbl").alias("cluster_id")
+    )
