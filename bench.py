@@ -132,6 +132,9 @@ def main() -> None:
         "udf_grouped_running_value",
         "multimodal_decode_features",
         "pipeline_corpus_curation",
+        "pipeline_leakage_safe_split",
+        "graph_components_large_star",
+        "dedup_semantic_clusters",
     ]
     head = {k: timings[k] for k in headline if k in timings}
     while True:

@@ -53,6 +53,12 @@ MINHASH_HASHES = 128
 MINHASH_BANDS = 8
 MINHASH_PRIME = (1 << 31) - 1  # Mersenne prime for the universal hash family
 
+# Above this edge count, connected components switches from min-label
+# propagation (O(diameter) rounds) to Large-Star/Small-Star (O(log n),
+# diameter-independent) — see dedup_cluster_components. Both engines are
+# oracle-verified; tests force the switch to assert equivalence.
+LS_SS_EDGE_THRESHOLD = 5_000_000
+
 
 @query(
     "dedup_exact_rebuild",
@@ -890,9 +896,41 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["set_key"])
         .select("set_key", F.col("rep").alias("lbl"))
     )
-    labels = _min_label_components(
-        spark, sym, nodes.select(F.col("set_key").alias("v"), "lbl")
-    ).select(F.col("v").alias("set_key"), "lbl")
+    # Engine selection: min-label propagation needs O(diameter) rounds —
+    # fine for the collapsed near-dup graph at survey scale; above the
+    # threshold switch to Large-Star/Small-Star (O(log n) rounds,
+    # diameter-independent). Both engines are independently verified
+    # against the same recursive-CTE oracle (graph_components_large_star).
+    if sym.count() > LS_SS_EDGE_THRESHOLD:
+        from .graph import large_star_small_star
+
+        # LS/SS labels components by the MIN NODE ID, so it must run in
+        # rep-id space (rep = group's min doc_id), not set_key space —
+        # md5-string ordering has nothing to do with cluster ids
+        ga = group_rep.select(
+            F.col("set_key").alias("key_a"), F.col("rep").alias("a")
+        )
+        gb = group_rep.select(
+            F.col("set_key").alias("key_b"), F.col("rep").alias("b")
+        )
+        rep_edges = rep_pairs.join(ga, "key_a").join(gb, "key_b").select("a", "b")
+        rep_labels = large_star_small_star(spark, rep_edges).select(
+            F.col("v").alias("rep"), "lbl"
+        )
+        # LS/SS only labels vertices with cross edges; size-≥2 groups
+        # without cross edges still need their self-label
+        labels = (
+            nodes.join(group_rep.select("set_key", "rep"), "set_key")
+            .join(rep_labels, "rep", "left")
+            .select(
+                "set_key",
+                F.coalesce(rep_labels.lbl, nodes.lbl).alias("lbl"),
+            )
+        )
+    else:
+        labels = _min_label_components(
+            spark, sym, nodes.select(F.col("set_key").alias("v"), "lbl")
+        ).select(F.col("v").alias("set_key"), "lbl")
     return (
         members.join(labels, "set_key")
         .select(F.col("doc_id"), F.col("lbl").alias("cluster_id"))

@@ -252,3 +252,19 @@ def test_chunked_shingling_equals_naive(spark):
     )
     assert chunked.exceptAll(naive).count() == 0
     assert naive.exceptAll(chunked).count() == 0
+
+
+def test_cluster_components_ls_ss_engine_equivalent(spark, monkeypatch):
+    """Forcing the Large-Star/Small-Star branch of
+    dedup_cluster_components (normally taken above 5M edges) must give
+    exactly the propagation engine's clustering."""
+    from git_etl_spark.operators import dedup
+
+    baseline = sorted(
+        map(tuple, dedup.dedup_cluster_components(spark, SF_CORRECTNESS).collect())
+    )
+    monkeypatch.setattr(dedup, "LS_SS_EDGE_THRESHOLD", 0)
+    forced = sorted(
+        map(tuple, dedup.dedup_cluster_components(spark, SF_CORRECTNESS).collect())
+    )
+    assert baseline == forced
