@@ -268,3 +268,42 @@ def test_cluster_components_ls_ss_engine_equivalent(spark, monkeypatch):
         map(tuple, dedup.dedup_cluster_components(spark, SF_CORRECTNESS).collect())
     )
     assert baseline == forced
+
+
+def test_large_star_small_star_random_graphs(spark):
+    """Large-Star/Small-Star against a driver-side union-find reference
+    on seeded random graphs (chains, cliques, stars, isolated pairs
+    arise naturally across densities)."""
+    import random
+
+    from git_etl_spark.operators.graph import large_star_small_star
+
+    rng = random.Random(1234)
+    for trial, (n, m) in enumerate([(12, 8), (30, 25), (50, 80), (40, 20)]):
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        # reference: union-find
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        verts = sorted({v for e in edges for v in e})
+        expected = sorted((v, find(v)) for v in verts)
+
+        df = spark.createDataFrame(edges, ["a", "b"])
+        got = sorted(
+            (r["v"], r["lbl"]) for r in large_star_small_star(spark, df).collect()
+        )
+        assert got == expected, f"trial {trial}: {got} != {expected}"
