@@ -500,3 +500,81 @@ def events_rolling_7day_distinct_users(spark: SparkSession, sf_dir: str) -> Data
         .groupBy("day")
         .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
     )
+
+
+@query(
+    "events_hourly_anomaly",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS hour_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ),
+    scored AS (
+        SELECT hour_bucket, n,
+               CAST(SUM(n) OVER w AS BIGINT) AS s,
+               CAST(SUM(n * n) OVER w AS BIGINT) AS ss,
+               CAST(COUNT(*) OVER w AS BIGINT) AS k
+        FROM hourly
+        WINDOW w AS (ORDER BY hour_bucket
+                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT hour_bucket, n,
+           CAST(s AS DOUBLE) / k AS trailing_mean,
+           (n - CAST(s AS DOUBLE) / k)
+             / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / k) / k)
+             AS zscore,
+           abs((n - CAST(s AS DOUBLE) / k)
+             / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / k) / k)) >= 3.0
+             AS is_anomaly
+    FROM scored
+    WHERE k = 24
+      AND (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / k) > 0
+    """,
+)
+def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly detection on the event stream: each
+    hour's count scored against the mean/variance of the previous 24
+    hours (the current hour excluded — no self-contamination), flagging
+    |z| ≥ 3. Hours without a full trailing day (or with a degenerate
+    zero-variance window) are excluded on both engines.
+
+    All window sums are exact integers; mean/variance/z become doubles
+    through the identical expression on both engines, so the flag
+    compares identical bit patterns. One shuffle to hourly buckets +
+    one ordered window — at 100 TB the hourly rollup is tiny regardless
+    of input volume, so this is effectively free after aggregation
+    (and the rollup itself is partial-aggregated)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(trunc_hour_ntz("ts").alias("hour_bucket")).agg(
+        F.count("*").alias("n")
+    )
+    w = Window.orderBy("hour_bucket").rowsBetween(-24, -1)
+    scored = hourly.select(
+        "hour_bucket",
+        "n",
+        F.sum("n").over(w).alias("s"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("ss"),
+        F.count("*").over(w).alias("k"),
+    )
+    mean = F.col("s").cast("double") / F.col("k")
+    var = (
+        F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("k")
+    ) / F.col("k")
+    z = (F.col("n") - mean) / F.sqrt(var)
+    return (
+        scored.filter(
+            (F.col("k") == 24)
+            & (
+                (F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("k"))
+                > 0
+            )
+        )
+        .select(
+            "hour_bucket",
+            "n",
+            mean.alias("trailing_mean"),
+            z.alias("zscore"),
+            (F.abs(z) >= 3.0).alias("is_anomaly"),
+        )
+    )
