@@ -497,13 +497,28 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size("sh").alias("sz"), F.explode("sh").alias("s")
     ).localCheckpoint()
     docfreq = occ.groupBy("s").agg(F.count("*").alias("df")).localCheckpoint()
-    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("s"))
+    # dictionary-encode shingles ONCE, up front: every downstream stage
+    # (prefix ranking, candidate self-join, bitset build) then works on
+    # int ids instead of 5-char strings — cheaper hashing/shuffles, and
+    # the bitset build no longer needs its own vocab join. sid is
+    # assigned in shingle sort order, so ordering by (df, sid) is the
+    # same total order as (df, s).
+    n_vocab = docfreq.count()
+    n_words = (n_vocab + 63) // 64
+    vocab = docfreq.select(
+        "s", "df", (F.row_number().over(Window.orderBy("s")) - 1).alias("sid")
+    )
+    occ_i = (
+        occ.join(F.broadcast(vocab), "s")
+        .select("doc_id", "sz", "sid", "df")
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("sid"))
     prefix_len = F.col("sz") - F.floor((9 * F.col("sz") + 9) / 10) + 1
     prefix = (
-        occ.join(F.broadcast(docfreq), "s")
-        .withColumn("pos", F.row_number().over(w))
+        occ_i.withColumn("pos", F.row_number().over(w))
         .filter(F.col("pos") <= prefix_len)
-        .select("doc_id", "s", "sz", "pos")
+        .select("doc_id", "sid", "sz", "pos")
         .localCheckpoint()  # consumed twice (both sides of the self-join)
     )
     a, b = prefix.alias("a"), prefix.alias("b")
@@ -512,7 +527,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         a.join(
             b,
-            (F.col("a.s") == F.col("b.s"))
+            (F.col("a.sid") == F.col("b.sid"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             # length filter: t ≤ |A|/|B| ≤ 1/t
             & (F.col("b.sz") * 10 >= F.col("a.sz") * 9)
@@ -532,15 +547,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    # bitset verify: dictionary-encode shingles, pack per-doc bitsets
-    n_vocab = docfreq.count()
-    n_words = (n_vocab + 63) // 64
-    vocab = docfreq.select(
-        "s", (F.row_number().over(Window.orderBy("s")) - 1).alias("sid")
-    )
+    # bitset verify: pack per-doc bitsets from the dictionary-coded
+    # occurrence table
     words = (
-        occ.join(F.broadcast(vocab), "s")
-        .groupBy("doc_id", (F.col("sid") / 64).cast("int").alias("bkt"))
+        occ_i.groupBy("doc_id", (F.col("sid") / 64).cast("int").alias("bkt"))
         .agg(F.expr("bit_or(shiftleft(1L, CAST(sid % 64 AS INT)))").alias("word"))
     )
     bitsets = (
