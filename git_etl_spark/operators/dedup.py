@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from ..functions.vector import norm
 from ..io import load_table
 from ..registry import query
-from ..session import loop_shuffle_partitions
+from ..session import iter_checkpoint, loop_shuffle_partitions
 
 # DuckDB twin of functions.vector.norm over the raw embedding column
 _DUCK_NORM = (
@@ -915,7 +915,7 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # threshold switch to Large-Star/Small-Star (O(log n) rounds,
     # diameter-independent). Both engines are independently verified
     # against the same recursive-CTE oracle (graph_components_large_star).
-    if sym.count() > LS_SS_EDGE_THRESHOLD:
+    def _ls_ss_labels() -> DataFrame:
         from .graph import large_star_small_star
 
         # LS/SS labels components by the MIN NODE ID, so it must run in
@@ -933,7 +933,7 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # LS/SS only labels vertices with cross edges; size-≥2 groups
         # without cross edges still need their self-label
-        labels = (
+        return (
             nodes.join(group_rep.select("set_key", "rep"), "set_key")
             .join(rep_labels, "rep", "left")
             .select(
@@ -941,10 +941,22 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce(rep_labels.lbl, nodes.lbl).alias("lbl"),
             )
         )
+
+    if sym.count() > LS_SS_EDGE_THRESHOLD:
+        labels = _ls_ss_labels()
     else:
-        labels = _min_label_components(
-            spark, sym, nodes.select(F.col("set_key").alias("v"), "lbl")
-        ).select(F.col("v").alias("set_key"), "lbl")
+        from .graph import ConvergenceError
+
+        try:
+            labels = _min_label_components(
+                spark, sym, nodes.select(F.col("set_key").alias("v"), "lbl")
+            ).select(F.col("v").alias("set_key"), "lbl")
+        except ConvergenceError:
+            # a sub-threshold graph can still have diameter > the round
+            # bound (e.g. one long path of near-dups); the O(log n)
+            # engine is diameter-independent, so escalate instead of
+            # failing the query
+            labels = _ls_ss_labels()
     result = (
         members.join(labels, "set_key")
         .select(F.col("doc_id"), F.col("lbl").alias("cluster_id"))
@@ -959,6 +971,9 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CLUSTER_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
+MIN_LABEL_MAX_ROUNDS = 20
+
+
 def _min_label_components(
     spark: SparkSession, sym: DataFrame, nodes: DataFrame
 ) -> DataFrame:
@@ -970,10 +985,19 @@ def _min_label_components(
     rounds). Rounds run under a shuffle-partition count sized to the
     edge list (`loop_shuffle_partitions`). At 100 TB swap for
     large-star/small-star — same per-round join shape, provably
-    O(log n) rounds — and checkpoint to reliable storage."""
+    O(log n) rounds — and checkpoint to reliable storage.
+
+    Raises :class:`~..operators.graph.ConvergenceError` if the round
+    bound is exhausted before stability (a component with diameter >
+    MIN_LABEL_MAX_ROUNDS) — unconverged labels are never returned
+    silently. ``dedup_cluster_components`` catches this and escalates
+    to the diameter-independent Large-Star/Small-Star engine."""
+    from .graph import ConvergenceError
+
+    stable = False
     with loop_shuffle_partitions(spark, sym.count()):
-        labels = nodes.localCheckpoint()
-        for _ in range(20):  # diameter bound; breaks as soon as stable
+        labels = iter_checkpoint(nodes)
+        for _ in range(MIN_LABEL_MAX_ROUNDS):  # breaks as soon as stable
             neighbor_min = (
                 sym.join(labels, sym.a == labels.v)
                 .groupBy(F.col("b").alias("v"))
@@ -988,11 +1012,18 @@ def _min_label_components(
                     ),
                     (F.coalesce("nlbl", F.col("lbl")) < F.col("lbl")).alias("chg"),
                 )
-                .localCheckpoint()
             )
+            stepped = iter_checkpoint(stepped)
             labels = stepped.select("v", "lbl")
             if stepped.filter("chg").limit(1).count() == 0:
+                stable = True
                 break
+    if not stable:
+        raise ConvergenceError(
+            f"min-label propagation did not stabilize within "
+            f"{MIN_LABEL_MAX_ROUNDS} rounds (component diameter exceeds the "
+            f"bound) — escalate to large_star_small_star (O(log n) rounds)"
+        )
     return labels
 
 

@@ -15,10 +15,17 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..registry import query
-from ..session import loop_shuffle_partitions
+from ..session import iter_checkpoint, loop_shuffle_partitions
 
 PAGERANK_ITERS = 6
 DAMPING = 0.85
+
+
+class ConvergenceError(RuntimeError):
+    """An iterative fixpoint exhausted its round bound without reaching
+    a stable state. Raised instead of returning silently-unconverged
+    labels; callers may escalate to a diameter-independent engine
+    (min-label propagation → Large-Star/Small-Star)."""
 
 
 @query("graph_pagerank_bipartite")  # rows-only: iterative fixpoint, not SQL
@@ -70,17 +77,16 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # small rounds, while the sorted-fold aggregation is CPU-heavy
     # enough that ~20k edges per task keeps cores busy at this scale
     with loop_shuffle_partitions(spark, edges_w.count(), rows_per_partition=20_000):
-        ranks = (
+        ranks = iter_checkpoint(
             edges.select("src").distinct().withColumn("rank", F.lit(1.0))
-        ).localCheckpoint()
+        )
         for _ in range(PAGERANK_ITERS):
             contribs = edges_w.join(ranks, "src").select(
                 "dst", (F.col("rank") / F.col("deg")).alias("contrib")
             )
-            ranks = (
+            ranks = iter_checkpoint(
                 contribs.groupBy(F.col("dst").alias("src"))
                 .agg(((1 - DAMPING) + DAMPING * sorted_sum).alias("rank"))
-                .localCheckpoint()
             )
     return ranks.select(F.col("src").alias("node"), "rank")
 
@@ -115,8 +121,11 @@ def large_star_small_star(spark: SparkSession, edges: DataFrame) -> DataFrame:
     )
     cur = edges.filter(F.col("a") != F.col("b")).localCheckpoint()
     prev_sig = None
+    converged = cur.count() == 0  # empty graph: trivially stable
     with loop_shuffle_partitions(spark, cur.count(), rows_per_partition=100_000):
         for _ in range(30):  # O(log n) expected; backstop bound
+            if converged:
+                break
             sym = cur.unionByName(
                 cur.select(F.col("b").alias("a"), F.col("a").alias("b"))
             ).dropDuplicates(["a", "b"])
@@ -144,8 +153,8 @@ def large_star_small_star(spark: SparkSession, edges: DataFrame) -> DataFrame:
                     mins_s.select(F.col("u").alias("a"), F.col("mn").alias("b"))
                 )
                 .dropDuplicates(["a", "b"])
-                .localCheckpoint()
             )
+            ss = iter_checkpoint(ss)
             sig_row = ss.agg(
                 F.count("*").alias("n"),
                 # order-insensitive, overflow-free set signature
@@ -154,8 +163,18 @@ def large_star_small_star(spark: SparkSession, edges: DataFrame) -> DataFrame:
             sig = (sig_row["n"], sig_row["h"])
             cur = ss
             if sig == prev_sig:
-                break
+                converged = True
             prev_sig = sig
+    if not converged:
+        # 30 alternating rounds is ~2× the expected O(log n) bound for
+        # any graph that fits a cluster; exhausting it means either an
+        # algorithmic regression or a (astronomically unlikely)
+        # signature collision masking progress — never return labels
+        # that may still be mid-collapse.
+        raise ConvergenceError(
+            "large_star_small_star: no stable Small-Star fixpoint within "
+            "30 rounds — refusing to return possibly-unconverged labels"
+        )
     return (
         verts.join(
             cur.select(F.col("a").alias("v"), F.col("b").alias("lbl")),

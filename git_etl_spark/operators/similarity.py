@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from ..functions.vector import cosine, duck_cosine
 from ..io import load_table
 from ..registry import query
-from ..session import loop_shuffle_partitions
+from ..session import iter_checkpoint, loop_shuffle_partitions
 
 TOP_K = 5
 N_QUERIES = 10  # query set = vec_id < 10
@@ -183,9 +183,11 @@ def ivf_topk(spark: SparkSession, sf_dir: str, n_probe: int = N_PROBE) -> DataFr
         F.lit(0.0),
         lambda acc, d: acc + d,
     )
-    centroids = vecs.filter(F.col("vec_id") < K_CELLS).select(
-        F.col("vec_id").alias("cell"), F.col("v").alias("cv")
-    ).localCheckpoint()
+    centroids = iter_checkpoint(
+        vecs.filter(F.col("vec_id") < K_CELLS).select(
+            F.col("vec_id").alias("cell"), F.col("v").alias("cv")
+        )
+    )
     w_assign = Window.partitionBy("vec_id").orderBy("dist", "cell")
     # Lloyd rounds shuffle ~|corpus|·dim exploded elements; size the
     # round to that working set instead of the session default (the
@@ -210,7 +212,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str, n_probe: int = N_PROBE) -> DataFr
             means = elems.groupBy("cell", "pos").agg(
                 (seq_sum / F.count("*")).alias("m")
             )
-            centroids = (
+            centroids = iter_checkpoint(
                 means.groupBy("cell")
                 .agg(
                     F.transform(
@@ -218,7 +220,6 @@ def ivf_topk(spark: SparkSession, sf_dir: str, n_probe: int = N_PROBE) -> DataFr
                         lambda s: s.getField("m"),
                     ).alias("cv")
                 )
-                .localCheckpoint()
             )
         posting = (
             vecs.crossJoin(F.broadcast(centroids))
@@ -226,9 +227,9 @@ def ivf_topk(spark: SparkSession, sf_dir: str, n_probe: int = N_PROBE) -> DataFr
             .withColumn("rn", F.row_number().over(w_assign))
             .filter(F.col("rn") == 1)
             .select("vec_id", "cell")
-            .localCheckpoint()  # reused below; keeps the assignment
-            # inside the sized-loop scope
         )
+        posting = iter_checkpoint(posting)  # reused below; keeps the
+        # assignment inside the sized-loop scope
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )

@@ -71,6 +71,26 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def iter_checkpoint(df):
+    """Per-round lineage cut for iterative operators.
+
+    ``localCheckpoint`` stores blocks on executors — fast, but lost
+    with an executor, which kills a long-running iterative job on a
+    real cluster. The knob is the standard Spark one: when the caller
+    has set a reliable checkpoint location
+    (``spark.sparkContext.setCheckpointDir(...)`` pointing at HDFS/S3),
+    every round checkpoints reliably; otherwise the local fast path is
+    used (the right default for local[] testing and short loops).
+    All iterative operators (min-label / Large-Star–Small-Star
+    components, PageRank, IVF Lloyd rounds) route their round
+    materialization through here, so one ``setCheckpointDir`` call
+    flips the whole engine — see DEPLOYMENT.md."""
+    spark = df.sparkSession
+    if spark.sparkContext.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 @_contextmanager
 def loop_shuffle_partitions(
     spark: SparkSession, n_rows: int, rows_per_partition: int = 500_000
