@@ -183,21 +183,22 @@ def _jaccard_pairs_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
        (``_distinct_set_groups``) — within-group pairs are emitted
        directly with jaccard 1.0, never joined or verified;
     2. deletion-neighborhood candidate generation over the *distinct*
-       sets only: J(A,B) ≥ t bounds |A∆B| ≤ (1/t−1)·|A∩B| ≤
-       0.0526·31 < 2 for this corpus's set sizes — a qualifying
-       non-identical pair differs by exactly one token, so one side's
-       delete-one md5 key equals the other's full-set key. O(n·|set|)
-       keys, never a cross join, candidate count ∝ near-dup density;
+       sets only: J(A,B) ≥ t bounds |A∆B| ≤ (1/t−1)·|A∩B|, so each
+       side needs keys for at most d deleted tokens, with d derived
+       from the corpus's max set size at runtime (`_deletion_distance`
+       — d=1 for this corpus's ≤31-token sets, automatically d=2 when
+       sets grow past 38 tokens). A qualifying pair then shares a
+       deletion-subset md5 key. O(n·|set|^d) keys, never a cross join,
+       candidate count ∝ near-dup density;
     3. exact Jaccard verification on representative pairs only;
     4. expand each verified representative pair over both groups'
        members (token sets identical within a group ⇒ the pair Jaccard
        is the representatives' Jaccard).
 
     The DuckDB oracle is the naive O(n²) definition — it independently
-    proves the scheme loses no pairs at every driver round. (For larger
-    sets or lower thresholds, |A∆B| grows past 2: extend to deletion-d
-    subsets with d = ⌈(1/t−1)·max|∩|⌉ − 1 on each side — same plan
-    shape, more keys.)"""
+    proves the scheme loses no pairs at every driver round; the
+    data-derived d is property-tested on a synthetic large-set corpus
+    where a hardcoded d=1 provably loses a pair."""
     members, rep_pairs = _rep_graph_materialized(spark, sf_dir)
 
     # within-group: every doc pair sharing a token set, jaccard = 1.0
@@ -228,34 +229,83 @@ def _jaccard_pairs_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return within.unionByName(cross)
 
 
+def _deletion_distance(
+    max_set_size: int, threshold: float = JACCARD_THRESHOLD
+) -> int:
+    """Per-side deletion distance the candidate keys must cover so the
+    deletion-neighborhood scheme is lossless for THIS corpus.
+
+    J(A,B) ≥ t bounds the symmetric difference: |A∆B| ≤ (1/t−1)·|A∩B|
+    ≤ (1/t−1)·max|set|, and each side deletes at most its share of the
+    difference, so d = ⌊(1/t−1)·max|set|⌋ deletions per side suffice.
+    Computed in exact rational arithmetic — ⌊(1/0.95−1)·38⌋ in floats
+    is 1.9999…→1, silently one short of the true 38/19 = 2."""
+    from fractions import Fraction
+
+    fr = Fraction(threshold).limit_denominator(10_000)
+    return max(1, (max_set_size * (fr.denominator - fr.numerator)) // fr.numerator)
+
+
+# deletion-neighborhood key families over a sorted token array `toks`:
+# md5 of the space-joined remainder after deleting 0, 1, or 2 tokens.
+# Index-lambda filters keep every key a pure JVM expression.
+_KEYS_D0 = "array(md5(concat_ws(' ', toks)))"
+_KEYS_D1 = (
+    "transform(sequence(1, size(toks)), i ->"
+    " md5(concat_ws(' ', filter(toks, (t, k) -> k != i - 1))))"
+)
+_KEYS_D2 = (
+    "flatten(transform(sequence(1, size(toks)), i ->"
+    " transform(filter(sequence(1, size(toks)), j -> j > i), j ->"
+    "  md5(concat_ws(' ', filter(toks, (t, k) -> k != i - 1 and k != j - 1))))))"
+)
+
+
+def _deletion_keys_expr(d: int):
+    """Exploded key column covering all deletion subsets of size ≤ d.
+
+    d ≤ 2 covers Jaccard ≥ 0.95 up to 57-token sets (the corpus is 31).
+    Beyond that the key fan-out is C(|set|, d) per set — at that point
+    the right candidate scheme is prefix filtering (dedup_ngram_jaccard's
+    PPJoin), not deeper deletion neighborhoods."""
+    if d == 1:
+        expr = f"array_union({_KEYS_D0}, {_KEYS_D1})"
+    elif d == 2:
+        expr = f"array_union(array_union({_KEYS_D0}, {_KEYS_D1}), {_KEYS_D2})"
+    else:
+        raise NotImplementedError(
+            f"deletion distance {d} > 2: use the PPJoin prefix-filter path "
+            "(dedup_ngram_jaccard) for corpora whose set sizes push the "
+            "deletion neighborhood past pairs"
+        )
+    return F.explode(F.expr(expr)).alias("key")
+
+
+def _corpus_deletion_distance(sets: DataFrame) -> int:
+    """Derive d from the data (max token-set size), never assume it."""
+    max_sz = sets.agg(F.max(F.size("toks"))).collect()[0][0]
+    return _deletion_distance(max_sz or 1)
+
+
 def _rep_graph_impl(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, deletion_d: int | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """(members, rep_pairs): group membership (set_key, doc_id) and the
     verified cross-group near-dup pairs between distinct token sets
     (key_a, key_b, jaccard) — the collapsed form both the pair listing
-    and the clustering are derived from."""
+    and the clustering are derived from. ``deletion_d`` overrides the
+    data-derived deletion distance (tests only)."""
     grouped = _distinct_set_groups(_token_sets(spark, sf_dir))
     members = grouped.select("set_key", "doc_id")
     reps = grouped.filter(F.col("doc_id") == F.col("rep")).select(
         "set_key", "toks"
     )
 
-    # cross-group candidates over distinct sets: full key + one key per
-    # single-token deletion (1-based slices)
-    keys = reps.select(
-        "set_key",
-        F.explode(
-            F.expr(
-                "array_union("
-                " array(md5(concat_ws(' ', toks))),"
-                " transform(sequence(1, size(toks)), i ->"
-                "   md5(concat_ws(' ', concat(slice(toks, 1, i - 1),"
-                "                             slice(toks, i + 1, size(toks))))))"
-                ")"
-            )
-        ).alias("key"),
-    )
+    # cross-group candidates over distinct sets: one key per deletion
+    # subset of size ≤ d, d derived from the corpus's max set size
+    if deletion_d is None:
+        deletion_d = _corpus_deletion_distance(reps)
+    keys = reps.select("set_key", _deletion_keys_expr(deletion_d))
     a, b = keys.alias("a"), keys.alias("b")
     cand = (
         a.join(
@@ -1071,17 +1121,11 @@ def dedup_incremental_index_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinguishing new-new from new-old matches — the former dedup
     within the batch, the latter dedup against the archive."""
     sets = _token_sets(spark, sf_dir)
-    key_expr = F.explode(
-        F.expr(
-            "array_union("
-            " array(md5(concat_ws(' ', toks))),"
-            " transform(sequence(1, size(toks)), i ->"
-            "   md5(concat_ws(' ', concat(slice(toks, 1, i - 1),"
-            "                             slice(toks, i + 1, size(toks))))))"
-            ")"
-        )
-    ).alias("key")
-    index = sets.select("doc_id", key_expr)  # the persisted-index stand-in
+    # the persisted-index stand-in; key family sized to the corpus so
+    # the scheme stays lossless if set sizes grow (see _deletion_distance)
+    index = sets.select(
+        "doc_id", _deletion_keys_expr(_corpus_deletion_distance(sets))
+    )
     delta_keys = index.filter(F.col("doc_id") % 17 == 0)
     d, s = delta_keys.alias("d"), index.alias("s")
     cand = (
