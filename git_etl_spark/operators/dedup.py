@@ -20,6 +20,8 @@ Scale design notes (these run against 100 TB corpora):
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -379,6 +381,15 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     memoized per (session, sf_dir) — the semantic-clustering query
     consumes the same pairs in the same session (`_COS_PAIRS_MEMO`).
 
+    This is the EXACT tier (all pairs scored). At this calibrated-low
+    threshold that is not a compromise: ~1% of ALL pairs qualify on
+    near-random embeddings, so the output itself is Θ(corpus²) and no
+    algorithm does better than a well-executed quadratic scan. At real
+    semantic-dedup thresholds (cos ≥ ~0.7) the qualifying set is sparse
+    and the blocked tier (:func:`blocked_cosine_pairs`) prunes the
+    quadratic candidate space instead — `semantic_clusters` routes
+    between the two on threshold.
+
     Plan shape, tuned against measured alternatives at sf0.1:
 
     1. Normalize once into **64 plain double columns** (not an array):
@@ -395,47 +406,209 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB the same normalized-columnar layout feeds LSH/IVF bucket
     joins (see simsearch_lsh_bucketed); only the blocking changes."""
-    from functools import reduce
-
     memo_key = (spark.sparkContext.applicationId, sf_dir)
     memoized = _COS_PAIRS_MEMO.get(memo_key)
     if memoized is not None:
         return memoized
 
-    dim = 64
-    emb = load_table(spark, sf_dir, "embeddings")
-    unit = emb.select(
-        "vec_id",
-        *[
-            (
-                F.col("embedding").getItem(i).cast("double")
-                / norm(F.col("embedding"))
-            ).alias(f"u{i}")
-            for i in range(dim)
-        ],
-    ).repartition(spark.sparkContext.defaultParallelism)
-    a, b = unit.alias("a"), unit.alias("b")
-    dot_uu = reduce(
-        lambda x, y: x + y,
-        [F.col(f"a.u{i}") * F.col(f"b.u{i}") for i in range(dim)],
-    )
-    pairs = (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            dot_uu.alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= COSINE_DUP_THRESHOLD)
-        .localCheckpoint()  # tiny (near-dup pairs only); reused by the
-        # semantic-clustering consumer in the same session
-    )
+    pairs = _exact_cosine_pairs(
+        spark, sf_dir, COSINE_DUP_THRESHOLD
+    ).localCheckpoint()  # tiny (near-dup pairs only); reused by the
+    # semantic-clustering consumer in the same session
     _COS_PAIRS_MEMO[memo_key] = pairs
     return pairs
 
 
 # verified cosine pair set per (session, sf_dir) — see docstring above
 _COS_PAIRS_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+EMBED_DIM = 64
+
+
+def _unit_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, u0..u63): L2-normalized embedding as flat double
+    columns (codegen-friendly — see dedup_embedding_cosine_pairs), with
+    a repartition barrier so the per-vector norm is computed once."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        *[
+            (
+                F.col("embedding").getItem(i).cast("double")
+                / norm(F.col("embedding"))
+            ).alias(f"u{i}")
+            for i in range(EMBED_DIM)
+        ],
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+
+def _pair_dot(prefix_a: str, prefix_b: str):
+    """Left-associative dot-product chain over two flat u-column sets —
+    the SAME addition order as the exact tier and the DuckDB oracle's
+    sequential list fold, so cos values are bitwise identical no matter
+    which tier produced the pair."""
+    from functools import reduce
+
+    return reduce(
+        lambda x, y: x + y,
+        [
+            F.col(f"{prefix_a}.u{i}") * F.col(f"{prefix_b}.u{i}")
+            for i in range(EMBED_DIM)
+        ],
+    )
+
+
+def _exact_cosine_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float
+) -> DataFrame:
+    """All-pairs exact cosine ≥ threshold (vec_a < vec_b) — the
+    quadratic kernel: correct at any threshold, optimal when the
+    output is itself quadratic, and the recall oracle for the blocked
+    tier's pytest."""
+    unit = _unit_cols(spark, sf_dir)
+    a, b = unit.alias("a"), unit.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            _pair_dot("a", "b").alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+# Below this cosine threshold the blocked tier refuses to pretend: a
+# hyperplane family separates cos τ pairs from random pairs at rate
+# (1 − acos(τ)/π) vs 0.5 per bit — at τ < ~0.7 the gap is so thin that
+# any table count with honest recall admits ~all pairs as candidates,
+# while the qualifying output itself approaches Θ(corpus²) anyway.
+# `semantic_clusters` therefore routes low thresholds to the exact tier.
+BLOCKED_EDGE_MIN_COS = 0.7
+
+
+def lsh_plan(
+    threshold: float, target_recall: float = 0.999, bits: int = 8
+) -> tuple[int, int]:
+    """(bits, n_tables) for hyperplane LSH at a cosine threshold.
+
+    Per random hyperplane, a pair at cos τ collides with probability
+    p = 1 − acos(τ)/π; a b-bit table with probability p^b; any of L
+    tables with 1 − (1−p^b)^L. L is the smallest table count whose
+    worst-case (exactly-at-threshold) recall meets ``target_recall`` —
+    pairs above the threshold recall strictly better."""
+    import math
+
+    p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    per_table = p**bits
+    if per_table >= 1.0:
+        return bits, 1
+    n_tables = math.ceil(
+        math.log(1.0 - target_recall) / math.log(1.0 - per_table)
+    )
+    return bits, max(1, n_tables)
+
+
+def blocked_cosine_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float,
+    target_recall: float = 0.999,
+    bits: int = 8,
+    n_tables: int | None = None,
+    seed: int = 97,
+) -> DataFrame:
+    """Blocked cosine near-dup pairs: hyperplane-LSH bucket candidates,
+    exact verification — the 100 TB production edge source for
+    semantic dedup (candidates ∝ bucket co-occupancy, never corpus²).
+
+    Stages:
+
+    1. **Signatures** (linear): one Arrow-batched pandas UDF computes
+       all L·b hyperplane sign bits as a single numpy matmul per batch
+       and packs them into L table signatures. (A literal-coefficient
+       column expression would also work, but L·b·dim ≈ 10⁴ expression
+       nodes per row is codegen-hostile; one BLAS matmul is the right
+       kernel for this embarrassingly parallel step.)
+    2. **Candidates**: posexplode to (vec_id, table, sig), self-join on
+       (table, sig), keep vec_a < vec_b, distinct. Hot buckets split
+       via AQE skew-join at scale.
+    3. **Verify** (JVM): join candidates back to the normalized flat
+       columns and compute the exact dot with the SAME addition order
+       as the exact tier — verified cos values are bitwise identical,
+       so downstream clustering cannot tell which tier fed it.
+
+    Recall is a design parameter, not a hope: table count comes from
+    `lsh_plan(threshold, target_recall)` — at-threshold pairs are
+    recalled with ≥ target_recall probability, higher-cos pairs
+    strictly better. The exact tier is this function's recall oracle
+    in tests/test_blocked_semantic.py."""
+    unit = _unit_cols(spark, sf_dir)
+    cand = _blocked_candidates(
+        spark, unit, threshold, target_recall, bits, n_tables, seed
+    )
+    ua, ub = unit.alias("ua"), unit.alias("ub")
+    return (
+        cand.join(ua, F.col("vec_a") == F.col("ua.vec_id"))
+        .join(ub, F.col("vec_b") == F.col("ub.vec_id"))
+        .select("vec_a", "vec_b", _pair_dot("ua", "ub").alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def _blocked_candidates(
+    spark: SparkSession,
+    unit: DataFrame,
+    threshold: float,
+    target_recall: float = 0.999,
+    bits: int = 8,
+    n_tables: int | None = None,
+    seed: int = 97,
+) -> DataFrame:
+    """LSH bucket co-occupancy candidates (vec_a < vec_b, distinct) —
+    stage 1+2 of blocked_cosine_pairs, split out so tests can measure
+    candidate pruning directly."""
+    import numpy as np
+
+    if n_tables is None:
+        bits, n_tables = lsh_plan(threshold, target_recall, bits)
+    planes = np.random.default_rng(seed).standard_normal(
+        (n_tables * bits, EMBED_DIM)
+    )
+    b_planes = spark.sparkContext.broadcast(planes)
+    n_tables_local, bits_local = n_tables, bits
+
+    @F.pandas_udf("array<long>")
+    def signatures(s: pd.DataFrame) -> pd.Series:
+        u = s.to_numpy(dtype=np.float64)
+        sign_bits = (u @ b_planes.value.T) >= 0.0  # (n, L·b)
+        weights = 1 << np.arange(bits_local, dtype=np.int64)
+        sigs = (
+            sign_bits.reshape(len(u), n_tables_local, bits_local).astype(
+                np.int64
+            )
+            @ weights
+        )
+        return pd.Series(list(sigs))
+
+    ucols = F.struct(*[F.col(f"u{i}") for i in range(EMBED_DIM)])
+    posted = unit.select(
+        "vec_id", F.posexplode(signatures(ucols)).alias("t", "sig")
+    )
+    a, b = posted.alias("a"), posted.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
 
 
 @query(
@@ -1195,15 +1368,57 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     min vec_id in the component, plus the keep-flag — retain exactly
     one representative per semantic cluster, drop the rest.
 
-    Pair generation is the oracled exact tier
-    (:func:`dedup_embedding_cosine_pairs`); at 100 TB the edge list
-    instead comes from a blocked tier (LSH buckets / IVF cells — see
-    similarity.py) with the same downstream shape. Clustering reuses
-    the min-label propagation fixpoint (`_min_label_components`), and
-    the DuckDB recursive CTE verifies the full pipeline — pair
-    threshold, component structure, representative choice — end to
-    end."""
-    pairs = dedup_embedding_cosine_pairs(spark, sf_dir)
+    The registered query runs :func:`semantic_clusters` at the
+    corpus-calibrated threshold (0.35), which routes to the exact pair
+    tier — the right kernel there, because the qualifying pair set at
+    that threshold is itself ~1% of ALL pairs (Θ(corpus²) output: no
+    blocking scheme can beat a quadratic lower bound, and hyperplane
+    bits separate cos 0.35 from random at only 0.61 vs 0.5). At
+    production semantic-dedup thresholds (≥ 0.7) the same entry point
+    routes to the blocked LSH tier (:func:`blocked_cosine_pairs`) —
+    candidates ∝ bucket co-occupancy, designed recall, identical
+    downstream clustering; tests/test_blocked_semantic.py holds the
+    blocked tier to the exact tier's pairs and clusters on a planted
+    near-dup corpus. The DuckDB recursive CTE verifies the full
+    pipeline — pair threshold, component structure, representative
+    choice — end to end."""
+    return semantic_clusters(spark, sf_dir)
+
+
+def semantic_clusters(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = COSINE_DUP_THRESHOLD,
+    edge_source: str = "auto",
+    **lsh_kwargs,
+) -> DataFrame:
+    """Semantic dedup with a routed edge source: ``auto`` picks the
+    blocked LSH tier at thresholds where it prunes AND recalls
+    (≥ BLOCKED_EDGE_MIN_COS), the exact tier below — where the output
+    is intrinsically quadratic and exact scanning is optimal. Both
+    tiers emit bitwise-identical verified cos values, so clustering is
+    tier-agnostic."""
+    if edge_source == "auto":
+        edge_source = (
+            "blocked" if threshold >= BLOCKED_EDGE_MIN_COS else "exact"
+        )
+    if edge_source == "blocked":
+        pairs = blocked_cosine_pairs(spark, sf_dir, threshold, **lsh_kwargs)
+    elif threshold == COSINE_DUP_THRESHOLD:
+        pairs = dedup_embedding_cosine_pairs(spark, sf_dir)  # memoized
+    else:
+        pairs = _exact_cosine_pairs(spark, sf_dir, threshold)
+    return _cluster_vec_pairs(spark, pairs)
+
+
+def _cluster_vec_pairs(spark: SparkSession, pairs: DataFrame) -> DataFrame:
+    """(vec_id, cluster_id, is_representative) from verified cosine
+    pairs via min-label propagation, escalating to Large-Star/
+    Small-Star when the component diameter exceeds the round bound
+    (labels start as vec_id, so LS/SS's min-node-id fixpoint is the
+    same labeling)."""
+    from .graph import ConvergenceError
+
     edges = pairs.select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b"))
     sym = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -1211,7 +1426,12 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = (
         sym.select(F.col("a").alias("v")).distinct().withColumn("lbl", F.col("v"))
     )
-    labels = _min_label_components(spark, sym, nodes)
+    try:
+        labels = _min_label_components(spark, sym, nodes)
+    except ConvergenceError:
+        from .graph import large_star_small_star
+
+        labels = large_star_small_star(spark, edges)
     return labels.select(
         F.col("v").alias("vec_id"),
         F.col("lbl").alias("cluster_id"),
