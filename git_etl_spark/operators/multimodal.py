@@ -7,10 +7,14 @@ everything *around* the payload — binary columns, byte-level scalar
 functions, Arrow-batched ``mapInPandas`` decode plumbing, schema and
 partitioning — is real and tested.
 
-The actual codec step is stubbed (no image/audio libraries in this
-environment): ``decode_image_stub`` raises NotImplementedError for
-real formats and produces deterministic fake features for the
-stand-in format, keeping the pipeline end-to-end runnable.
+The stand-in payloads ship in a real (synthetic) container format —
+SIMG: 4-byte magic + big-endian width/height header + body — built
+JVM-side and *parsed* back in the Python workers (``decode_image``),
+so the mapInPandas path exercises an actual per-payload decode whose
+every feature the DuckDB oracle reconstructs independently. Real codec
+formats (PNG/JPEG/RIFF) still raise NotImplementedError: PIL/ffmpeg
+are not in this environment, and a silent fake decode of real media
+would be worse than a loud gap.
 """
 
 from __future__ import annotations
@@ -26,8 +30,14 @@ from ..io import load_table
 from ..registry import query
 
 FEATURE_SCHEMA = (
-    "doc_id long, n_bytes long, magic string, mean_byte double, max_byte int"
+    "doc_id long, n_bytes long, magic string, width int, height int,"
+    " mean_byte double, max_byte int"
 )
+
+# the synthetic container format the corpus's stand-in media ships in:
+# 4-byte magic, 2-byte big-endian width, 2-byte big-endian height, body
+SIMG_MAGIC = b"SIMG"
+REAL_CODEC_MAGICS = (b"\x89PNG", b"\xff\xd8\xff\xe0", b"RIFF")
 
 
 @query(
@@ -95,26 +105,83 @@ def multimodal_binaryfile_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def decode_image_stub(payload: bytes) -> dict:
-    """Stand-in for a media decode (PIL/ffmpeg are not available in
-    this environment). Real formats raise; the UTF-8 stand-in payload
-    yields deterministic byte statistics so the distributed plumbing
-    is exercised end-to-end."""
-    if payload[:4] in (b"\x89PNG", b"\xff\xd8\xff\xe0", b"RIFF"):
+def encode_simg(doc_id_col, text_col):
+    """JVM-side SIMG container builder: magic + 2-byte big-endian
+    width/height header + UTF-8 body. Width is payload-derived
+    (doc_id mod 13 + 4), height = ⌈n_bytes / width⌉ — every field is a
+    pure function of the row, so the container is reproducible by the
+    DuckDB oracle."""
+    body = F.encode(text_col, "UTF-8")
+    width = (F.col(doc_id_col) % 13 + 4).cast("int")
+    height = (
+        (F.octet_length(body) + width - F.lit(1)) / width
+    ).cast("int")
+    be16 = lambda c: F.unhex(F.lpad(F.hex(c), 4, "0"))  # noqa: E731
+    return F.concat(F.lit(SIMG_MAGIC), be16(width), be16(height), body)
+
+
+def decode_image(payload: bytes) -> dict:
+    """Pure-Python deterministic decode of the SIMG container: parses
+    the header with ``struct`` and computes per-payload byte features —
+    a real (if tiny) decode running inside the Arrow-batched
+    ``mapInPandas`` plumbing. Real codec formats still raise
+    (PIL/ffmpeg are not in this environment); any other payload falls
+    back to raw byte statistics so the pipeline stays total."""
+    import struct
+
+    if payload[:4] in REAL_CODEC_MAGICS:
         raise NotImplementedError(
             "real media decode requires PIL/ffmpeg; not present in this env"
         )
+    if payload[:4] == SIMG_MAGIC:
+        width, height = struct.unpack(">HH", payload[4:8])
+        body = payload[8:]
+        mv = memoryview(body)
+        total = sum(mv)
+        return {
+            "n_bytes": len(body),
+            "magic": "SIMG",
+            "width": width,
+            "height": height,
+            "mean_byte": total / len(body) if body else 0.0,
+            "max_byte": max(mv) if body else 0,
+        }
     mv = memoryview(payload)
     total = sum(mv)
     return {
         "n_bytes": len(payload),
         "magic": payload[:4].decode("utf-8", errors="replace"),
+        "width": 0,
+        "height": 0,
         "mean_byte": total / len(payload) if payload else 0.0,
         "max_byte": max(mv) if payload else 0,
     }
 
 
-@query("multimodal_decode_features")  # rows-only: mapInPandas plumbing demo
+@query(
+    "multimodal_decode_features",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id,
+               hex(encode(text)) AS h,
+               octet_length(encode(text)) AS n,
+               CAST(doc_id % 13 + 4 AS INT) AS width
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_bytes,
+           'SIMG' AS magic,
+           width,
+           CAST((n + width - 1) // width AS INT) AS height,
+           list_aggregate(list_transform(range(1, n + 1),
+               i -> CAST('0x' || substr(h, 2*i - 1, 2) AS INT)), 'sum')
+             * 1.0 / n AS mean_byte,
+           CAST(list_aggregate(list_transform(range(1, n + 1),
+               i -> CAST('0x' || substr(h, 2*i - 1, 2) AS INT)), 'max')
+             AS INT) AS max_byte
+    FROM b
+    """,
+)
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5 decode / feature-extract over binary payloads with
     ``mapInPandas``: Arrow-batched iterator of pandas frames, one
@@ -122,17 +189,35 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-item work (image resize, frame sampling, audio features).
     Batch size follows ``spark.sql.execution.arrow.maxRecordsPerBatch``;
     at 100 TB the input is repartitioned so one batch of payloads fits
-    executor memory."""
+    executor memory.
+
+    The payload is a real (synthetic) container: rows are wrapped in
+    the SIMG header JVM-side (`encode_simg`), and the Python worker
+    actually PARSES each payload (`decode_image`: struct-unpacked
+    header + per-byte statistics over the body). The DuckDB oracle
+    reconstructs every feature independently from the text column —
+    byte sums via hex-pair arithmetic — so the full wrap→ship→decode
+    loop is value-verified, not just shape-checked."""
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "UTF-8").alias("payload")
+        "doc_id", encode_simg("doc_id", "text").alias("payload")
     )
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [decode_image_stub(p) for p in pdf["payload"]]
+            feats = [decode_image(p) for p in pdf["payload"]]
             out = pd.DataFrame(feats)
             out.insert(0, "doc_id", pdf["doc_id"].values)
-            yield out[["doc_id", "n_bytes", "magic", "mean_byte", "max_byte"]]
+            yield out[
+                [
+                    "doc_id",
+                    "n_bytes",
+                    "magic",
+                    "width",
+                    "height",
+                    "mean_byte",
+                    "max_byte",
+                ]
+            ]
 
     return docs.mapInPandas(extract, schema=FEATURE_SCHEMA)
 

@@ -32,13 +32,19 @@ def test_minhash_lsh_recovers_exact_pairs(spark):
 
 def test_multimodal_decode_schema_and_determinism(spark):
     df = _q("multimodal_decode_features")(spark, SF_CORRECTNESS)
-    assert df.columns == ["doc_id", "n_bytes", "magic", "mean_byte", "max_byte"]
-    rows1 = {r.doc_id: (r.n_bytes, r.magic, r.mean_byte, r.max_byte) for r in df.collect()}
+    assert df.columns == [
+        "doc_id", "n_bytes", "magic", "width", "height", "mean_byte", "max_byte"
+    ]
+    rows1 = {r.doc_id: tuple(r)[1:] for r in df.collect()}
     rows2 = {
-        r.doc_id: (r.n_bytes, r.magic, r.mean_byte, r.max_byte)
+        r.doc_id: tuple(r)[1:]
         for r in _q("multimodal_decode_features")(spark, SF_CORRECTNESS).collect()
     }
     assert rows1 == rows2, "decode features must be deterministic"
+    # the header round-trips: height*width covers the body exactly
+    assert all(
+        v[3] * v[2] >= v[0] > (v[3] - 1) * v[2] for v in rows1.values()
+    ), "SIMG header geometry must cover the body"
     # n_bytes must agree with the oracled binary-meta query
     meta = {
         r.doc_id: r.n_bytes
@@ -47,15 +53,28 @@ def test_multimodal_decode_schema_and_determinism(spark):
     assert all(meta[d] == v[0] for d, v in rows1.items())
 
 
-def test_decode_stub_rejects_real_formats():
+def test_decode_rejects_real_formats_and_parses_simg():
     import pytest
 
-    from git_etl_spark.operators.multimodal import decode_image_stub
+    from git_etl_spark.operators.multimodal import decode_image
 
     with pytest.raises(NotImplementedError):
-        decode_image_stub(b"\x89PNG\r\n\x1a\n....")
-    out = decode_image_stub("plain text payload".encode())
+        decode_image(b"\x89PNG\r\n\x1a\n....")
+    # raw fallback for unknown payloads
+    out = decode_image("plain text payload".encode())
     assert out["n_bytes"] == 18 and out["magic"] == "plai"
+    # SIMG container: header is parsed, features come from the body
+    body = b"abcdefgh"
+    payload = b"SIMG" + (4).to_bytes(2, "big") + (2).to_bytes(2, "big") + body
+    out = decode_image(payload)
+    assert out == {
+        "n_bytes": 8,
+        "magic": "SIMG",
+        "width": 4,
+        "height": 2,
+        "mean_byte": sum(body) / 8,
+        "max_byte": max(body),
+    }
 
 
 def test_lsh_bucketed_partitions_corpus(spark):
