@@ -23,8 +23,23 @@ from ..registry import query
 from ..streaming.events_stream import hourly_counts, sessionized
 
 # replay source parquet per (session, sf_dir): written once, reused by
-# every streaming replay query in the session
+# every streaming replay query in the session, deleted at interpreter
+# exit (the memo outlives any one query, so per-query cleanup would
+# defeat it — but the temp dirs must not accumulate across sessions)
 _SRC_MEMO: dict[tuple[str, str], str] = {}
+
+
+def _cleanup_replay_sources() -> None:
+    import shutil
+
+    for path in _SRC_MEMO.values():
+        shutil.rmtree(path, ignore_errors=True)
+    _SRC_MEMO.clear()
+
+
+import atexit  # noqa: E402  (registration belongs right next to the memo)
+
+atexit.register(_cleanup_replay_sources)
 
 
 def _replay(

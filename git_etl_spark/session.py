@@ -107,6 +107,12 @@ def loop_shuffle_partitions(
     100 TB the same formula scales back to full parallelism. The
     session default is restored on exit, so only the loop's own
     shuffles are affected.
+
+    CONTRACT: results must be *materialized inside the scope* (every
+    call site ends rounds in an eager iter_checkpoint/localCheckpoint).
+    A lazily-returned plan would execute after exit under the restored
+    session setting — silently losing the sizing this context exists
+    to apply.
     """
     parts = max(
         1,
