@@ -257,16 +257,54 @@ def sample_frames_stub(payload: bytes, max_frames: int = 8) -> list[dict]:
     return out
 
 
-@query("multimodal_frame_sample")  # rows-only: frame explode has no oracle view
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, hex(encode(text)) AS h,
+               octet_length(encode(text)) AS n
+        FROM documents
+    ),
+    f AS (
+        SELECT doc_id, h, n,
+               CAST(greatest(1, (n + 255) // 256) AS INT) AS n_frames
+        FROM b
+    ),
+    g AS (
+        SELECT doc_id, h, n, n_frames,
+               CAST(greatest(1, n_frames // 8) AS INT) AS stride
+        FROM f
+    ),
+    frames AS (
+        SELECT doc_id, h, n, n_frames,
+               CAST(idx AS INT) AS frame_idx,
+               least(n, (idx + 1) * 256) - idx * 256 AS flen
+        FROM g, unnest(range(0, n_frames, stride)) AS t(idx)
+    )
+    SELECT doc_id, frame_idx, n_frames,
+           list_aggregate(list_transform(range(1, flen + 1),
+               i -> CAST('0x' || substr(h, 2*(frame_idx*256 + i) - 1, 2)
+                    AS INT)), 'sum') * 1.0 / flen AS frame_mean,
+           array_to_string(list_transform(
+               list_filter(range(0, 4),
+                           j -> j * greatest(1, flen // 4) < flen),
+               j -> lower(substr(h,
+                    2*(frame_idx*256 + j * greatest(1, flen // 4)) + 1,
+                    2))), '') AS thumb_hex
+    FROM frames
+    """,
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5 frame-sampling over 'video' payloads with ``mapInPandas`` in
     its row-expanding form: each input row yields a variable number of
     output rows (one per sampled frame) — the shape that matters for
     video pipelines, where the 1→N expansion must happen executor-side
     (never a driver-side loop) and downstream repartitioning rebalances
-    the exploded rows. The decode itself is stubbed deterministically
-    (see sample_frames_stub); batch iteration, Arrow transfer, schema,
-    and the expansion are the real thing."""
+    the exploded rows. The frame 'decode' operates on synthetic frames
+    (see sample_frames_stub), but every emitted value — frame index,
+    per-frame byte mean, strided thumbnail hex — is independently
+    reconstructed by the DuckDB oracle from the text column, so the
+    expansion is value-verified, not just shape-checked."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
