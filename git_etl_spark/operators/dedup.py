@@ -926,7 +926,81 @@ def _minhash_coefficients() -> list[tuple[int, int]]:
     ]
 
 
-@query("dedup_minhash_lsh")  # rows-only: signature values are parameter-dependent
+def _minhash_oracle_sql() -> str:
+    """DuckDB twin of the ENTIRE MinHash-LSH pipeline — not just the
+    naive pair definition: the same seeded coefficients (inlined as a
+    VALUES table), the same md5-derived token hashes, the same banded
+    bucketing and verification. Every stage is engine-independent
+    arithmetic, so the banding itself is hash-verified, not merely the
+    final pair set."""
+    rows_per_band = MINHASH_HASHES // MINHASH_BANDS
+    coeff_rows = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(_minhash_coefficients())
+    )
+    return f"""
+    WITH coeffs(i, ca, cb) AS (VALUES {coeff_rows}),
+    sets0 AS (
+        SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS toks
+        FROM documents
+    ),
+    grouped AS (
+        SELECT doc_id, toks, md5(array_to_string(toks, ' ')) AS set_key,
+               MIN(doc_id) OVER (
+                   PARTITION BY md5(array_to_string(toks, ' '))
+               ) AS rep
+        FROM sets0
+    ),
+    reps AS (SELECT set_key, toks FROM grouped WHERE doc_id = rep),
+    th AS (
+        SELECT set_key,
+               CAST('0x' || substr(md5(t.tok), 1, 8) AS BIGINT) AS h
+        FROM reps, unnest(toks) AS t(tok)
+    ),
+    minh AS (
+        SELECT th.set_key, c.i,
+               MIN((c.ca * th.h + c.cb) % {MINHASH_PRIME}) AS m
+        FROM th CROSS JOIN coeffs c
+        GROUP BY th.set_key, c.i
+    ),
+    bands AS (
+        SELECT set_key, i // {rows_per_band} AS band,
+               md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY i)) AS band_key
+        FROM minh GROUP BY set_key, i // {rows_per_band}
+    ),
+    cand AS (
+        SELECT DISTINCT a.set_key AS key_a, b.set_key AS key_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key
+         AND a.set_key < b.set_key
+    ),
+    verify AS (
+        SELECT * FROM (
+            SELECT key_a, key_b,
+                   len(list_filter(ra.toks, t -> list_contains(rb.toks, t)))
+                     * 1.0
+                     / (len(ra.toks) + len(rb.toks)
+                        - len(list_filter(ra.toks,
+                                          t -> list_contains(rb.toks, t))))
+                     AS jaccard
+            FROM cand
+            JOIN reps ra ON ra.set_key = cand.key_a
+            JOIN reps rb ON rb.set_key = cand.key_b
+        ) WHERE jaccard >= 0.9
+    )
+    SELECT ma.doc_id AS doc_a, mb.doc_id AS doc_b,
+           CAST(1.0 AS DOUBLE) AS jaccard
+    FROM grouped ma JOIN grouped mb
+      ON ma.set_key = mb.set_key AND ma.doc_id < mb.doc_id
+    UNION ALL
+    SELECT LEAST(ma.doc_id, mb.doc_id) AS doc_a,
+           GREATEST(ma.doc_id, mb.doc_id) AS doc_b, v.jaccard
+    FROM verify v
+    JOIN grouped ma ON ma.set_key = v.key_a
+    JOIN grouped mb ON mb.set_key = v.key_b
+    """
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_oracle_sql())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 MinHash + banded LSH near-dup pairs, the full
     shingle → minhash → band → bucket-join pipeline as relational ops:

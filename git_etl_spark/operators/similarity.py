@@ -6,7 +6,8 @@ Two tiers, as a production vector pipeline would have:
   cosine in pure double array lambdas, per-query row_number. The
   correctness baseline; at 100 TB this is the shape you run *within a
   block*, never globally.
-- **LSH-bucketed approximate** (rows-only): random-hyperplane signature
+- **LSH-bucketed approximate** (oracled since round 4 — the dot fold
+  is bitwise-reproducible in DuckDB): random-hyperplane signature
   buckets via fixed seed vectors — candidates only form within a
   bucket, which is the scale path (candidate count ∝ bucket size, not
   corpus²).
@@ -17,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine, duck_cosine
+from ..functions.vector import cosine, duck_cosine, duck_dot
 from ..io import load_table
 from ..registry import query
 from ..session import iter_checkpoint, loop_shuffle_partitions
@@ -72,7 +73,25 @@ def simsearch_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("simsearch_lsh_bucketed")  # rows-only: bucket boundaries are heuristic
+@query(
+    "simsearch_lsh_bucketed",
+    oracle=f"""
+    WITH planes AS (
+        SELECT vec_id AS h_id, embedding AS h FROM embeddings
+        WHERE vec_id >= 100 AND vec_id < 108
+    ),
+    sigs AS (
+        SELECT e.vec_id,
+               CAST(SUM(CASE WHEN {duck_dot("e.embedding", "p.h")} >= 0
+                        THEN (1 << CAST(p.h_id - 100 AS INT))
+                        ELSE 0 END) AS INT) AS signature
+        FROM embeddings e CROSS JOIN planes p
+        GROUP BY e.vec_id
+    )
+    SELECT signature, COUNT(*) AS bucket_size
+    FROM sigs GROUP BY signature
+    """,
+)
 def simsearch_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH: 8-bit signatures from sign(v·hᵢ) against
     8 fixed in-corpus hyperplanes (vec_id 100..107, L2-normalized
@@ -80,6 +99,11 @@ def simsearch_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket — the corpus² cross join never materializes. Returns
     per-bucket candidate stats; the top-k-within-bucket refinement
     reuses simsearch_topk_bruteforce's scoring inside each bucket.
+
+    Oracled since round 4: the dot fold is bitwise-reproducible in
+    DuckDB (functions/vector.py), so every signature bit — and
+    therefore the whole bucket histogram — is hash-verified
+    cross-engine.
 
     At 100 TB: signatures are one narrow shuffle key; skewed buckets
     (hot signatures) split via AQE skew-join or signature+salt."""
