@@ -171,9 +171,10 @@ def pipeline_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 NGRAM_N = 8  # contamination shingle width (tokens)
 
 
-@query(
-    "pipeline_decontamination",
-    oracle=f"""
+# naive-definition oracle for the contamination probe - shared by the
+# broadcast query and its Bloom-pre-probe twin (the Bloom stage is a
+# lossless pre-filter, so both must produce identical rows)
+_DECON_ORACLE = f"""
     WITH toks AS (
         SELECT doc_id, source, string_split(text, ' ') AS t
         FROM documents
@@ -199,8 +200,10 @@ NGRAM_N = 8  # contamination shingle width (tokens)
     SELECT c.doc_id, c.n_shared, tt.n_shingles,
            CAST(c.n_shared AS DOUBLE) / tt.n_shingles AS contamination
     FROM counts c JOIN totals tt ON c.doc_id = tt.doc_id
-    """,
-)
+    """
+
+
+@query("pipeline_decontamination", oracle=_DECON_ORACLE)
 def pipeline_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: training documents (here: every
     source but ``src0``, which stands in for the eval set) are flagged
@@ -247,6 +250,110 @@ def pipeline_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = (
         train.select("doc_id", F.explode("gs").alias("g"))
         .join(F.broadcast(eval_sh), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    totals = train.select("doc_id", F.size("gs").alias("n_shingles"))
+    return counts.join(totals, "doc_id").select(
+        "doc_id",
+        "n_shared",
+        "n_shingles",
+        (F.col("n_shared").cast("double") / F.col("n_shingles")).alias(
+            "contamination"
+        ),
+    )
+
+
+BLOOM_BITS = 1 << 17  # 128k-bit filter -> 2048 bitmap words
+BLOOM_K = 5  # probes per shingle; FP rate ~ (1-e^(-kn/m))^k
+
+
+def _bloom_probe_array():
+    """k (word, mask) probes for the shingle column ``g``:
+    position_j = xxhash64(g, j) mod m, as one pure-JVM array expression
+    (seeded hashes via the extra hash argument; shiftleft needs its
+    count as an expression, hence SQL text)."""
+    probes = ", ".join(
+        f"named_struct("
+        f" 'w', CAST(pmod(xxhash64(g, {j}), {BLOOM_BITS}) DIV 64 AS INT),"
+        f" 'mask', shiftleft(CAST(1 AS BIGINT),"
+        f"  CAST(pmod(xxhash64(g, {j}), {BLOOM_BITS}) % 64 AS INT)))"
+        for j in range(BLOOM_K)
+    )
+    return F.expr(f"array({probes})")
+
+
+@query("pipeline_decontamination_bloom", oracle=_DECON_ORACLE)
+def pipeline_decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The contamination probe with a **relational Bloom-filter
+    pre-probe** — the plan shape for when the eval shingle set is too
+    large to broadcast as rows (pipeline_decontamination's documented
+    escape hatch):
+
+    1. build the filter AS DATA: explode every eval shingle to
+       BLOOM_K (word, mask) probes, ``bit_or(mask)`` per word — a
+       ≤ m/64-row bitmap table (2048 rows ≈ 16 KB here) that stays
+       broadcastable long after the shingle rows themselves aren't;
+    2. probe: each training shingle joins its k probe words against
+       the bitmap; it survives only if ALL k probed bits are set
+       (``bool_and``) — no false negatives by construction, false
+       positives at the designed rate;
+    3. exact join on the survivors only, which removes false
+       positives — so the result (and the oracle) is IDENTICAL to the
+       broadcast variant, and only the candidate volume differs.
+
+    At 100 TB: the bitmap scales with DISTINCT eval n-grams / 64 words
+    regardless of corpus size; the big side is touched once, filtered
+    to ~FP-rate of its shingles before any join shuffle."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = F.split("text", " ")
+    arrs = docs.select(
+        "doc_id",
+        "source",
+        F.array_distinct(
+            F.when(
+                F.size(toks) >= NGRAM_N,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - (NGRAM_N - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, NGRAM_N)),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        ).alias("gs"),
+    ).localCheckpoint()
+    eval_sh = (
+        arrs.filter(F.col("source") == "src0")
+        .select(F.explode("gs").alias("g"))
+        .distinct()
+    )
+    bitmap = (
+        eval_sh.select(F.explode(_bloom_probe_array()).alias("p"))
+        .select("p.w", "p.mask")
+        .groupBy("w")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+    train = arrs.filter(F.col("source") != "src0")
+    probes = (
+        train.select("doc_id", F.explode("gs").alias("g"))
+        .select("doc_id", "g", F.explode(_bloom_probe_array()).alias("p"))
+        .select("doc_id", "g", F.col("p.w").alias("w"), F.col("p.mask").alias("mask"))
+    )
+    survivors = (
+        probes.join(F.broadcast(bitmap), "w", "left")
+        .withColumn(
+            "hit",
+            F.coalesce(
+                (F.col("bits").bitwiseAND(F.col("mask")) != 0), F.lit(False)
+            ),
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.expr("bool_and(hit)").alias("maybe"))
+        .filter(F.col("maybe"))
+        .select("doc_id", "g")
+    )
+    counts = (
+        survivors.join(F.broadcast(eval_sh), "g")  # exact FP removal
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_shared"))
     )

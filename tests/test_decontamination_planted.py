@@ -54,3 +54,29 @@ def test_planted_eval_ngram_is_flagged(spark, planted):
     assert got[1][2] == pytest.approx(1 / 21)
     assert got[2][0] == 1 and got[2][1] == 18
     assert got[2][2] == pytest.approx(1 / 18)
+
+
+def test_bloom_variant_equals_broadcast_variant(spark, planted):
+    """The relational-Bloom pre-probe is lossless: identical output to
+    the broadcast variant on the planted corpus (false positives are
+    removed by the exact join; false negatives are structurally
+    impossible)."""
+    from git_etl_spark.operators.curation import pipeline_decontamination_bloom
+
+    plain = sorted(map(tuple, pipeline_decontamination(spark, planted).collect()))
+    bloom = sorted(
+        map(tuple, pipeline_decontamination_bloom(spark, planted).collect())
+    )
+    assert bloom == plain
+
+
+def test_bloom_variant_equals_broadcast_variant_real_corpus(spark):
+    from git_etl_spark.operators.curation import (
+        pipeline_decontamination,
+        pipeline_decontamination_bloom,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    plain = sorted(map(tuple, pipeline_decontamination(spark, sf).collect()))
+    bloom = sorted(map(tuple, pipeline_decontamination_bloom(spark, sf).collect()))
+    assert bloom == plain and len(plain) > 0
