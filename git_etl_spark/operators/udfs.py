@@ -132,3 +132,56 @@ def udf_mapinpandas_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         batch_stats, schema="batch_rows long, min_doc_id long, max_doc_id long"
     )
+
+
+CHUNK_TOKENS = 16  # context-window chunk size for the UDTF demo
+
+
+@query(
+    "udtf_doc_chunks",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    )
+    SELECT doc_id,
+           CAST(ci AS INT) AS chunk_idx,
+           CAST(least(len(t), (ci + 1) * {CHUNK_TOKENS})
+                - ci * {CHUNK_TOKENS} AS INT) AS n_tokens,
+           array_to_string(
+               t[ci * {CHUNK_TOKENS} + 1 :
+                 least(len(t), (ci + 1) * {CHUNK_TOKENS})], ' ') AS chunk_text
+    FROM toks,
+         unnest(range(0, CAST(ceil(len(t) * 1.0 / {CHUNK_TOKENS}) AS BIGINT)))
+           AS u(ci)
+    """,
+)
+def udtf_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X11 tier: **Python UDTF** (Spark 4 user-defined table function)
+    — the 1→N row-expanding UDF surface as a first-class SQL relation,
+    demonstrated on the op every embedding/RAG pipeline needs: chunk
+    each document into fixed-token-budget windows. Consumed through a
+    LATERAL join, so Catalyst plans the expansion per-row without any
+    driver involvement; the DuckDB oracle reconstructs every chunk
+    boundary and text slice independently.
+
+    (UDTFs run row-at-a-time in Python — fine for a surface demo; the
+    PRODUCTION chunker for 100 TB is the same logic as a JVM-side
+    sequence/slice projection, see pipeline_sequence_packing.)"""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx: int, n_tokens: int, chunk_text: string")
+    class ChunkDoc:
+        def eval(self, text: str):
+            toks = text.split(" ")
+            for ci in range(0, (len(toks) + CHUNK_TOKENS - 1) // CHUNK_TOKENS):
+                window = toks[ci * CHUNK_TOKENS : (ci + 1) * CHUNK_TOKENS]
+                yield ci, len(window), " ".join(window)
+
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    docs = load_table(spark, sf_dir, "documents")
+    view = "docs_for_chunking"
+    docs.select("doc_id", "text").createOrReplaceTempView(view)
+    return spark.sql(
+        f"SELECT doc_id, chunk_idx, n_tokens, chunk_text"
+        f" FROM {view}, LATERAL chunk_doc(text)"
+    )
