@@ -1479,10 +1479,26 @@ def semantic_clusters(
     if edge_source == "blocked":
         pairs = blocked_cosine_pairs(spark, sf_dir, threshold, **lsh_kwargs)
     elif threshold == COSINE_DUP_THRESHOLD:
+        # default registered path: pairs AND converged labels are both
+        # memoized per (session, sf_dir) — same reuse policy as the
+        # Jaccard family's _CLUSTER_MEMO (the labels are deterministic
+        # given the memoized pair set, and label propagation's per-round
+        # fixed cost dominates re-runs within a session)
+        memo_key = (spark.sparkContext.applicationId, sf_dir)
+        memoized = _SEM_CLUSTER_MEMO.get(memo_key)
+        if memoized is not None:
+            return memoized
         pairs = dedup_embedding_cosine_pairs(spark, sf_dir)  # memoized
+        result = _cluster_vec_pairs(spark, pairs).localCheckpoint()
+        _SEM_CLUSTER_MEMO[memo_key] = result
+        return result
     else:
         pairs = _exact_cosine_pairs(spark, sf_dir, threshold)
     return _cluster_vec_pairs(spark, pairs)
+
+
+# converged semantic-cluster labels per (session, sf_dir), default path
+_SEM_CLUSTER_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
 def _cluster_vec_pairs(spark: SparkSession, pairs: DataFrame) -> DataFrame:
