@@ -136,3 +136,30 @@ def test_semantic_clusters_blocked_equals_exact(spark, planted_corpus):
         c * CLUSTER_SIZE: {c * CLUSTER_SIZE + i for i in range(CLUSTER_SIZE)}
         for c in range(N_CLUSTERS)
     }
+
+
+def test_lsh_plan_meets_target_recall_property():
+    """Math property (hypothesis): the table count returned by lsh_plan
+    achieves at least the target recall for an exactly-at-threshold
+    pair under the hyperplane collision model, without overshooting by
+    more than one table."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        threshold=st.floats(min_value=0.5, max_value=0.99),
+        target=st.floats(min_value=0.9, max_value=0.9999),
+    )
+    def check(threshold, target):
+        bits, n_tables = dedup.lsh_plan(threshold, target)
+        p = 1.0 - math.acos(threshold) / math.pi
+        recall = 1.0 - (1.0 - p**bits) ** n_tables
+        assert recall >= target - 1e-12
+        if n_tables > 1:
+            recall_minus_one = 1.0 - (1.0 - p**bits) ** (n_tables - 1)
+            assert recall_minus_one < target
+
+    check()

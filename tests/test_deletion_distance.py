@@ -95,3 +95,31 @@ def test_real_corpus_unchanged_at_d1(spark):
     assert sorted(map(tuple, derived.collect())) == sorted(
         map(tuple, forced.collect())
     )
+
+
+def test_deletion_distance_bound_property():
+    """Math property (hypothesis): for ANY pair of distinct token sets
+    within the corpus max size whose Jaccard meets the threshold, the
+    per-side difference never exceeds the derived deletion distance —
+    i.e. the key family provably covers every qualifying pair."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        inter=st.integers(min_value=1, max_value=60),
+        extra_a=st.integers(min_value=0, max_value=12),
+        extra_b=st.integers(min_value=0, max_value=12),
+    )
+    def check(inter, extra_a, extra_b):
+        size_a, size_b = inter + extra_a, inter + extra_b
+        jac = inter / (inter + extra_a + extra_b)
+        if jac < dedup.JACCARD_THRESHOLD:
+            return
+        d = dedup._deletion_distance(max(size_a, size_b))
+        assert extra_a <= d and extra_b <= d, (
+            f"pair with J={jac:.4f} needs per-side deletions "
+            f"({extra_a}, {extra_b}) but derived d={d}"
+        )
+
+    check()

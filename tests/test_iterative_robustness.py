@@ -88,3 +88,25 @@ def test_reliable_checkpoint_equals_local(spark, tmp_path):
         dedup._REP_GRAPH_MEMO.clear()
     assert spark.sparkContext.getCheckpointDir() is None
     assert reliable == baseline
+
+
+def test_reliable_checkpoint_pagerank_bitwise_equal(spark, tmp_path):
+    """PageRank under reliable checkpointing must be bit-identical to
+    the localCheckpoint run (the sorted-fold determinism guarantee is
+    engine-state-independent)."""
+    from git_etl_spark.operators.graph import graph_pagerank_bipartite
+
+    baseline = sorted(
+        map(tuple, graph_pagerank_bipartite(spark, SF_CORRECTNESS).collect())
+    )
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "pr-ckpt"))
+    try:
+        reliable = sorted(
+            map(
+                tuple,
+                graph_pagerank_bipartite(spark, SF_CORRECTNESS).collect(),
+            )
+        )
+    finally:
+        spark.sparkContext._jsc.sc().setCheckpointDir(None)
+    assert reliable == baseline
