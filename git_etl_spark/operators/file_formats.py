@@ -1,0 +1,129 @@
+"""Source-format round-trips — SURVEY.md §2.1 extension surface.
+
+The engine's canonical storage is Parquet, but a 100 TB ingest estate
+also lands JSONL and CSV (crawl dumps, export feeds). These queries
+prove the OTHER text formats round-trip losslessly through Spark's
+readers: the documents table is written once per session in the target
+format, read back with an EXPLICIT schema (inference is a full extra
+pass over 100 TB — never on by design), and every row is
+value-verified against the original parquet via the DuckDB oracle,
+including an md5 over the free-text column so escaping/quoting bugs
+cannot hide.
+
+Scale notes: the writers here are the same distributed writers a real
+export uses (one file per partition); the readers split by newline, so
+`multiLine` stays false (a multiline JSON/CSV file is one task — the
+single worst scalability trap of these formats). JSON escapes embedded
+newlines as \\n, so free text with newlines round-trips splittably;
+CSV cannot (a quoted newline forces multiLine=true and kills
+splitting), so a CSV estate must escape newlines upstream — the
+adversarial fixture test covers commas/quotes/unicode for CSV and
+additionally raw newlines for JSONL.
+"""
+
+from __future__ import annotations
+
+import atexit
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..io import load_table
+from ..registry import query
+
+# one written copy per (session, sf_dir, format); removed at exit like
+# the streaming replay sources
+_FMT_MEMO: dict[tuple[str, str, str], str] = {}
+
+
+def _cleanup_fmt_dirs() -> None:
+    for path in _FMT_MEMO.values():
+        shutil.rmtree(path, ignore_errors=True)
+    _FMT_MEMO.clear()
+
+
+atexit.register(_cleanup_fmt_dirs)
+
+_DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+_ROUNDTRIP_ORACLE = """
+    SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+    FROM documents
+"""
+
+
+def _written_copy(spark: SparkSession, sf_dir: str, fmt: str) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir, fmt)
+    path = _FMT_MEMO.get(key)
+    if path is None:
+        path = os.path.join(
+            tempfile.gettempdir(), f"ges-fmt-{fmt}-{uuid.uuid4().hex[:8]}"
+        )
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        )
+        writer = docs.repartition(4).write.mode("overwrite")
+        if fmt == "json":
+            writer.json(path)
+        elif fmt == "csv":
+            # header off (schema is explicit); full quoting with "" as
+            # the in-field quote escape; whitespace trimming OFF (the
+            # writer default silently trims padded fields); null
+            # sentinel \N so quoted-empty "" stays an empty STRING and
+            # only the sentinel reads back as NULL — the reader mirrors
+            # every one of these (see source_csv_roundtrip)
+            writer.options(
+                header=False,
+                quoteAll=True,
+                escape='"',
+                ignoreLeadingWhiteSpace=False,
+                ignoreTrailingWhiteSpace=False,
+                nullValue="\\N",
+            ).csv(path)
+        else:  # pragma: no cover - guarded by callers
+            raise ValueError(fmt)
+        _FMT_MEMO[key] = path
+    return path
+
+
+def _roundtrip_projection(df: DataFrame) -> DataFrame:
+    return df.select(
+        "doc_id", "lang", "source", "n_chars", F.md5("text").alias("text_md5")
+    )
+
+
+@query("source_jsonl_roundtrip", oracle=_ROUNDTRIP_ORACLE)
+def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → distributed JSONL write → ``spark.read.schema(...)
+    .json`` → md5-verified equality with the parquet original. Explicit
+    schema (no inference pass); line-delimited (splittable)."""
+    path = _written_copy(spark, sf_dir, "json")
+    back = spark.read.schema(_DOC_SCHEMA).json(path)
+    return _roundtrip_projection(back)
+
+
+@query("source_csv_roundtrip", oracle=_ROUNDTRIP_ORACLE)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → distributed quoted-CSV write → ``spark.read
+    .schema(...).csv`` with matching quote/escape options →
+    md5-verified equality. The text column is the adversarial payload:
+    any quoting/escaping asymmetry between writer and reader shows up
+    as a hash mismatch on text_md5."""
+    path = _written_copy(spark, sf_dir, "csv")
+    back = spark.read.schema(_DOC_SCHEMA).options(
+        header=False, quote='"', escape='"', nullValue="\\N"
+    ).csv(path)
+    return _roundtrip_projection(back)

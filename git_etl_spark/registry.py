@@ -70,6 +70,7 @@ def load_all() -> None:
         text,
         curation,
         events,
+        file_formats,
         quality,
         udfs,
         similarity,
