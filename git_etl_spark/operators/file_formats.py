@@ -78,6 +78,8 @@ def _written_copy(spark: SparkSession, sf_dir: str, fmt: str) -> str:
         writer = docs.repartition(4).write.mode("overwrite")
         if fmt == "json":
             writer.json(path)
+        elif fmt == "orc":
+            writer.orc(path)
         elif fmt == "csv":
             # header off (schema is explicit); full quoting with "" as
             # the in-field quote escape; whitespace trimming OFF (the
@@ -113,6 +115,17 @@ def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _written_copy(spark, sf_dir, "json")
     back = spark.read.schema(_DOC_SCHEMA).json(path)
     return _roundtrip_projection(back)
+
+
+@query("source_orc_roundtrip", oracle=_ROUNDTRIP_ORACLE)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → ORC write → native vectorized ORC read →
+    md5-verified equality: the second columnar estate format (typed,
+    lossless, predicate-pushdown-capable like parquet — the format
+    choice is an interop question, not a semantics one, and this query
+    proves it)."""
+    path = _written_copy(spark, sf_dir, "orc")
+    return _roundtrip_projection(spark.read.orc(path))
 
 
 @query("source_csv_roundtrip", oracle=_ROUNDTRIP_ORACLE)
