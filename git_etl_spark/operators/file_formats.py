@@ -117,6 +117,38 @@ def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip_projection(back)
 
 
+@query(
+    "source_partitioned_pruned_read",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+    FROM documents WHERE lang IN ('en', 'zh')
+    """,
+)
+def source_partitioned_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB layout story as a verified query: documents written
+    once per session as a lang-partitioned parquet estate
+    (``partitionBy`` → one directory per lang), then read back with a
+    partition filter. Catalyst prunes to the matching directories —
+    the scan never opens the other partitions' files (asserted in
+    tests/test_plans.py) — and the oracle value-verifies the surviving
+    rows including text md5. The partition column round-trips through
+    directory names, which is exactly what makes low-cardinality
+    columns (lang, date, source) the right partition keys and
+    high-cardinality ones a small-files disaster."""
+    key = (spark.sparkContext.applicationId, sf_dir, "part")
+    path = _FMT_MEMO.get(key)
+    if path is None:
+        path = os.path.join(
+            tempfile.gettempdir(), f"ges-fmt-part-{uuid.uuid4().hex[:8]}"
+        )
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        ).write.mode("overwrite").partitionBy("lang").parquet(path)
+        _FMT_MEMO[key] = path
+    back = spark.read.parquet(path).filter(F.col("lang").isin("en", "zh"))
+    return _roundtrip_projection(back)
+
+
 @query("source_orc_roundtrip", oracle=_ROUNDTRIP_ORACLE)
 def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → ORC write → native vectorized ORC read →

@@ -4,6 +4,8 @@ degrade them (a wrong plan at 100 TB is a wrong result in practice)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from .conftest import SF_CORRECTNESS
 
 
@@ -272,3 +274,21 @@ def test_exact_cosine_tier_is_deliberate_bnlj(spark):
 
     plan = physical_plan(_exact_cosine_pairs(spark, SF_CORRECTNESS, 0.9))
     assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan
+
+
+def test_partitioned_source_prunes_directories(spark):
+    """The lang-partitioned estate read must prune at the source: the
+    scan's partition filters carry the lang predicate, and the file
+    listing excludes the non-matching lang directories."""
+    from git_etl_spark.operators.file_formats import (
+        source_partitioned_pruned_read,
+    )
+    from git_etl_spark.plans.audit import physical_plan
+
+    df = source_partitioned_pruned_read(spark, SF_CORRECTNESS)
+    plan = physical_plan(df)
+    assert "PartitionFilters" in plan and "lang" in plan
+    files = [r[0] for r in df.select(F.input_file_name()).distinct().collect()]
+    assert files and all(
+        ("lang=en" in f) or ("lang=zh" in f) for f in files
+    ), files
