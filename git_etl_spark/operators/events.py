@@ -578,3 +578,131 @@ def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(z) >= 3.0).alias("is_anomaly"),
         )
     )
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type AS src_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS dst_type
+        FROM events
+    ),
+    trans AS (
+        SELECT src_type, dst_type, CAST(COUNT(*) AS BIGINT) AS n_trans
+        FROM seq WHERE dst_type IS NOT NULL
+        GROUP BY src_type, dst_type
+    )
+    SELECT src_type, dst_type, n_trans,
+           CAST(SUM(n_trans) OVER (PARTITION BY src_type) AS BIGINT)
+               AS n_from_src,
+           CAST((n_trans * 1000000)
+                // (SUM(n_trans) OVER (PARTITION BY src_type)) AS BIGINT)
+               AS prob_ppm
+    FROM trans
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for every (src_type, dst_type) pair, the transition
+    count and its probability out of src_type. The user-journey
+    building block behind next-action prediction features and
+    anomaly-path mining.
+
+    Probabilities are emitted in exact integer parts-per-million
+    (``n·10⁶ div total``) — no decimal/double division whose last-bit
+    rounding could differ across engines. One window shuffle on
+    user_id (sequence construction) + one small aggregation: at 100 TB
+    the transition matrix is |types|² rows regardless of input volume,
+    so everything after the per-user window is effectively free, and
+    the window itself partitions on the natural event-log key."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src_type"),
+        F.lead("event_type").over(w).alias("dst_type"),
+    ).filter(F.col("dst_type").isNotNull())
+    trans = seq.groupBy("src_type", "dst_type").agg(
+        F.count("*").alias("n_trans")
+    )
+    per_src = Window.partitionBy("src_type")
+    return trans.select(
+        "src_type",
+        "dst_type",
+        "n_trans",
+        F.sum("n_trans").over(per_src).alias("n_from_src"),
+        F.expr("n_trans * 1000000 div SUM(n_trans) OVER (PARTITION BY src_type)")
+        .cast("long")
+        .alias("prob_ppm"),
+    )
+
+
+@query(
+    "cdc_merge_apply",
+    oracle="""
+    WITH log AS (
+        SELECT user_id, ts, event_id, value,
+               CASE event_type WHEN 'signup' THEN 'I'
+                               WHEN 'error'  THEN 'D'
+                               ELSE 'U' END AS op
+        FROM events
+    ),
+    ranked AS (
+        SELECT user_id, ts, event_id, value, op,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_ops
+        FROM log
+    )
+    SELECT user_id, op AS last_op, ts AS last_ts, value AS last_value, n_ops
+    FROM ranked
+    WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog compaction — MERGE INTO semantics applied in bulk:
+    the event log is read as an insert/update/delete changelog
+    (signup→I, error→D, everything else→U) keyed by user, and folded
+    into the final snapshot: the last operation per key wins, and keys
+    whose last operation is a delete are absent from the snapshot.
+
+    This is the canonical lakehouse pattern for applying a Debezium/
+    binlog-style feed to a table without a row-at-a-time writer: one
+    shuffle on the merge key, a per-key ordered window, and a filter.
+    At 100 TB the changelog batch — not the snapshot — sizes the
+    shuffle, and the same plan handles out-of-order delivery because
+    the (ts, event_id) sequence number, not arrival order, decides the
+    winner. Re-running the batch is idempotent (same winner), giving
+    effective exactly-once on replay."""
+    ev = load_table(spark, sf_dir, "events")
+    log = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    per_key = Window.partitionBy("user_id")
+    ranked = log.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        "op",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(per_key).alias("n_ops"),
+    )
+    return ranked.filter((F.col("rn") == 1) & (F.col("op") != "D")).select(
+        "user_id",
+        F.col("op").alias("last_op"),
+        F.col("ts").alias("last_ts"),
+        F.col("value").alias("last_value"),
+        "n_ops",
+    )
