@@ -228,3 +228,134 @@ def graph_components_large_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("v").alias("doc_id"), F.col("lbl").alias("cluster_id")
     )
+
+
+@query(
+    "graph_triangle_top20",
+    oracle="""
+    WITH q1_orders AS (
+        SELECT o_orderkey FROM orders
+        WHERE o_orderdate >= DATE '1995-01-01'
+          AND o_orderdate <  DATE '1995-04-01'
+    ),
+    edges AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        JOIN q1_orders o ON o.o_orderkey = a.l_orderkey
+    ),
+    tri AS (
+        SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        FROM edges e1
+        JOIN edges e2 ON e2.u = e1.v
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    per_node AS (
+        SELECT node AS l_partkey, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM (
+            SELECT x AS node FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri
+        ) GROUP BY node
+    )
+    SELECT l_partkey, n_triangles FROM per_node
+    ORDER BY n_triangles DESC, l_partkey ASC
+    LIMIT 20
+    """,
+)
+def graph_triangle_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the market-basket co-purchase graph
+    (parts are adjacent when they appear in the same 1995-Q1 order),
+    reporting the 20 most clustered parts. Community structure /
+    graph-cohesion primitive; the quarter scope is the realistic
+    formulation (basket affinity drifts, so production runs are
+    date-windowed) and it also keeps the synthetic random graph —
+    whose triangle count grows ~cubically in edge density — from
+    dominating the suite.
+
+    The Spark plan uses **degree-ordered orientation** (Cohen'09 /
+    Suri-Vassilvitskii'11): each undirected edge is directed from its
+    lower-(degree, id) endpoint to the higher one, wedges are built
+    only from a node's out-edges, and a wedge closes against the
+    canonical edge set. Every triangle is emitted exactly once — from
+    its minimum-rank corner — and per-node out-degree is O(√m), so the
+    wedge (shuffle) volume is O(m^1.5) worst-case instead of
+    Σ deg² ≈ m·max_deg: the difference between feasible and not on a
+    100 TB power-law graph, where the naive wedge join explodes on the
+    hub nodes. The DuckDB oracle uses id-sorted orientation — a
+    different once-per-triangle derivation — so the count itself is
+    cross-checked, not the plan.
+
+    Oriented wedge counting is also skew-resilient: hot hub nodes have
+    their wedges built from the *low-degree* side, and AQE skew-join
+    splitting handles residual imbalance on the closing join."""
+    q1 = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01"))
+            & (F.col("o_orderdate") < F.lit("1995-04-01"))
+        )
+        .select("o_orderkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .join(q1, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .distinct()
+    )
+    # the edge set feeds three consumers (degree table, orientation,
+    # closing join) — materialize it once instead of re-running the
+    # basket self-join per consumer
+    edges = iter_checkpoint(
+        li.alias("a")
+        .join(li.alias("b"), on="l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    ranked = (
+        edges.join(deg.withColumnRenamed("node", "u"), "u")
+        .withColumnRenamed("deg", "deg_u")
+        .join(
+            deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "deg_v"),
+            "v",
+        )
+    )
+    lower_first = (F.col("deg_u") < F.col("deg_v")) | (
+        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ranked.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+    wedges = (
+        oriented.alias("e1")
+        .join(oriented.alias("e2"), on="src")
+        .filter(F.col("e1.dst") < F.col("e2.dst"))
+        .select(
+            F.col("src").alias("apex"),
+            F.col("e1.dst").alias("d1"),
+            F.col("e2.dst").alias("d2"),
+        )
+    )
+    closed = wedges.join(
+        edges,
+        (F.col("u") == F.least("d1", "d2")) & (F.col("v") == F.greatest("d1", "d2")),
+    ).select("apex", "d1", "d2")
+    per_node = (
+        closed.select(F.explode(F.array("apex", "d1", "d2")).alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return (
+        per_node.orderBy(F.col("n_triangles").desc(), F.col("l_partkey").asc())
+        .limit(20)
+    )
