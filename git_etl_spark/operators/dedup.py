@@ -851,10 +851,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return within.unionByName(cross)
 
 
-@query(
-    "dedup_simhash",
-    oracle=f"""
-    WITH tok_counts AS (
+# DuckDB CTE computing the per-doc SimHash signature — shared by the
+# signature query's oracle and the Hamming-pair query's oracle so both
+# check the identical arithmetic.
+_SIMHASH_SIG_SQL = f"""
+    tok_counts AS (
         SELECT doc_id, tok, COUNT(*) AS cnt FROM (
             SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
         ) GROUP BY doc_id, tok
@@ -867,22 +868,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN cnt ELSE -cnt END) AS s
         FROM hashed, (SELECT unnest(range(0, {SIMHASH_BITS})) AS b) b
         GROUP BY doc_id, b.b
+    ), sigs AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT)
+                   AS simhash
+        FROM bit_sums GROUP BY doc_id
     )
-    SELECT doc_id,
-           CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT)
-               AS simhash
-    FROM bit_sums GROUP BY doc_id
-    """,
-)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2 SimHash document signatures, engine-independent: per-token
-    48-bit hashes derived from md5 hex (identical in any engine, unlike
-    murmur/xxhash), weighted by term frequency; bit b of the signature
-    is the sign of Σ±cnt. Pure relational plan — explode tokens, explode
-    bit positions, two hash aggregations — no UDF, and oracle-checked
-    bit-for-bit. Near-dup candidates at scale bucket on signature bands
-    and verify with hamming distance (``bit_count(a XOR b)``)."""
-    docs = load_table(spark, sf_dir, "documents")
+"""
+
+
+def _simhash_sig_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash) — the Spark twin of ``_SIMHASH_SIG_SQL``."""
     tok_counts = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .groupBy("doc_id", "tok")
@@ -911,6 +907,94 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.lit(0).cast("long"))
     return bit_sums.groupBy("doc_id").agg(
         F.sum(bit_val).cast("long").alias("simhash")
+    )
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH {_SIMHASH_SIG_SQL}
+    SELECT doc_id, simhash FROM sigs
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 SimHash document signatures, engine-independent: per-token
+    48-bit hashes derived from md5 hex (identical in any engine, unlike
+    murmur/xxhash), weighted by term frequency; bit b of the signature
+    is the sign of Σ±cnt. Pure relational plan — explode tokens, explode
+    bit positions, two hash aggregations — no UDF, and oracle-checked
+    bit-for-bit. Near-dup candidates at scale bucket on signature bands
+    and verify with hamming distance (``bit_count(a XOR b)``) — see
+    ``dedup_simhash_hamming_pairs``."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _simhash_sig_df(docs)
+
+
+SIMHASH_HAMMING_RADIUS = 3  # pairs within 3 of 48 bits are near-dups
+SIMHASH_BANDS = SIMHASH_HAMMING_RADIUS + 1  # pigeonhole: ≥1 exact band
+_SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 12
+
+
+@query(
+    "dedup_simhash_hamming_pairs",
+    oracle=f"""
+    WITH {_SIMHASH_SIG_SQL}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAMMING_RADIUS}
+    """,
+)
+def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 SimHash near-dup *pairs*: all doc pairs whose 48-bit
+    signatures differ in ≤ 3 bits, found without an O(n²) comparison.
+    The signature is split into 4 disjoint 12-bit bands; by pigeonhole,
+    two signatures within Hamming 3 agree exactly on at least one band,
+    so candidate pairs are generated by an equi-join on (band index,
+    band value) and only candidates pay the ``bit_count(xor)``
+    verification.
+
+    This is the multi-index Hamming scheme behind web-crawl SimHash
+    dedup (Manku et al., WWW'07): candidate volume is ∝
+    pairs-per-band-bucket (near-dup density + 2⁻¹² random collisions),
+    never corpus², and the band key is a shuffle key — AQE skew
+    splitting applies if one bucket runs hot. The DuckDB oracle *is*
+    the O(n²) definition, so the banding is proved lossless on every
+    run, not assumed."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = _simhash_sig_df(docs)
+    mask = (1 << _SIMHASH_BAND_BITS) - 1
+    banded = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(SIMHASH_BANDS - 1))
+        ).alias("band"),
+    ).withColumn(
+        "band_val",
+        F.expr(
+            f"shiftright(simhash, band * {_SIMHASH_BAND_BITS})"
+        ).bitwiseAND(F.lit(mask)),
+    )
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), on=["band", "band_val"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.simhash").alias("sig_a"),
+            F.col("y.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_HAMMING_RADIUS)
+        .select("doc_a", "doc_b", "hamming")
     )
 
 
