@@ -465,3 +465,93 @@ def agg_hll_reaggregatable(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "est_from_daily", "est_direct", "exact_users",
         "n_daily_sketches",
     )
+
+
+CMS_DEPTH = 4  # independent hash rows (disjoint md5 nibble ranges)
+CMS_WIDTH = 512  # counters per row
+
+
+@query(
+    "agg_countmin_heavy_hitters",
+    oracle=f"""
+    WITH truth AS (
+        SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS true_count,
+               md5(CAST(l_partkey AS VARCHAR)) AS hx
+        FROM lineitem GROUP BY l_partkey
+    ),
+    rows_d AS (SELECT unnest(range(0, {CMS_DEPTH})) AS d),
+    keyed AS (
+        SELECT t.l_partkey, t.true_count, d.d AS d,
+               CAST(('0x' || substr(t.hx, d.d * 8 + 1, 8)) AS BIGINT)
+                   % {CMS_WIDTH} AS slot
+        FROM truth t, rows_d d
+    ),
+    counters AS (
+        SELECT d, slot, CAST(SUM(true_count) AS BIGINT) AS c
+        FROM keyed GROUP BY d, slot
+    ),
+    est AS (
+        SELECT k.l_partkey, MIN(c.c) AS est_count
+        FROM keyed k JOIN counters c ON c.d = k.d AND c.slot = k.slot
+        GROUP BY k.l_partkey
+    )
+    SELECT e.l_partkey, e.est_count, t.true_count
+    FROM est e JOIN truth t USING (l_partkey)
+    ORDER BY e.est_count DESC, e.l_partkey ASC
+    LIMIT 20
+    """,
+)
+def agg_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimation (Cormode-Muthukrishnan):
+    4 hash rows x 512 counters; the 4 row-hashes are disjoint 8-hex-digit
+    ranges of one md5 per item, so both engines build the *same* sketch
+    and the estimates themselves are oracled, not just sanity-checked.
+    Emits the top-20 parts by estimated lineitem frequency alongside the
+    exact count (estimate >= truth always; the one-sided-error and
+    sketch-merge properties are pytest-asserted).
+
+    The 100 TB shape: the counter grid is a fixed 4x512 integer table no
+    matter the input size. Raw rows first collapse map-side to
+    (item, count) partials - Spark's partial aggregation does this
+    before any shuffle - and the sketch adds those partials into slots,
+    so hash work is per *distinct* item, not per row. Counters merge by
+    addition, so per-day/per-load sketches re-aggregate losslessly the
+    way the HLL pack's sketches do, and a stored sketch answers
+    point-frequency queries with no fact-table rescan (probe = 4
+    lookups in a broadcast-sized grid)."""
+    truth = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("true_count"))
+        .withColumn("hx", F.md5(F.col("l_partkey").cast("string")))
+    )
+    keyed = truth.select(
+        "l_partkey",
+        "true_count",
+        F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("d"),
+        "hx",
+    ).select(
+        "l_partkey",
+        "true_count",
+        "d",
+        (
+            F.conv(
+                F.expr("substring(hx, d * 8 + 1, 8)"), 16, 10
+            ).cast("long")
+            % CMS_WIDTH
+        ).alias("slot"),
+    )
+    counters = keyed.groupBy("d", "slot").agg(
+        F.sum("true_count").alias("c")
+    )
+    est = (
+        keyed.select("l_partkey", "d", "slot")
+        .join(F.broadcast(counters), on=["d", "slot"])
+        .groupBy("l_partkey")
+        .agg(F.min("c").alias("est_count"))
+    )
+    return (
+        est.join(truth.select("l_partkey", "true_count"), "l_partkey")
+        .orderBy(F.col("est_count").desc(), F.col("l_partkey").asc())
+        .limit(20)
+    )

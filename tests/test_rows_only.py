@@ -329,3 +329,60 @@ def test_large_star_small_star_random_graphs(spark):
             (r["v"], r["lbl"]) for r in large_star_small_star(spark, df).collect()
         )
         assert got == expected, f"trial {trial}: {got} != {expected}"
+
+
+def test_countmin_one_sided_error_and_merge(spark):
+    """Count-Min invariants: (1) estimate ≥ true count for EVERY item
+    (one-sided error by construction); (2) the sketch built by summing
+    two disjoint-partition sketches equals the whole-data sketch
+    (counters are an integer monoid — the re-aggregation contract);
+    (3) expected overestimate is bounded: with 4 rows × 512 slots over
+    ~2k items, assert est−true ≤ 2·N/width for the reported top-20."""
+    from pyspark.sql import functions as F
+
+    from git_etl_spark.io import load_table
+    from git_etl_spark.operators.windows import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        agg_countmin_heavy_hitters,
+    )
+
+    rows = agg_countmin_heavy_hitters(spark, SF_CORRECTNESS).collect()
+    assert len(rows) == 20
+    n_total = load_table(spark, SF_CORRECTNESS, "lineitem").count()
+    for r in rows:
+        assert r.est_count >= r.true_count, r
+        assert r.est_count - r.true_count <= 2 * n_total / CMS_WIDTH, r
+
+    # merge property: sketch(partition A) + sketch(partition B) ==
+    # sketch(A ∪ B), counter by counter
+    li = load_table(spark, SF_CORRECTNESS, "lineitem")
+    def sketch(df):
+        truth = (
+            df.groupBy("l_partkey")
+            .agg(F.count("*").alias("cnt"))
+            .withColumn("hx", F.md5(F.col("l_partkey").cast("string")))
+        )
+        keyed = truth.select(
+            "cnt",
+            F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("d"),
+            "hx",
+        ).select(
+            "d",
+            "cnt",
+            (
+                F.conv(F.expr("substring(hx, d * 8 + 1, 8)"), 16, 10)
+                .cast("long")
+                % CMS_WIDTH
+            ).alias("slot"),
+        )
+        out = keyed.groupBy("d", "slot").agg(F.sum("cnt").alias("c"))
+        return {(r.d, r.slot): r.c for r in out.collect()}
+
+    half_a = li.filter(F.col("l_orderkey") % 2 == 0)
+    half_b = li.filter(F.col("l_orderkey") % 2 == 1)
+    merged: dict = {}
+    for part in (sketch(half_a), sketch(half_b)):
+        for k, v in part.items():
+            merged[k] = merged.get(k, 0) + v
+    assert merged == sketch(li)
