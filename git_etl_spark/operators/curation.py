@@ -508,3 +508,104 @@ def pipeline_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+
+
+NEG_BUCKETS = 256  # candidate pool = catalog/256 per user
+NEG_PER_USER = 4   # negatives sampled per user
+
+
+@query(
+    "pipeline_negative_sampling",
+    oracle=f"""
+    WITH positives AS (
+        SELECT DISTINCT o.o_custkey AS c_custkey, l.l_partkey AS p_partkey
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    cust AS (
+        SELECT c_custkey,
+               CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))
+                    AS BIGINT) % {NEG_BUCKETS} AS bucket
+        FROM customer
+    ),
+    prt AS (
+        SELECT p_partkey,
+               CAST(('0x' || substr(md5(CAST(p_partkey AS VARCHAR)), 1, 8))
+                    AS BIGINT) % {NEG_BUCKETS} AS bucket
+        FROM part
+    ),
+    pool AS (
+        SELECT c.c_custkey, p.p_partkey
+        FROM cust c JOIN prt p ON p.bucket = c.bucket
+    ),
+    negatives AS (
+        SELECT pool.c_custkey, pool.p_partkey
+        FROM pool ANTI JOIN positives pos
+          ON pos.c_custkey = pool.c_custkey
+         AND pos.p_partkey = pool.p_partkey
+    ),
+    ranked AS (
+        SELECT c_custkey, p_partkey AS neg_partkey,
+               CAST(row_number() OVER (
+                   PARTITION BY c_custkey
+                   ORDER BY md5(c_custkey || ':' || p_partkey), p_partkey
+               ) AS BIGINT) AS rk
+        FROM negatives
+    )
+    SELECT c_custkey, neg_partkey, rk FROM ranked WHERE rk <= {NEG_PER_USER}
+    """,
+)
+def pipeline_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training pairs:
+    for every customer, up to 4 parts they never purchased, drawn
+    pseudo-randomly but reproducibly (md5 order, no RNG state).
+
+    The naive pool is users × catalog — corpus² and dead on arrival at
+    scale. Instead both sides are hashed into 256 aligned buckets and a
+    user's candidate pool is only the catalog slice in their own
+    bucket: pool size is n·m/256 (tunable by the bucket count), the
+    bucket id is an equi-join key (shuffle-friendly, AQE-splittable),
+    and because md5 assigns buckets uniformly the slice is an unbiased
+    catalog sample per user. Known positives are removed with an
+    anti-join keyed on the (user, item) pair, and the per-user top-4 by
+    ranking hash is a bounded window over ~catalog/256 candidates.
+    Re-running tomorrow yields byte-identical negatives — what a
+    training-data pipeline needs for reproducible epochs."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    positives = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("l_partkey").alias("p_partkey"),
+        )
+        .distinct()
+    )
+
+    def bucket(col: F.Column) -> F.Column:
+        return (
+            F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % NEG_BUCKETS
+        )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", bucket(F.col("c_custkey")).alias("bucket")
+    )
+    prt = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey"), bucket(F.col("p_partkey")).alias("bucket")
+    )
+    pool = cust.join(prt, "bucket").select("c_custkey", "p_partkey")
+    negatives = pool.join(
+        positives, on=["c_custkey", "p_partkey"], how="left_anti"
+    )
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.md5(F.concat_ws(":", F.col("c_custkey"), F.col("p_partkey"))),
+        F.col("p_partkey"),
+    )
+    return (
+        negatives.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= NEG_PER_USER)
+        .select(
+            "c_custkey", F.col("p_partkey").alias("neg_partkey"), "rk"
+        )
+    )
