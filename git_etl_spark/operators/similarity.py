@@ -324,3 +324,188 @@ def simsearch_ann_ml_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("datasetB.vec_id").alias("neighbor_id"),
         F.col("dist"),
     ).filter(F.col("q_id") != F.col("neighbor_id"))
+
+
+PQ_M = 8  # subspaces (64-dim embedding → 8 × 8-dim subvectors)
+PQ_K = 16  # codes per subspace → 4 bits; 8 codes/vec = 32 bits total
+PQ_ROUNDS = 2  # Lloyd rounds per subspace
+PQ_SHORTLIST = 100  # ADC candidates per query that reach the exact re-rank
+
+
+def _pq_l2(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+
+
+def pq_codebooks_and_codes(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Train per-subspace codebooks (deterministic Lloyd, seeded by the
+    first PQ_K vectors' subvectors) and encode the corpus.
+
+    Returns (codebooks: (m, code, cv), codes: (vec_id, m, code)).
+    All PQ_M subspaces train **concurrently in one plan** — the Lloyd
+    round is a single job keyed by (m, code), not a per-subspace loop —
+    so the round count, not the subspace count, bounds the number of
+    shuffles."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sub_dim = 64 // PQ_M
+    # (vec_id, m, sv): the m-th contiguous sub_dim-slice, cast double
+    subvecs = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.posexplode("embedding").alias("pos", "raw"))
+        .select(
+            "vec_id",
+            (F.col("pos") / sub_dim).cast("int").alias("m"),
+            (F.col("pos") % sub_dim).alias("sub_pos"),
+            F.col("raw").cast("double").alias("val"),
+        )
+        .groupBy("vec_id", "m")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub_pos", "val"))),
+                lambda s: s.getField("val"),
+            ).alias("sv")
+        )
+    )
+    subvecs = iter_checkpoint(subvecs)
+    codebooks = iter_checkpoint(
+        subvecs.filter(F.col("vec_id") < PQ_K).select(
+            "m", F.col("vec_id").cast("int").alias("code"), F.col("sv").alias("cv")
+        )
+    )
+    w_assign = Window.partitionBy("vec_id", "m").orderBy("dist", "code")
+    for _ in range(PQ_ROUNDS):
+        assigned = (
+            subvecs.join(F.broadcast(codebooks), "m")
+            .withColumn("dist", _pq_l2(F.col("sv"), F.col("cv")))
+            .withColumn("rn", F.row_number().over(w_assign))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "m", "code", "sv")
+        )
+        elems = assigned.select(
+            "m", "code", F.posexplode("sv").alias("sub_pos", "val")
+        )
+        seq_sum = F.aggregate(
+            F.array_sort(F.collect_list("val")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        means = elems.groupBy("m", "code", "sub_pos").agg(
+            (seq_sum / F.count("*")).alias("mv")
+        )
+        codebooks = iter_checkpoint(
+            means.groupBy("m", "code").agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("sub_pos", "mv"))),
+                    lambda s: s.getField("mv"),
+                ).alias("cv")
+            )
+        )
+    codes = iter_checkpoint(
+        subvecs.join(F.broadcast(codebooks), "m")
+        .withColumn("dist", _pq_l2(F.col("sv"), F.col("cv")))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "code")
+    )
+    return codebooks, codes
+
+
+@query("simsearch_pq_adc")  # rows-only: learned codebooks are engine-internal
+def simsearch_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (Jégou et al., TPAMI'11): the 64-dim float corpus is compressed to
+    8 four-bit codes per vector (64× smaller than float32), and each
+    query scores the *whole* corpus through an 8×16 per-query lookup
+    table — approximate L2 = Σ_m table[m, code_m(v)] — instead of
+    touching raw vectors.
+
+    The 100 TB story is the compression: a 100 TB float corpus becomes
+    ~1.5 TB of codes, the per-query distance table is 128 doubles
+    (always broadcast), and scoring is an equi-join of codes against
+    the table followed by a fixed-depth fold — no full-precision
+    vector ever moves after encoding. Re-ranking the ADC top
+    candidates against raw vectors (the standard two-stage refinement)
+    is stage two here: only the 100-deep ADC shortlist touches raw
+    vectors (the corpus is unit-norm, so exact-L2 order ≡ cosine
+    order and the re-rank is the cosine kernel). Deterministic end to
+    end: seeded Lloyd, sorted folds, total tie-break order; recall vs
+    the exact oracle is pytest-asserted."""
+    codebooks, codes = pq_codebooks_and_codes(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    sub_dim = 64 // PQ_M
+    q_sub = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", F.posexplode("embedding").alias("pos", "raw"))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            (F.col("pos") / sub_dim).cast("int").alias("m"),
+            (F.col("pos") % sub_dim).alias("sub_pos"),
+            F.col("raw").cast("double").alias("val"),
+        )
+        .groupBy("q_id", "m")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub_pos", "val"))),
+                lambda s: s.getField("val"),
+            ).alias("qv")
+        )
+    )
+    # per-query ADC table: distance from each query subvector to every
+    # code centroid — PQ_M × PQ_K rows per query
+    table = (
+        q_sub.join(F.broadcast(codebooks), "m")
+        .select("q_id", "m", "code", _pq_l2(F.col("qv"), F.col("cv")).alias("d"))
+    )
+    # score all corpus codes against the broadcast table; the per-pair
+    # distance folds the 8 per-subspace terms in sorted m-order so the
+    # double sum is partition-independent
+    scored = (
+        codes.join(F.broadcast(table), on=["m", "code"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("m", "d"))),
+                    lambda s: s.getField("d"),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("adc_dist")
+        )
+    )
+    # two-stage refinement (the standard PQ deployment): ADC shortlists
+    # PQ_SHORTLIST candidates per query from codes alone, then only the
+    # shortlist touches raw vectors for an exact cosine re-rank
+    w_adc = Window.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+    shortlist = (
+        scored.withColumn("adc_rnk", F.row_number().over(w_adc))
+        .filter(F.col("adc_rnk") <= PQ_SHORTLIST)
+        .select("q_id", "vec_id", "adc_dist")
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    reranked = (
+        shortlist.join(emb.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(queries), "q_id")
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "adc_dist",
+            cosine(F.col("q_emb"), F.col("embedding")).alias("cos_sim"),
+        )
+    )
+    w_exact = Window.partitionBy("q_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        reranked.withColumn("rnk", F.row_number().over(w_exact))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("q_id", "neighbor_id", "adc_dist", "cos_sim", "rnk")
+    )

@@ -386,3 +386,36 @@ def test_countmin_one_sided_error_and_merge(spark):
         for k, v in part.items():
             merged[k] = merged.get(k, 0) + v
     assert merged == sketch(li)
+
+
+def test_pq_adc_recall_and_code_compression(spark):
+    """PQ-ADC invariants: (1) recall@5 vs the exact brute-force oracle
+    ≥ 0.7 at sf0.01 (measured 0.88 — two-stage ADC shortlist + exact
+    re-rank); (2) the code table is genuinely compressed: exactly PQ_M
+    codes per vector, each in [0, PQ_K); (3) the learned index is
+    deterministic — a second run returns identical rows."""
+    from git_etl_spark.operators.similarity import (
+        PQ_K,
+        PQ_M,
+        pq_codebooks_and_codes,
+        simsearch_pq_adc,
+        simsearch_topk_bruteforce,
+    )
+
+    pq = simsearch_pq_adc(spark, SF_CORRECTNESS).collect()
+    bf = simsearch_topk_bruteforce(spark, SF_CORRECTNESS).collect()
+    bf_set = {(r.q_id, r.neighbor_id) for r in bf}
+    pq_set = {(r.q_id, r.neighbor_id) for r in pq}
+    recall = len(bf_set & pq_set) / len(bf_set)
+    assert recall >= 0.7, f"recall@5 {recall:.2f}"
+
+    _, codes = pq_codebooks_and_codes(spark, SF_CORRECTNESS)
+    per_vec = codes.groupBy("vec_id").count().collect()
+    assert all(r["count"] == PQ_M for r in per_vec)
+    rng = codes.agg({"code": "min"}).collect()[0][0], codes.agg(
+        {"code": "max"}
+    ).collect()[0][0]
+    assert rng[0] >= 0 and rng[1] < PQ_K, rng
+
+    again = simsearch_pq_adc(spark, SF_CORRECTNESS).collect()
+    assert sorted(map(tuple, pq)) == sorted(map(tuple, again))
