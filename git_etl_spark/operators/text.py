@@ -460,3 +460,117 @@ def text_window_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         frac.alias("dup_window_frac"),
         (frac >= 0.5).alias("is_contaminated"),
     )
+
+
+@query(
+    "text_dedup_span_removal",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    w AS (
+        SELECT doc_id, u.i AS pos,
+               md5(array_to_string(toks[u.i:u.i + 7], ' ')) AS wk
+        FROM t, UNNEST(range(1, len(toks) - 6)) AS u(i)
+        WHERE len(toks) >= 8
+    ),
+    ranked AS (
+        SELECT doc_id, pos, wk,
+               row_number() OVER (PARTITION BY wk ORDER BY doc_id, pos) AS rn
+        FROM w
+    ),
+    covered AS (
+        SELECT DISTINCT doc_id, pos + o.o AS cov
+        FROM ranked, UNNEST(range(0, 8)) AS o(o)
+        WHERE rn >= 2
+    ),
+    tokens AS (
+        SELECT doc_id, unnest(toks) AS tok,
+               generate_subscripts(toks, 1) AS pos
+        FROM t
+    ),
+    kept AS (
+        SELECT tk.doc_id, tk.pos, tk.tok
+        FROM tokens tk ANTI JOIN covered c
+          ON c.doc_id = tk.doc_id AND c.cov = tk.pos
+    ),
+    agg AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+               CAST(COUNT(*) AS BIGINT) AS n_kept
+        FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(len(t.toks) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(a.clean_text, '') AS clean_text
+    FROM t LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def text_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring deduplication with *rewrite* (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    8-token window that already occurred earlier in the corpus — in
+    another document or earlier in the same one — has its token span
+    deleted; the first occurrence, in (doc_id, pos) order, is the one
+    that survives. Unlike ``text_window_dup_fraction`` (a per-doc
+    *metric*), this emits the cleaned corpus itself plus removal
+    accounting, including fully-boilerplate documents that collapse to
+    empty strings.
+
+    Plan at 100 TB: positional windows are one explode; the keeper
+    decision is one shuffle on the window hash (state ∝ distinct
+    windows, the same dictionary text_window_dup_fraction builds);
+    span-cover expansion is a bounded 8× explode of *duplicated*
+    windows only (∝ duplication density, not corpus); the rewrite is a
+    per-doc ordered re-assembly — partitioned by doc_id, no global
+    sort. No stage is corpus²."""
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    wins = (
+        docs.filter(F.size("toks") >= 8)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 7),"
+                    " i -> md5(concat_ws(' ', slice(toks, i, 8))))"
+                )
+            ).alias("p0", "wk"),
+        )
+        .select("doc_id", (F.col("p0") + 1).alias("pos"), "wk")
+    )
+    w_first = Window.partitionBy("wk").orderBy("doc_id", "pos")
+    dups = (
+        wins.withColumn("rn", F.row_number().over(w_first))
+        .filter(F.col("rn") >= 2)
+        .select("doc_id", "pos")
+    )
+    covered = dups.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + 7)).alias("cov"),
+    ).distinct()
+    tokens = docs.select(
+        "doc_id", F.posexplode("toks").alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "tok")
+    kept = tokens.join(
+        covered,
+        (tokens.doc_id == covered.doc_id)
+        & (tokens.pos == F.col("cov")),
+        "left_anti",
+    )
+    agg = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s.getField("tok"),
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    base = docs.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
+    return base.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )
