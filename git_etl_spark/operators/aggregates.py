@@ -459,3 +459,100 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(p).cast("double").alias("bucket_max"),
         )
     )
+
+
+MBA_MIN_SUPPORT = 2  # order-pairs below this are random noise here
+
+
+@query(
+    "agg_frequent_itemset_pairs",
+    oracle=f"""
+    WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM baskets),
+    item AS (
+        SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c_item
+        FROM baskets GROUP BY l_partkey
+    ),
+    pair AS (
+        SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+               CAST(COUNT(*) AS BIGINT) AS c_pair
+        FROM baskets a JOIN baskets b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {MBA_MIN_SUPPORT}
+    )
+    SELECT p.item_a, p.item_b, p.c_pair,
+           CAST(p.c_pair * 1000000 // n.n_orders AS BIGINT) AS support_ppm,
+           CAST(p.c_pair * 1000000 // ia.c_item AS BIGINT) AS conf_a_to_b_ppm,
+           CAST(p.c_pair * n.n_orders * 1000000
+                // (ia.c_item * ib.c_item) AS BIGINT) AS lift_ppm
+    FROM pair p
+    JOIN item ia ON ia.l_partkey = p.item_a
+    JOIN item ib ON ib.l_partkey = p.item_b
+    CROSS JOIN n
+    ORDER BY p.c_pair DESC, p.item_a, p.item_b
+    LIMIT 20
+    """,
+)
+def agg_frequent_itemset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket frequent pair mining with the three classic
+    association metrics — support, confidence, lift — in exact
+    integer parts-per-million (no float division to disagree on).
+    Top-20 co-purchased part pairs with support ≥ 2 orders.
+
+    This is one self-join A-Priori pass: candidate pairs only
+    materialize for orders that contain both items (the join does the
+    pruning — pair volume is Σ basket²/2 per order, bounded by basket
+    size, never catalog²), the support filter is a HAVING pushed into
+    the pair aggregate, and the item-count and N-orders sides are
+    broadcast-sized. At 100 TB the same plan holds because baskets are
+    small: the self-join is per-order local after one shuffle on
+    l_orderkey, and AQE splits any pathological mega-basket."""
+    from ..session import iter_checkpoint
+
+    # three consumers (N-orders scalar, item counts, pair self-join) —
+    # materialize the basket projection once
+    baskets = iter_checkpoint(
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = baskets.select("l_orderkey").distinct().count()
+    item = baskets.groupBy("l_partkey").agg(F.count("*").alias("c_item"))
+    pair = (
+        baskets.alias("a")
+        .join(baskets.alias("b"), on="l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("item_a"),
+            F.col("b.l_partkey").alias("item_b"),
+        )
+        .agg(F.count("*").alias("c_pair"))
+        .filter(F.col("c_pair") >= MBA_MIN_SUPPORT)
+    )
+    ia = item.select(
+        F.col("l_partkey").alias("item_a"), F.col("c_item").alias("c_a")
+    )
+    ib = item.select(
+        F.col("l_partkey").alias("item_b"), F.col("c_item").alias("c_b")
+    )
+    return (
+        pair.join(F.broadcast(ia), "item_a")
+        .join(F.broadcast(ib), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "c_pair",
+            F.expr(f"c_pair * 1000000 div {n_orders}").cast("long").alias(
+                "support_ppm"
+            ),
+            F.expr("c_pair * 1000000 div c_a").cast("long").alias(
+                "conf_a_to_b_ppm"
+            ),
+            F.expr(f"c_pair * {n_orders} * 1000000 div (c_a * c_b)")
+            .cast("long")
+            .alias("lift_ppm"),
+        )
+        .orderBy(F.col("c_pair").desc(), "item_a", "item_b")
+        .limit(20)
+    )

@@ -706,3 +706,58 @@ def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("last_value"),
         "n_ops",
     )
+
+
+EWMA_TERMS = 10  # lookback observations; alpha = 1/2 (dyadic-exact)
+
+
+@query(
+    "events_ewma_halving",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    )
+    SELECT user_id, day, cnt,
+           (  CAST(cnt AS DOUBLE)
+            + COALESCE(lag(cnt, 1) OVER w, 0) * 0.5
+            + COALESCE(lag(cnt, 2) OVER w, 0) * 0.25
+            + COALESCE(lag(cnt, 3) OVER w, 0) * 0.125
+            + COALESCE(lag(cnt, 4) OVER w, 0) * 0.0625
+            + COALESCE(lag(cnt, 5) OVER w, 0) * 0.03125
+            + COALESCE(lag(cnt, 6) OVER w, 0) * 0.015625
+            + COALESCE(lag(cnt, 7) OVER w, 0) * 0.0078125
+            + COALESCE(lag(cnt, 8) OVER w, 0) * 0.00390625
+            + COALESCE(lag(cnt, 9) OVER w, 0) * 0.001953125
+           ) AS ewma
+    FROM daily
+    WINDOW w AS (PARTITION BY user_id ORDER BY day)
+    """,
+)
+def events_ewma_halving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of per-user daily activity
+    with decay α = 1/2 over the last 10 observations — the recency-
+    weighted engagement signal behind churn features and adaptive rate
+    limits.
+
+    Float EWMAs are normally oracle-hostile (recursive double
+    arithmetic), but α = 1/2 makes every weight 2⁻ᵏ — a dyadic
+    rational — so each term (integer count × 2⁻ᵏ) and their sum are
+    *exactly* representable doubles: both engines produce identical
+    bit patterns regardless of evaluation order, and the query is
+    hash-verified like any exact one. One shuffle on user_id; the
+    lag-chain is a single window pass with a 10-row frame, state O(1)
+    per user — at 100 TB the daily rollup, not the event volume,
+    sizes the window input."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("user_id").orderBy("day")
+    terms = F.col("cnt").cast("double")
+    for k in range(1, EWMA_TERMS):
+        terms = terms + F.coalesce(F.lag("cnt", k).over(w), F.lit(0)) * F.lit(
+            0.5**k
+        )
+    return daily.select("user_id", "day", "cnt", terms.alias("ewma"))

@@ -8,7 +8,7 @@ rules, all as single-pass declarative plans.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
@@ -249,4 +249,106 @@ def quality_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         prof("c_acctbal", True)
         .unionByName(prof("c_mktsegment", False))
         .unionByName(prof("c_nationkey", True))
+    )
+
+
+@query(
+    "quality_drift_ks",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS in_a,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS in_b
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    totals AS (
+        SELECT CAST(SUM(in_a) AS BIGINT) AS n_a,
+               CAST(SUM(in_b) AS BIGINT) AS n_b
+        FROM s
+    ),
+    per_cent AS (
+        SELECT cents, CAST(SUM(in_a) AS BIGINT) AS ca,
+               CAST(SUM(in_b) AS BIGINT) AS cb
+        FROM s GROUP BY cents
+    ),
+    ecdf AS (
+        SELECT cents,
+               CAST(SUM(ca) OVER w AS BIGINT) AS cum_a,
+               CAST(SUM(cb) OVER w AS BIGINT) AS cum_b
+        FROM per_cent
+        WINDOW w AS (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    ),
+    scored AS (
+        SELECT cents, abs(cum_a * t.n_b - cum_b * t.n_a) AS num,
+               t.n_a AS n_a, t.n_b AS n_b
+        FROM ecdf CROSS JOIN totals t
+    )
+    SELECT n_a, n_b,
+           CAST(num * 1000000 // (n_a * n_b) AS BIGINT) AS ks_ppm,
+           CAST(cents AS DOUBLE) / 100 AS at_value
+    FROM scored
+    ORDER BY num DESC, cents ASC
+    LIMIT 1
+    """,
+)
+def quality_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift statistic between the
+    ``value`` distributions of two event cohorts (click vs purchase) —
+    the distribution-shift monitor a feature pipeline runs between
+    yesterday's and today's data before a model sees it.
+
+    Exact arithmetic throughout: values land on a cent grid (the
+    decimal cast), ECDFs are cumulative *integer* counts, and the KS
+    statistic is maximized as |cumA·nB − cumB·nA| (cross-multiplied —
+    no per-row float division) with the final D reported in exact ppm.
+    The argmax row also reports where the distributions diverge most.
+
+    Scale shape: raw rows collapse to the value grid first (bounded by
+    the cent domain, ~50k cells, regardless of corpus size), so the
+    one ordered window that builds both ECDFs runs over grid cells,
+    not events — the classic bounded-state trick that makes a global
+    ECDF feasible at 100 TB. Everything before it is one
+    partial-aggregated shuffle."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    s = ev.select(
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("in_a"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("in_b"),
+    )
+    totals = s.agg(
+        F.sum("in_a").cast("long").alias("n_a"),
+        F.sum("in_b").cast("long").alias("n_b"),
+    )
+    per_cent = s.groupBy("cents").agg(
+        F.sum("in_a").cast("long").alias("ca"),
+        F.sum("in_b").cast("long").alias("cb"),
+    )
+    w = (
+        Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ecdf = per_cent.select(
+        "cents",
+        F.sum("ca").over(w).cast("long").alias("cum_a"),
+        F.sum("cb").over(w).cast("long").alias("cum_b"),
+    )
+    scored = ecdf.crossJoin(F.broadcast(totals)).select(
+        "cents",
+        F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")).alias(
+            "num"
+        ),
+        "n_a",
+        "n_b",
+    )
+    return (
+        scored.orderBy(F.col("num").desc(), F.col("cents").asc())
+        .limit(1)
+        .select(
+            "n_a",
+            "n_b",
+            F.expr("num * 1000000 div (n_a * n_b)").cast("long").alias("ks_ppm"),
+            (F.col("cents").cast("double") / 100).alias("at_value"),
+        )
     )
