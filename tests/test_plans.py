@@ -292,3 +292,51 @@ def test_partitioned_source_prunes_directories(spark):
     assert files and all(
         ("lang=en" in f) or ("lang=zh" in f) for f in files
     ), files
+
+
+def test_simhash_pairs_banded_not_cartesian(spark):
+    """The banded SimHash pair query must generate candidates via the
+    (band, band_val) equi-join — never an O(n²) nested-loop/cartesian
+    comparison of signatures (the oracle is the O(n²) definition; the
+    plan must not be)."""
+    from git_etl_spark.plans.audit import physical_plan
+
+    plan = physical_plan(_q(spark, "dedup_simhash_hamming_pairs"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_negative_sampling_pool_is_bucket_equi_join(spark):
+    """Negative-sampling candidate pool must form via the bucket
+    equi-join (pool ∝ n·m/256), not a users×catalog cross product, and
+    positives must be removed by a hash anti-join."""
+    from git_etl_spark.plans.audit import physical_plan
+
+    plan = physical_plan(_q(spark, "pipeline_negative_sampling"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan
+
+
+def test_triangle_wedges_from_oriented_edges(spark):
+    """Triangle counting must stay equi-join shaped: wedge build and
+    closing join are hash joins on node keys — no cartesian expansion
+    — and the final top-20 is a TakeOrderedAndProject, not a global
+    sort."""
+    from git_etl_spark.plans.audit import physical_plan
+
+    plan = physical_plan(_q(spark, "graph_triangle_top20"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_countmin_counters_partial_aggregated(spark):
+    """The CMS counter build must partial-aggregate before its shuffle
+    (HashAggregate appears below the exchange) and the probe side must
+    broadcast the fixed-size counter grid."""
+    from git_etl_spark.plans.audit import physical_plan
+
+    plan = physical_plan(_q(spark, "agg_countmin_heavy_hitters"))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2
