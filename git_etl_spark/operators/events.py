@@ -761,3 +761,181 @@ def events_ewma_halving(spark: SparkSession, sf_dir: str) -> DataFrame:
             0.5**k
         )
     return daily.select("user_id", "day", "cnt", terms.alias("ewma"))
+
+
+@query(
+    "join_scd2_point_in_time",
+    oracle="""
+    WITH tiers AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN value >= 50 THEN 'high' ELSE 'low' END AS tier
+        FROM events WHERE event_type = 'purchase'
+    ),
+    flagged AS (
+        SELECT user_id, event_id, ts, tier,
+               lag(tier) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_tier
+        FROM tiers
+    ),
+    hist AS (
+        SELECT user_id, tier, ts AS valid_from, event_id,
+               lead(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS valid_to
+        FROM flagged
+        WHERE prev_tier IS NULL OR tier <> prev_tier
+    ),
+    clicks AS (
+        SELECT user_id, event_id AS click_id, ts
+        FROM events WHERE event_type = 'click'
+    )
+    SELECT c.click_id, c.user_id, c.ts, h.tier AS tier_at_click
+    FROM clicks c JOIN hist h
+      ON h.user_id = c.user_id
+     AND c.ts >= h.valid_from
+     AND (h.valid_to IS NULL OR c.ts < h.valid_to)
+    """,
+)
+def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) enrichment against the SCD2 tier
+    history: every click is stamped with the purchase tier that was
+    valid at the click's timestamp — the lookup every
+    training-feature join must get right to avoid future leakage.
+
+    The oracle states the semantics as the obvious interval join; the
+    Spark plan deliberately does NOT run that join (a range predicate
+    per user would fan out and skew). Instead it uses the union-LOCF
+    formulation: change rows and probe rows are unioned, sorted once
+    per user by (ts, kind, event_id) — change rows first at equal
+    timestamps, so a same-instant change applies to the click, and
+    same-instant duplicate changes resolve to the highest event_id,
+    exactly the zero-width-interval semantics of the oracle's join —
+    and the valid tier is carried forward with last_value(ignorenulls)
+    in ONE window pass. One shuffle on user_id, O(1) state per row,
+    no range explosion: the as-of pattern that survives 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    tier = F.when(F.col("value") >= 50, "high").otherwise("low")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", "ts", tier.alias("tier"))
+        .withColumn("prev_tier", F.lag("tier").over(w))
+    )
+    changes = flagged.filter(
+        F.col("prev_tier").isNull() | (F.col("tier") != F.col("prev_tier"))
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(0).alias("kind"),
+        F.col("tier"),
+        F.lit(None).cast("long").alias("click_id"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("string").alias("tier"),
+        F.col("event_id").alias("click_id"),
+    )
+    merged = changes.unionByName(clicks)
+    w_locf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    stamped = merged.withColumn(
+        "tier_at_click", F.last("tier", ignorenulls=True).over(w_locf)
+    )
+    return stamped.filter(
+        (F.col("kind") == 1) & F.col("tier_at_click").isNotNull()
+    ).select("click_id", "user_id", "ts", "tier_at_click")
+
+
+@query(
+    "events_rfm_segmentation",
+    oracle="""
+    WITH purchases AS (
+        SELECT user_id, ts, CAST(value AS DECIMAL(18,2)) AS v
+        FROM events WHERE event_type = 'purchase'
+    ),
+    anchor AS (SELECT MAX(ts) AS max_ts FROM purchases),
+    per_user AS (
+        SELECT user_id,
+               CAST((CAST(FLOOR(epoch((SELECT max_ts FROM anchor))) AS BIGINT)
+                     - CAST(FLOOR(epoch(MAX(ts))) AS BIGINT)) // 86400
+                    AS BIGINT) AS recency_days,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               CAST(SUM(v) AS DOUBLE) AS monetary
+        FROM purchases GROUP BY user_id
+    ),
+    scored AS (
+        SELECT user_id, recency_days, frequency, monetary,
+               CAST(ntile(5) OVER (ORDER BY recency_days DESC, user_id)
+                    AS BIGINT) AS r_score,
+               CAST(ntile(5) OVER (ORDER BY frequency ASC, user_id)
+                    AS BIGINT) AS f_score,
+               CAST(ntile(5) OVER (ORDER BY monetary ASC, user_id)
+                    AS BIGINT) AS m_score
+        FROM per_user
+    )
+    SELECT user_id, recency_days, frequency, monetary,
+           r_score, f_score, m_score,
+           r_score * 100 + f_score * 10 + m_score AS rfm
+    FROM scored
+    """,
+)
+def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — recency (days since last purchase,
+    anchored at the corpus's latest purchase timestamp so the result is
+    reproducible), frequency, and decimal-exact monetary value, each
+    quintile-scored with a total tie-break order so ntile is
+    deterministic, composed into the classic 3-digit RFM code.
+
+    One shuffle aggregates events to one row per user; the three
+    ntile windows run over that per-user aggregate (|users| rows, not
+    |events|). At extreme user counts the exact global ntile would be
+    replaced by percentile-boundary binning (compute 4 cut points,
+    broadcast, bucket by comparison) — same output contract, no
+    global sort; here the exact form doubles as the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").cast("decimal(18,2)").alias("v")
+    )
+    anchor = purchases.agg(F.max("ts").alias("max_ts"))
+    per_user = (
+        purchases.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count("*").alias("frequency"),
+            F.sum("v").alias("msum"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            (
+                (epoch_sec("max_ts") - epoch_sec("last_ts"))
+                / F.lit(86400)
+            )
+            .cast("long")
+            .alias("recency_days"),
+            F.col("frequency").cast("long"),
+            F.col("msum").cast("double").alias("monetary"),
+        )
+    )
+    w_r = Window.orderBy(F.col("recency_days").desc(), F.col("user_id"))
+    w_f = Window.orderBy(F.col("frequency").asc(), F.col("user_id"))
+    w_m = Window.orderBy(F.col("monetary").asc(), F.col("user_id"))
+    scored = per_user.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(w_r).cast("long").alias("r_score"),
+        F.ntile(5).over(w_f).cast("long").alias("f_score"),
+        F.ntile(5).over(w_m).cast("long").alias("m_score"),
+    )
+    return scored.withColumn(
+        "rfm",
+        F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"),
+    )
