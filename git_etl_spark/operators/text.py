@@ -574,3 +574,121 @@ def text_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_removed"),
         F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
     )
+
+
+@query(
+    "text_inverted_index_top_terms",
+    oracle="""
+    WITH postings AS (
+        SELECT tok, doc_id, COUNT(*) AS tf FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ) GROUP BY tok, doc_id
+    ),
+    stats AS (
+        SELECT tok,
+               CAST(COUNT(*) AS BIGINT) AS df,
+               CAST(SUM(tf) AS BIGINT) AS total_tf,
+               arg_max(doc_id, tf * 10000000000 - doc_id) AS top_doc
+        FROM postings GROUP BY tok
+    )
+    SELECT tok, df, total_tf, top_doc
+    FROM stats
+    ORDER BY total_tf DESC, tok ASC
+    LIMIT 25
+    """,
+)
+def text_inverted_index_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (the search-engine side of the text pack):
+    per-term posting statistics — document frequency, total term
+    frequency, and the argmax document (highest tf, lowest doc_id on
+    ties — both engines break ties via the same scalar
+    tf·10¹⁰ − doc_id order key) — reported for the 25 heaviest terms.
+
+    The posting list build is the canonical two-level aggregation:
+    explode to (term, doc), partial-aggregate term frequency within
+    (term, doc), then roll up per term. Both levels are map-side
+    combinable, so the shuffle carries postings (∝ distinct
+    (term, doc) pairs), not raw token instances — the 100 TB index
+    build plan, where raw token volume is ~20× the posting volume."""
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    postings = (
+        docs.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("tok", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    stats = postings.groupBy("tok").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("total_tf"),
+        F.expr("max_by(doc_id, tf * 10000000000 - doc_id)").alias("top_doc"),
+    )
+    return (
+        stats.orderBy(F.col("total_tf").desc(), F.col("tok").asc())
+        .limit(25)
+    )
+
+
+VOCAB_SIZE = 30  # top-V tokens form the closed vocabulary
+
+
+@query(
+    "text_vocab_oov_rate",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    vocab AS (
+        SELECT tok FROM (
+            SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
+            ORDER BY n DESC, tok ASC LIMIT {VOCAB_SIZE}
+        )
+    )
+    SELECT t.source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS oov_ppm
+    FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+    GROUP BY t.source
+    """,
+)
+def text_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage audit: build the top-30 closed
+    vocabulary by corpus frequency (deterministic tie-break), then
+    report each source's token count and out-of-vocabulary rate in
+    exact ppm — the check run before committing a tokenizer to a new
+    data mixture (a source with a high OOV rate will fragment into
+    bytes and blow up its effective token cost).
+
+    The vocabulary is a broadcast-sized artifact by construction
+    (top-V of a frequency aggregate — TakeOrdered, no global sort);
+    coverage is then a broadcast left join of token instances against
+    it, partial-aggregated per source. Token instances never shuffle:
+    the only wide exchanges carry per-term counts."""
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", "source", F.explode("toks").alias("tok"))
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(VOCAB_SIZE)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_oov",
+            F.expr("n_oov * 1000000 div n_tokens").cast("long").alias("oov_ppm"),
+        )
+    )
