@@ -251,3 +251,36 @@ def test_partitioned_layout_equal_contents_and_scoped_merge(
     assert after == before  # untouched repo partition never rewritten
     commits = spark.read.parquet(str(part / "commits"))
     assert commits.filter("repo_name = 'proj-beta'").count() == 2
+
+
+def test_gitlog_datasource_matches_driver_side(spark, synthetic_repo):
+    """S1 as a Spark-4 Python DataSource: format("gitlog") must produce
+    exactly the driver-side result, schema included, and expose one
+    input partition per repository."""
+    from git_etl_spark.sources.git_log import repo_commits_df
+    from git_etl_spark.sources.gitlog_datasource import (
+        GitLogReader,
+        register_gitlog_source,
+    )
+
+    register_gitlog_source(spark)
+    a = repo_commits_df(spark, [str(synthetic_repo)])
+    b = spark.read.format("gitlog").load(str(synthetic_repo))
+    assert b.schema == a.schema
+    assert sorted(map(repr, b.collect())) == sorted(map(repr, a.collect()))
+
+    # branch option flows through the reader; partitions = repos
+    reader = GitLogReader({"paths": "/r/a,/r/b", "branch": "main"})
+    parts = reader.partitions()
+    assert [p.repo_path for p in parts] == ["/r/a", "/r/b"]
+    assert all(p.branch == "main" for p in parts)
+
+    # projection over the source composes like any other scan
+    n = (
+        spark.read.format("gitlog")
+        .load(str(synthetic_repo))
+        .groupBy("author_email")
+        .count()
+        .count()
+    )
+    assert n >= 1
