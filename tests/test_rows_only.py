@@ -419,3 +419,47 @@ def test_pq_adc_recall_and_code_compression(spark):
 
     again = simsearch_pq_adc(spark, SF_CORRECTNESS).collect()
     assert sorted(map(tuple, pq)) == sorted(map(tuple, again))
+
+
+def test_pca_top_component_invariants(spark):
+    """PCA invariants: unit-norm loading, eigen-residual ‖Cv−λv‖ ≤
+    1e-6·λ against an independently (numpy-)built covariance, |cos| ≥
+    0.999 agreement with numpy.linalg.eigh's top eigenvector, positive
+    eigenvalue, explained ratio in (0,1], run-to-run determinism."""
+    import numpy as np
+
+    from git_etl_spark.io import load_table
+    from git_etl_spark.operators.similarity import embedding_pca_top_component
+
+    rows = embedding_pca_top_component(spark, SF_CORRECTNESS).collect()
+    d = len(rows)
+    v = np.zeros(d)
+    mu = np.zeros(d)
+    for r in rows:
+        v[r.pos] = r.pc1_loading
+        mu[r.pos] = r.mean_val
+    lam = rows[0].eigenvalue
+    evr = rows[0].explained_variance_ratio
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-9
+    assert lam > 0 and 0 < evr <= 1
+
+    X = np.array(
+        [
+            r.embedding
+            for r in load_table(spark, SF_CORRECTNESS, "embeddings")
+            .select("embedding")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    C = np.cov(X, rowvar=False, bias=True)
+    assert np.allclose(X.mean(axis=0), mu, atol=1e-9)
+    resid = np.linalg.norm(C @ v - lam * v)
+    assert resid <= 1e-6 * lam, resid
+    w_np, v_np = np.linalg.eigh(C)
+    top = v_np[:, -1]
+    assert abs(float(top @ v)) >= 0.999
+    assert abs(lam - w_np[-1]) <= 1e-6 * w_np[-1]
+
+    again = embedding_pca_top_component(spark, SF_CORRECTNESS).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
