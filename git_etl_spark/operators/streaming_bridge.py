@@ -17,6 +17,7 @@ import uuid
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..registry import query
@@ -151,4 +152,41 @@ def streaming_session_window_replay(spark: SparkSession, sf_dir: str) -> DataFra
     return _replay(
         spark, sf_dir, sessionized,
         ["user_id", "session_start", "session_end", "n_events"],
+    )
+
+
+@query(
+    "streaming_stateful_counts_replay",
+    oracle="""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def streaming_stateful_counts_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom-stateful escape hatch (``applyInPandasWithState``,
+    streaming/stateful.py) held to a SQL oracle: per-user running
+    event counts maintained in explicit GroupState are replayed to
+    completion, and each user's *final* state row (counts are
+    monotone, so max = last) must equal the batch GROUP BY — proving
+    the operator's state fold reaches exactly-once totals across
+    micro-batch boundaries, not merely that it runs. The float
+    value-sum the operator also carries is deliberately excluded from
+    the oracle column set (pandas batch-order float addition is not
+    cross-engine-stable); the integer count is the exactness witness.
+
+    State is one tuple per user (bounded keys; RocksDB-backed on a
+    real cluster), and the replay pins the stateful shuffle to 4
+    partitions like the other replays — state-store instance count
+    follows state volume, not the session's batch default."""
+    from ..streaming.stateful import running_user_totals
+
+    updates = _replay(
+        spark,
+        sf_dir,
+        running_user_totals,
+        ["user_id", "n_events"],
+        output_mode="update",
+    )
+    return updates.groupBy("user_id").agg(
+        F.max("n_events").cast("long").alias("n_events")
     )
