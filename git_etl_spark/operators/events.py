@@ -939,3 +939,77 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rfm",
         F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"),
     )
+
+
+@query(
+    "cdc_snapshot_diff",
+    oracle="""
+    WITH snap_a AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+        GROUP BY user_id
+    ),
+    snap_b AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events WHERE ts < TIMESTAMP '2024-01-31 00:00:00'
+        GROUP BY user_id
+    )
+    SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+           CASE WHEN a.user_id IS NULL THEN 'I'
+                WHEN b.user_id IS NULL THEN 'D'
+                ELSE 'U' END AS op,
+           a.n_events AS old_n_events, b.n_events AS new_n_events,
+           a.total_value AS old_total_value, b.total_value AS new_total_value
+    FROM snap_a a FULL OUTER JOIN snap_b b ON a.user_id = b.user_id
+    WHERE a.user_id IS NULL OR b.user_id IS NULL
+       OR a.n_events <> b.n_events OR a.total_value <> b.total_value
+    """,
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data *extraction*: diff two snapshots of a derived table
+    (per-user rollups as of Jan 16 vs Jan 31) into an I/U/D changelog —
+    the inverse of cdc_merge_apply, and together they close the loop:
+    extract a feed from any pair of snapshots, apply it elsewhere.
+    This is how a lake emits a change feed for tables whose producer
+    doesn't publish one.
+
+    One full outer join on the snapshot key; unchanged keys (the
+    dominant case) are filtered by column comparison, so the feed is
+    ∝ churn, not table size. Aggregates are decimal-exact, so
+    'changed' is a bit-exact predicate both engines agree on; at
+    100 TB the same plan rides snapshot-partitioned storage and the
+    outer join is the only shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def snap(cutoff: str) -> DataFrame:
+        return (
+            ev.filter(F.col("ts") < F.lit(cutoff).cast("timestamp"))
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                dsum("value").alias("total_value"),
+            )
+        )
+
+    a = snap("2024-01-16 00:00:00").alias("a")
+    b = snap("2024-01-31 00:00:00").alias("b")
+    joined = a.join(b, F.col("a.user_id") == F.col("b.user_id"), "full_outer")
+    changed = joined.filter(
+        F.col("a.user_id").isNull()
+        | F.col("b.user_id").isNull()
+        | (F.col("a.n_events") != F.col("b.n_events"))
+        | (F.col("a.total_value") != F.col("b.total_value"))
+    )
+    return changed.select(
+        F.coalesce(F.col("a.user_id"), F.col("b.user_id")).alias("user_id"),
+        F.when(F.col("a.user_id").isNull(), "I")
+        .when(F.col("b.user_id").isNull(), "D")
+        .otherwise("U")
+        .alias("op"),
+        F.col("a.n_events").alias("old_n_events"),
+        F.col("b.n_events").alias("new_n_events"),
+        F.col("a.total_value").alias("old_total_value"),
+        F.col("b.total_value").alias("new_total_value"),
+    )

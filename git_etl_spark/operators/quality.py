@@ -352,3 +352,83 @@ def quality_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cents").cast("double") / 100).alias("at_value"),
         )
     )
+
+
+@query(
+    "quality_skew_report",
+    oracle="""
+    WITH per_key AS (
+        SELECT l_orderkey AS key, CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    ranked AS (
+        SELECT key, n,
+               row_number() OVER (ORDER BY n DESC, key ASC) AS rk,
+               CAST(SUM(n) OVER () AS BIGINT) AS total_rows,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n_keys
+        FROM per_key
+    )
+    SELECT 'lineitem.l_orderkey' AS join_key,
+           n_keys, total_rows,
+           CAST(MAX(CASE WHEN rk = 1 THEN n END) AS BIGINT) AS top_key_rows,
+           CAST(MAX(CASE WHEN rk = 1 THEN n END) * 1000000 // total_rows
+                AS BIGINT) AS top_key_share_ppm,
+           CAST(SUM(CASE WHEN rk <= 10 THEN n ELSE 0 END) * 1000000
+                // total_rows AS BIGINT) AS top10_share_ppm,
+           CAST(MAX(n) * n_keys * 1000000 // total_rows AS BIGINT)
+               AS max_over_mean_ppm
+    FROM ranked
+    GROUP BY n_keys, total_rows
+    """,
+)
+def quality_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics — the pre-flight check before keying a
+    shuffle on a column at 100 TB: per-key cardinality profile of
+    lineitem.l_orderkey reduced to the numbers a planner (or operator)
+    acts on — hottest-key share, top-10 share, and max/mean ratio, all
+    in exact integer ppm. max/mean ≫ 10⁶ means salting or AQE skew
+    splitting is mandatory; top-10 share near 10⁶ means broadcast or
+    key-split instead.
+
+    One partial-aggregated shuffle builds the per-key counts; the
+    profile needs only scalar aggregates of that table plus its top-10
+    rows (TakeOrdered — no global window, no single-partition sort
+    over keys, unlike the oracle's rank-window derivation of the same
+    numbers). Works unchanged as a template over any (table, key)
+    pair."""
+    from ..session import iter_checkpoint
+
+    li = load_table(spark, sf_dir, "lineitem")
+    per_key = iter_checkpoint(
+        li.groupBy(F.col("l_orderkey").alias("key")).agg(
+            F.count("*").alias("n")
+        )
+    )
+    totals = per_key.agg(
+        F.sum("n").cast("long").alias("total_rows"),
+        F.count("*").cast("long").alias("n_keys"),
+        F.max("n").cast("long").alias("top_key_rows"),
+    )
+    top10 = (
+        per_key.orderBy(F.col("n").desc(), F.col("key").asc())
+        .limit(10)
+        .agg(F.sum("n").cast("long").alias("top10_rows"))
+    )
+    return (
+        totals.crossJoin(F.broadcast(top10))
+        .select(
+            F.lit("lineitem.l_orderkey").alias("join_key"),
+            "n_keys",
+            "total_rows",
+            "top_key_rows",
+            F.expr("top_key_rows * 1000000 div total_rows")
+            .cast("long")
+            .alias("top_key_share_ppm"),
+            F.expr("top10_rows * 1000000 div total_rows")
+            .cast("long")
+            .alias("top10_share_ppm"),
+            F.expr("top_key_rows * n_keys * 1000000 div total_rows")
+            .cast("long")
+            .alias("max_over_mean_ppm"),
+        )
+    )
