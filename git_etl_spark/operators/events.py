@@ -1013,3 +1013,45 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.total_value").alias("old_total_value"),
         F.col("b.total_value").alias("new_total_value"),
     )
+
+
+@query(
+    "events_path_trigrams_top10",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS a,
+               lead(event_type, 1) OVER w AS b,
+               lead(event_type, 2) OVER w AS c
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT a, b, c, CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE b IS NOT NULL AND c IS NOT NULL
+    GROUP BY a, b, c
+    ORDER BY n DESC, a, b, c
+    LIMIT 10
+    """,
+)
+def events_path_trigrams_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining one order above the Markov matrix:
+    the ten most frequent 3-step user paths (event-type trigrams over
+    per-user time order). The path-analysis primitive behind journey
+    dashboards and funnel hypothesis generation.
+
+    Same single user_id window shuffle as events_markov_transitions —
+    two leads instead of one, state O(1) per row — then a trigram
+    aggregate whose cardinality is |types|³ regardless of corpus size,
+    so the top-10 is a TakeOrdered over at most 125 rows."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type", 1).over(w).alias("b"),
+        F.lead("event_type", 2).over(w).alias("c"),
+    ).filter(F.col("b").isNotNull() & F.col("c").isNotNull())
+    return (
+        seq.groupBy("a", "b", "c")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "a", "b", "c")
+        .limit(10)
+    )

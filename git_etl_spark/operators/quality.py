@@ -432,3 +432,82 @@ def quality_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("max_over_mean_ppm"),
         )
     )
+
+
+@query(
+    "quality_outliers_mad",
+    oracle="""
+    WITH vals AS (
+        SELECT event_id, event_type,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    med AS (
+        SELECT event_type,
+               CAST(median(cents) * 2 AS BIGINT) AS med2
+        FROM vals GROUP BY event_type
+    ),
+    devs AS (
+        SELECT v.event_id, v.event_type, v.cents,
+               abs(2 * v.cents - m.med2) AS dev2
+        FROM vals v JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type,
+               CAST(median(dev2) * 2 AS BIGINT) AS mad4
+        FROM devs GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN 2 * d.dev2 * 10000 > 3 * 14826 * m.mad4
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM devs d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def quality_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via Median Absolute Deviation — the
+    heavy-tail-safe sibling of the IQR fence (quality_outliers_iqr)
+    and z-score (events_hourly_anomaly): a point is an outlier when
+    |x − median| > 3·1.4826·MAD.
+
+    Exactness without floats: values sit on the cent grid, and every
+    median (even-count interpolation lands on halves) is doubled into
+    an integer — med2 = 2·median, mad4 = 4·MAD — so the flag
+    comparison 2·dev2·10⁴ > 3·14826·mad4 is pure 64-bit integer
+    arithmetic; the 1.4826 normal-consistency constant rides along as
+    the rational 14826/10⁴. Two median aggregations + one broadcast
+    join per stage; at scale the exact medians swap for
+    approx_percentile with the same integer framing."""
+    ev = load_table(spark, sf_dir, "events")
+    vals = ev.filter(F.col("event_type").isin("purchase", "click")).select(
+        "event_id",
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    med = vals.groupBy("event_type").agg(
+        (F.expr("percentile(cents, 0.5)") * 2).cast("long").alias("med2")
+    )
+    devs = vals.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        "cents",
+        F.abs(2 * F.col("cents") - F.col("med2")).alias("dev2"),
+    )
+    mad = devs.groupBy("event_type").agg(
+        (F.expr("percentile(dev2, 0.5)") * 2).cast("long").alias("mad4")
+    )
+    return (
+        devs.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(
+                F.when(
+                    2 * F.col("dev2") * 10000 > 3 * 14826 * F.col("mad4"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
