@@ -95,6 +95,14 @@ def _written_copy(spark: SparkSession, sf_dir: str, fmt: str) -> str:
                 ignoreTrailingWhiteSpace=False,
                 nullValue="\\N",
             ).csv(path)
+        elif fmt == "xml":
+            # built-in XML source (merged into Spark 4): one <doc>
+            # element per row; values land in child elements, where
+            # whitespace-significant free text survives verbatim
+            # (attributes would XML-collapse it)
+            writer.format("xml").options(
+                rootTag="docs", rowTag="doc", declaration=""
+            ).save(path)
         else:  # pragma: no cover - guarded by callers
             raise ValueError(fmt)
         _FMT_MEMO[key] = path
@@ -171,4 +179,24 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.schema(_DOC_SCHEMA).options(
         header=False, quote='"', escape='"', nullValue="\\N"
     ).csv(path)
+    return _roundtrip_projection(back)
+
+
+@query("source_xml_roundtrip", oracle=_ROUNDTRIP_ORACLE)
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → distributed XML write (Spark 4 built-in source,
+    one <doc> element per row) → ``spark.read.format("xml")`` with the
+    explicit schema → md5-verified equality with the parquet original.
+    The free-text column is the adversarial payload: XML entity
+    escaping (&, <, >) must invert exactly or text_md5 mismatches.
+    XML joins the format family (parquet/ORC/JSONL/CSV) under the
+    identical oracle; rowTag framing keeps files element-splittable
+    the way JSONL is line-splittable."""
+    path = _written_copy(spark, sf_dir, "xml")
+    back = (
+        spark.read.format("xml")
+        .options(rowTag="doc")
+        .schema(_DOC_SCHEMA)
+        .load(path)
+    )
     return _roundtrip_projection(back)

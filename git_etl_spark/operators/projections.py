@@ -191,3 +191,36 @@ def filter_validation_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_violations"),
     )
     return flagged.filter(F.col("n_violations") > 0)
+
+
+@query(
+    "proj_variant_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(props->>'$.k' AS BIGINT) AS k_val,
+           (props->>'$.absent') IS NULL AS missing_is_null
+    FROM events
+    """,
+)
+def proj_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type: the JSON
+    props column is parsed once into a binary variant
+    (``parse_json``) and fields are extracted with typed paths
+    (``try_variant_get``) — the open-schema path for payloads whose
+    shape isn't known at write time. Against 100 TB this beats
+    per-query ``get_json_object`` string re-parsing: the variant
+    encodes once at ingest into a shredded binary form, and every
+    later extraction is a binary path walk, not a JSON tokenizer pass.
+    A missing path under ``try_variant_get`` is NULL, not an error —
+    asserted per row. The DuckDB oracle states the same semantics
+    through its JSON operators, so the variant encode/decode cycle is
+    value-verified end to end."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    return ev.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "long").alias("k_val"),
+        F.try_variant_get(v, "$.absent", "string").isNull().alias(
+            "missing_is_null"
+        ),
+    )
