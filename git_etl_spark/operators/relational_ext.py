@@ -578,3 +578,63 @@ def sort_paginate_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .offset(40)
         .limit(20)
     )
+
+
+@query(
+    "join_null_safe_eq",
+    oracle="""
+    WITH keyed AS (
+        SELECT o_orderkey,
+               CASE WHEN o_totalprice < 5000 THEN NULL
+                    ELSE o_orderpriority END AS prio_key
+        FROM orders
+    ),
+    dim(prio_key, priority_label) AS (
+        VALUES ('1-URGENT', 'urgent'), ('2-HIGH', 'high'),
+               ('3-MEDIUM', 'medium'), ('4-NOT SPECIFIED', 'unspecified'),
+               ('5-LOW', 'low'), (NULL, 'unknown-bucket')
+    )
+    SELECT d.priority_label, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM keyed k JOIN dim d ON k.prio_key IS NOT DISTINCT FROM d.prio_key
+    GROUP BY d.priority_label
+    """,
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): under
+    ordinary equi-join semantics a NULL key matches nothing, so rows
+    with unknown keys silently vanish from an enrichment join — the
+    classic silent-data-loss bug. The null-safe operator makes NULL a
+    *first-class key value*: orders whose priority is unknown (modeled
+    here as sub-5000 totals) land in the dimension's explicit
+    'unknown-bucket' row instead of disappearing.
+
+    Catalyst treats ``<=>`` as an equi-join condition (hash join, not
+    nested-loop — asserted by the no-cartesian audit family), and the
+    broadcast dimension carries the NULL-keyed fallback row. Counts
+    prove conservation: every order appears in exactly one bucket."""
+    orders = load_table(spark, sf_dir, "orders")
+    keyed = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") < 5000, F.lit(None).cast("string"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("prio_key"),
+    )
+    dim = orders.sparkSession.createDataFrame(
+        [
+            ("1-URGENT", "urgent"),
+            ("2-HIGH", "high"),
+            ("3-MEDIUM", "medium"),
+            ("4-NOT SPECIFIED", "unspecified"),
+            ("5-LOW", "low"),
+            (None, "unknown-bucket"),
+        ],
+        "prio_key string, priority_label string",
+    )
+    return (
+        keyed.join(
+            F.broadcast(dim),
+            keyed.prio_key.eqNullSafe(dim.prio_key),
+        )
+        .groupBy("priority_label")
+        .agg(F.count("*").alias("n_orders"))
+    )

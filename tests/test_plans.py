@@ -340,3 +340,32 @@ def test_countmin_counters_partial_aggregated(spark):
     plan = physical_plan(_q(spark, "agg_countmin_heavy_hitters"))
     assert "BroadcastHashJoin" in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_observe_metrics_match_aggregates(spark):
+    """Engine observability: df.observe() metrics collected during a
+    real write must equal the same aggregates computed as a query —
+    the zero-extra-pass pipeline health counters a 100 TB job exports
+    instead of re-scanning its input to validate row counts."""
+    from pyspark.sql import Observation
+
+    from git_etl_spark.io import load_table
+
+    ev = load_table(spark, SF_CORRECTNESS, "events")
+    obs = Observation("ingest_counters")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    expect = ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
+    ).collect()[0]
+    assert got["n_rows"] == expect["n_rows"]
+    assert got["sum_value"] == expect["sum_value"]
+    assert got["n_errors"] == expect["n_errors"]
