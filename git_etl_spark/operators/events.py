@@ -1055,3 +1055,48 @@ def events_path_trigrams_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "a", "b", "c")
         .limit(10)
     )
+
+
+@query(
+    "events_interarrival_stats",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id,
+               CAST(FLOOR(epoch(ts)) AS BIGINT)
+                 - CAST(FLOOR(epoch(lag(ts) OVER w)) AS BIGINT) AS gap_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(MIN(gap_s) AS BIGINT) AS min_gap_s,
+           CAST(median(gap_s) * 2 AS BIGINT) AS median_gap_2s,
+           CAST(MAX(gap_s) AS BIGINT) AS max_gap_s
+    FROM gaps WHERE gap_s IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival statistics — the temporal signature
+    behind bot detection (metronome-regular gaps), engagement scoring,
+    and session-gap calibration (events_sessionize's 600 s threshold
+    came from exactly this distribution): consecutive-event gaps in
+    whole seconds, summarized per user. The median rides as
+    2·median so even-count interpolation (k+0.5) stays integer-exact
+    across engines (the doubled-median device from
+    quality_outliers_mad).
+
+    One user_id window shuffle computes every gap; the summary is the
+    same shuffle's aggregate. State O(1) per row, no second pass."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (epoch_sec("ts") - epoch_sec(F.lag("ts").over(w))).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.min("gap_s").cast("long").alias("min_gap_s"),
+        (F.expr("percentile(gap_s, 0.5)") * 2).cast("long").alias("median_gap_2s"),
+        F.max("gap_s").cast("long").alias("max_gap_s"),
+    )

@@ -511,3 +511,56 @@ def quality_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+@query(
+    "sample_weighted_bernoulli",
+    oracle="""
+    WITH keyed AS (
+        SELECT l_orderkey, l_linenumber, l_partkey,
+               CAST(l_quantity AS BIGINT) AS w,
+               CAST(('0x' || substr(md5(l_orderkey || ':' || l_linenumber), 1, 8))
+                    AS BIGINT) % 50 AS u
+        FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber, l_partkey, w
+    FROM keyed WHERE u < w
+    """,
+)
+def sample_weighted_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Bernoulli sampling without RNG state: each lineitem is
+    kept with probability quantity/50, decided by comparing a
+    per-row md5 draw (uniform over [0,50) by construction) against the
+    integer weight — the deterministic form of importance-weighted
+    example selection in training-data pipelines (sample long/valuable
+    rows more often), reproducible across engines, runs, and restarts
+    because the randomness is a pure function of the row key.
+
+    A scan-level filter: no shuffle at all, trivially parallel at
+    100 TB, and the kept set is stable under re-partitioning (the draw
+    depends only on the natural key, never on task layout). The exact
+    integer comparison u < w is the whole operator."""
+    li = load_table(spark, sf_dir, "lineitem")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("l_orderkey"), F.col("l_linenumber"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 50
+    )
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_partkey",
+            F.col("l_quantity").cast("long").alias("w"),
+            u.alias("u"),
+        )
+        .filter(F.col("u") < F.col("w"))
+        .drop("u")
+    )
