@@ -1611,3 +1611,47 @@ def _cluster_vec_pairs(spark: SparkSession, pairs: DataFrame) -> DataFrame:
         F.col("lbl").alias("cluster_id"),
         (F.col("v") == F.col("lbl")).alias("is_representative"),
     )
+
+
+@query(
+    "dedup_simhash_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SIMHASH_SIG_SQL.strip()},
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAMMING_RADIUS}
+    ),
+    e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+    verts AS (SELECT a AS v FROM e UNION SELECT b FROM e),
+    cc(v, lbl) AS (
+        SELECT v, v FROM verts
+        UNION
+        SELECT e.b AS v, cc.lbl FROM cc JOIN e ON cc.v = e.a WHERE cc.lbl < e.b
+    )
+    SELECT v AS doc_id, MIN(lbl) AS cluster_id FROM cc GROUP BY v
+    """,
+)
+def dedup_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash dedup closed end-to-end: banded Hamming candidate pairs
+    (dedup_simhash_hamming_pairs — candidates ∝ density, oracle-proved
+    lossless) flow into the Large-Star/Small-Star connected-components
+    engine, yielding one cluster id per near-duplicate document. The
+    third pair source wired into the shared CC machinery (after exact
+    Jaccard and embedding cosine), and the whole composition — banding,
+    verification, clustering — is held to a single recursive-CTE
+    ground truth over the naive O(n²) pair definition.
+
+    At 100 TB each stage keeps its own contract: signatures are one
+    token-explode aggregation, banding shuffles 4 rows/doc, candidates
+    pay only bit_count verification, and the cluster engine is
+    O(log n) rounds with data-sized shuffles."""
+    from .graph import large_star_small_star
+
+    pairs = dedup_simhash_hamming_pairs(spark, sf_dir)
+    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    labels = large_star_small_star(spark, edges)
+    return labels.select(
+        F.col("v").alias("doc_id"), F.col("lbl").alias("cluster_id")
+    )
