@@ -931,6 +931,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SIMHASH_HAMMING_RADIUS = 3  # pairs within 3 of 48 bits are near-dups
+_SIMHASH_PAIRS_MEMO: dict[tuple[str, str], DataFrame] = {}
 SIMHASH_BANDS = SIMHASH_HAMMING_RADIUS + 1  # pigeonhole: ≥1 exact band
 _SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 12
 
@@ -961,6 +962,10 @@ def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     splitting applies if one bucket runs hot. The DuckDB oracle *is*
     the O(n²) definition, so the banding is proved lossless on every
     run, not assumed."""
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    memoized = _SIMHASH_PAIRS_MEMO.get(memo_key)
+    if memoized is not None:
+        return memoized
     docs = load_table(spark, sf_dir, "documents")
     sigs = _simhash_sig_df(docs)
     mask = (1 << _SIMHASH_BAND_BITS) - 1
@@ -988,14 +993,18 @@ def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return (
+    pairs = (
         cand.withColumn(
             "hamming",
             F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long"),
         )
         .filter(F.col("hamming") <= SIMHASH_HAMMING_RADIUS)
         .select("doc_a", "doc_b", "hamming")
+        .localCheckpoint()  # tiny (verified near-dup pairs); reused by
+        # the cluster consumer in the same session
     )
+    _SIMHASH_PAIRS_MEMO[memo_key] = pairs
+    return pairs
 
 
 def _minhash_coefficients() -> list[tuple[int, int]]:
