@@ -190,3 +190,42 @@ def streaming_stateful_counts_replay(spark: SparkSession, sf_dir: str) -> DataFr
     return updates.groupBy("user_id").agg(
         F.max("n_events").cast("long").alias("n_events")
     )
+
+
+@query(
+    "streaming_attribution_replay",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, event_id AS click_id, ts AS click_ts
+        FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+        SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.user_id, p.purchase_id, c.click_id, p.purchase_ts, c.click_ts
+    FROM purchases p JOIN clicks c
+      ON c.user_id = p.user_id
+     AND c.click_ts <= p.purchase_ts
+     AND c.click_ts >= p.purchase_ts - INTERVAL 30 MINUTE
+    """,
+)
+def streaming_attribution_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream event-time join under the SQL oracle: purchases
+    joined to the same user's clicks in the preceding 30 minutes, both
+    sides watermarked so the state store evicts expired click rows
+    (state bounded by watermark + window, not history), replayed to
+    completion. The oracle is the plain interval join over the static
+    table — the watermarked streaming join must reproduce it row for
+    row, which pins the subtle part: inner-join matches emit
+    immediately and no pair is lost or duplicated across micro-batch
+    boundaries."""
+    from ..streaming.events_stream import purchase_click_attribution
+
+    return _replay(
+        spark,
+        sf_dir,
+        purchase_click_attribution,
+        ["user_id", "purchase_id", "click_id", "purchase_ts", "click_ts"],
+        output_mode="append",
+    )
