@@ -1100,3 +1100,46 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.expr("percentile(gap_s, 0.5)") * 2).cast("long").alias("median_gap_2s"),
         F.max("gap_s").cast("long").alias("max_gap_s"),
     )
+
+
+@query(
+    "events_hourly_ohlc",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour_bucket,
+           arg_min(value, CAST(FLOOR(epoch(ts)) AS BIGINT) * 100000000 + event_id) AS open_value,
+           MAX(value) AS high_value,
+           MIN(value) AS low_value,
+           arg_max(value, CAST(FLOOR(epoch(ts)) AS BIGINT) * 100000000 + event_id) AS close_value,
+           CAST(COUNT(*) AS BIGINT) AS n_trades
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY date_trunc('hour', ts)
+    """,
+)
+def events_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC (open-high-low-close) candles over purchase values —
+    the canonical financial/telemetry downsampling shape. Open and
+    close are argmin/argmax over one scalar order key
+    (epoch-seconds·10⁸ + event_id — a total order that stays inside
+    BIGINT and resolves same-second ties identically in both
+    engines); high/low are
+    plain extremes; raw values pass through untouched, so doubles
+    compare bit-for-bit with no decimal detour.
+
+    One partial-aggregated shuffle on the hour bucket: min_by/max_by
+    partials carry (value, key) pairs, so the candle build is a single
+    pass at any scale — never a window sort over the bucket."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    order_key = epoch_sec("ts") * F.lit(100000000).cast("long") + F.col(
+        "event_id"
+    )
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_bucket")
+    ).agg(
+        F.min_by("value", order_key).alias("open_value"),
+        F.max("value").alias("high_value"),
+        F.min("value").alias("low_value"),
+        F.max_by("value", order_key).alias("close_value"),
+        F.count("*").cast("long").alias("n_trades"),
+    )

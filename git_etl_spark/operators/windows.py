@@ -633,3 +633,90 @@ def agg_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "distinct_users_direct",
         "n_daily_words",
     )
+
+
+@query(
+    "agg_bitmap_intersection",
+    oracle="""
+    WITH words AS (
+        SELECT event_type, user_id // 63 AS word_idx,
+               bit_or(1::BIGINT << CAST(user_id % 63 AS INT)) AS word
+        FROM events
+        WHERE event_type IN ('click', 'purchase')
+        GROUP BY event_type, user_id // 63
+    ),
+    aligned AS (
+        SELECT c.word_idx,
+               c.word AS click_word,
+               p.word AS purchase_word
+        FROM (SELECT * FROM words WHERE event_type = 'click') c
+        JOIN (SELECT * FROM words WHERE event_type = 'purchase') p
+          USING (word_idx)
+    ),
+    from_bitmap AS (
+        SELECT CAST(SUM(bit_count(click_word & purchase_word)) AS BIGINT)
+                   AS both_bitmap
+        FROM aligned
+    ),
+    exact AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS both_direct FROM (
+            SELECT user_id FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+        )
+    )
+    SELECT b.both_bitmap, e.both_direct FROM from_bitmap b, exact e
+    """,
+)
+def agg_bitmap_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-intersection analytics from stored bitmap artifacts: how
+    many users both clicked AND purchased, answered by ANDing the two
+    event types' 63-bit user-bitmap words (agg_bitmap_exact_distinct's
+    stored form) and summing bit_count — no rescan of events, no
+    semi-join of raw rows, and unlike theta-sketch intersections the
+    answer is exact. Emitted beside the INTERSECT-derived count so the
+    oracle proves equality on every run.
+
+    The word tables join on word_idx (aligned fixed-size segments —
+    at 100 TB this is a merge of two artifact tables ∝ id-space/63,
+    independent of event volume), and AND/bit_count stay in codegen.
+    Same artifact, three query families: distinct counts (OR), overlap
+    (AND), and difference (AND NOT) — the relational roaring-bitmap
+    toolkit."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    words = ev.groupBy(
+        "event_type", F.expr("user_id div 63").alias("word_idx")
+    ).agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT))")
+        ).alias("word")
+    )
+    clicks = words.filter(F.col("event_type") == "click").select(
+        "word_idx", F.col("word").alias("click_word")
+    )
+    purchases = words.filter(F.col("event_type") == "purchase").select(
+        "word_idx", F.col("word").alias("purchase_word")
+    )
+    from_bitmap = (
+        clicks.join(purchases, "word_idx")
+        .agg(
+            F.sum(
+                F.bit_count(
+                    F.col("click_word").bitwiseAND(F.col("purchase_word"))
+                )
+            )
+            .cast("long")
+            .alias("both_bitmap")
+        )
+    )
+    exact = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id")
+        .intersect(
+            ev.filter(F.col("event_type") == "purchase").select("user_id")
+        )
+        .agg(F.count("*").cast("long").alias("both_direct"))
+    )
+    return from_bitmap.crossJoin(F.broadcast(exact))
