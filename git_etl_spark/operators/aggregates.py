@@ -21,7 +21,7 @@ TakeOrderedAndProject (no global sort materialization).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.exact import count_if, davg, dsum
@@ -555,4 +555,80 @@ def agg_frequent_itemset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("c_pair").desc(), "item_a", "item_b")
         .limit(20)
+    )
+
+
+@query(
+    "agg_gini_concentration",
+    oracle="""
+    WITH spend AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                   AS s_cents
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT s_cents,
+               row_number() OVER (ORDER BY s_cents ASC, o_custkey ASC) AS rk,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM spend
+    ),
+    sums AS (
+        SELECT n,
+               SUM(s_cents) AS total_cents,
+               SUM(s_cents * rk) AS weighted
+        FROM ranked GROUP BY n
+    )
+    SELECT n AS n_customers,
+           CAST(total_cents AS BIGINT) AS total_cents,
+           CAST((2 * weighted - (n + 1) * total_cents) * 1000000
+                // (n * total_cents) AS BIGINT) AS gini_ppm
+    FROM sums
+    """,
+)
+def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend — the concentration /
+    inequality measure behind "do 1% of users drive 99% of revenue"
+    questions (and, in training-data work, source-imbalance audits).
+    Computed exactly: per-customer decimal spend, a deterministic
+    ascending rank (tie-break on custkey), and the rank-weighted form
+    G = (2·Σ rk·s − (n+1)·Σ s) / (n·Σ s) evaluated entirely in
+    integer cents with a DECIMAL(38) fold (the numerator passes 2⁶³ at
+    scale; DuckDB widens to HUGEINT automatically) and the result in
+    integer ppm — no float accumulation anywhere.
+
+    The rank is the only ordered step; it runs over the per-customer
+    aggregate (|customers| rows). At extreme cardinalities the same
+    statistic computes from an equi-depth histogram's bucket sums
+    (agg_equidepth_histogram) with bounded error — the documented
+    scale fallback; here the exact form doubles as its oracle."""
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("s_cents")
+    )
+    w_rank = Window.orderBy(F.col("s_cents").asc(), F.col("o_custkey").asc())
+    w_all = Window.partitionBy()
+    ranked = spend.select(
+        "s_cents",
+        F.row_number().over(w_rank).alias("rk"),
+        F.count("*").over(w_all).cast("long").alias("n"),
+    )
+    # the ppm numerator exceeds BIGINT at scale (~1e20 at sf0.1), so
+    # the fold runs in DECIMAL(38,0) — matching DuckDB's automatic
+    # HUGEINT widening of integer SUMs — and `div` floors back to long
+    return (
+        ranked.groupBy("n")
+        .agg(
+            F.sum("s_cents").cast("long").alias("total_cents"),
+            F.expr(
+                "CAST((2 * SUM(CAST(s_cents AS DECIMAL(38,0)) * rk)"
+                " - (MAX(n) + 1) * SUM(CAST(s_cents AS DECIMAL(38,0))))"
+                " * 1000000"
+                " div (MAX(n) * SUM(CAST(s_cents AS DECIMAL(38,0))))"
+                " AS BIGINT)"
+            ).alias("gini_ppm"),
+        )
+        .select(F.col("n").alias("n_customers"), "total_cents", "gini_ppm")
     )
