@@ -564,3 +564,78 @@ def sample_weighted_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("u") < F.col("w"))
         .drop("u")
     )
+
+
+# Benford expected first-digit proportions log10(1+1/d), in ppm — public
+# constants, inlined identically in the Spark plan and the oracle
+_BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+_BENFORD_ROWS = ", ".join(f"({d}, {p})" for d, p in _BENFORD_PPM.items())
+
+
+@query(
+    "quality_benford_first_digit",
+    oracle=f"""
+    WITH expected(digit, expected_ppm) AS (VALUES {_BENFORD_ROWS}),
+    digits AS (
+        SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                                  AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT)
+                   AS digit
+        FROM orders
+    ),
+    counts AS (
+        SELECT digit, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS total
+        FROM digits GROUP BY digit
+    )
+    SELECT e.digit, COALESCE(c.n, 0) AS n,
+           CAST(COALESCE(c.n, 0) * 1000000 // MAX(c.total) OVER ()
+                AS BIGINT) AS observed_ppm,
+           e.expected_ppm,
+           abs(CAST(COALESCE(c.n, 0) * 1000000 // MAX(c.total) OVER ()
+                    AS BIGINT) - e.expected_ppm) AS abs_dev_ppm
+    FROM expected e LEFT JOIN counts c USING (digit)
+    """,
+)
+def quality_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the
+    data-forensics screen for fabricated or truncated numeric columns
+    (synthetic uniform data fails it loudly, which is itself the
+    signal here). The nine expected proportions log10(1+1/d) ride as
+    inlined ppm constants, the observed share is exact integer ppm,
+    and the per-digit absolute deviation is the audit output — no
+    logarithm is ever evaluated at query time.
+
+    First digits come from the integer-cents rendering (identical
+    decimal cast on both engines); one partial-aggregated shuffle of
+    at most nine groups plus a broadcast of the constant table."""
+    orders = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .cast("string"),
+        1,
+        1,
+    ).cast("long")
+    counts = orders.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count("*").alias("n")
+    )
+    total = counts.agg(F.sum("n").cast("long").alias("total"))
+    expected = orders.sparkSession.createDataFrame(
+        [(d, p) for d, p in _BENFORD_PPM.items()],
+        "digit long, expected_ppm long",
+    )
+    obs_ppm = F.expr("coalesce(n, 0) * 1000000 div total").cast("long")
+    return (
+        expected.join(counts, "digit", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+            obs_ppm.alias("observed_ppm"),
+            "expected_ppm",
+            F.abs(obs_ppm - F.col("expected_ppm")).alias("abs_dev_ppm"),
+        )
+    )
