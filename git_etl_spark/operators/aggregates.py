@@ -632,3 +632,41 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("n").alias("n_customers"), "total_cents", "gini_ppm")
     )
+
+
+@query(
+    "agg_log2_bucket_histogram",
+    oracle="""
+    WITH cents AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        FROM orders
+    )
+    SELECT CAST(length(bin(c)) AS BIGINT) AS bit_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(c) AS BIGINT) AS bucket_min_cents,
+           CAST(MAX(c) AS BIGINT) AS bucket_max_cents
+    FROM cents GROUP BY length(bin(c))
+    """,
+)
+def agg_log2_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two (log₂) bucket histogram of order totals — the
+    latency-histogram shape (Prometheus/HDR style): bucket = bit length
+    of the integer cents, computed as ``length(bin(x))`` so no
+    floating-point logarithm can mis-bucket a value sitting exactly on
+    a 2ᵏ boundary. Complements the exact equi-depth histogram
+    (value-driven widths) with fixed exponential widths whose bucket
+    count is bounded (≤63) regardless of data.
+
+    One partial-aggregated shuffle of ≤63 groups; min/max per bucket
+    document the real covered range."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    return (
+        orders.select(cents.alias("c"))
+        .groupBy(F.length(F.bin("c")).cast("long").alias("bit_bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("c").cast("long").alias("bucket_min_cents"),
+            F.max("c").cast("long").alias("bucket_max_cents"),
+        )
+    )

@@ -609,3 +609,59 @@ def pipeline_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey", F.col("p_partkey").alias("neg_partkey"), "rk"
         )
     )
+
+
+@query(
+    "pipeline_dataset_card",
+    oracle="""
+    WITH per_doc AS (
+        SELECT source, lang,
+               len(string_split(text, ' ')) AS n_tokens,
+               md5(array_to_string(list_sort(list_distinct(
+                   string_split(text, ' '))), ' ')) AS fp
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_tokens) * 1000000 // COUNT(*) AS BIGINT)
+               AS mean_tokens_ppm,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST((COUNT(*) - COUNT(DISTINCT fp)) * 1000000 // COUNT(*)
+                AS BIGINT) AS dup_rate_ppm
+    FROM per_doc GROUP BY source
+    """,
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card — the summary table a data-governance
+    review (or a model card appendix) wants for every corpus slice:
+    document count, token volume, mean document length, language
+    spread, and the within-source duplicate rate off the canonical
+    bag-of-words fingerprint (the same fingerprint
+    pipeline_corpus_curation dedupes on, so the card's dup_rate is
+    exactly what that pipeline would remove). Ratios in exact ppm.
+
+    One aggregation keyed by source; the fingerprint distinct rides
+    the same shuffle as the counts. At 100 TB this is the cheap
+    always-on telemetry that catches a bad crawl batch before it
+    trains."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        "lang",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.md5(
+            F.array_join(F.array_sort(F.array_distinct(F.split("text", " "))), " ")
+        ).alias("fp"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.expr("SUM(n_tokens) * 1000000 div COUNT(*)")
+        .cast("long")
+        .alias("mean_tokens_ppm"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.expr("(COUNT(*) - COUNT(DISTINCT fp)) * 1000000 div COUNT(*)")
+        .cast("long")
+        .alias("dup_rate_ppm"),
+    )
