@@ -151,12 +151,19 @@ def current_branch(repo_path: str) -> str:
     return _run_git(repo_path, "rev-parse", "--abbrev-ref", "HEAD").strip()
 
 
-def scan_repo_commits(repo_path: str, branch: str | None = None) -> list[dict]:
-    """S1: subprocess scan → parsed commit records."""
+def scan_repo_commits(
+    repo_path: str,
+    branch: str | None = None,
+    author_pattern: str | None = None,
+) -> list[dict]:
+    """S1: subprocess scan → parsed commit records. ``author_pattern``
+    (a git --author regex) prefilters inside git itself — the pushdown
+    channel used by the gitlog DataSource."""
     branch = branch or current_branch(repo_path)
-    text = _run_git(
-        repo_path, "log", branch, f"--pretty=format:{LOG_FORMAT}", "--numstat"
-    )
+    args = ["log", branch, f"--pretty=format:{LOG_FORMAT}", "--numstat"]
+    if author_pattern:
+        args[2:2] = ["--author", author_pattern]
+    text = _run_git(repo_path, *args)
     return parse_git_log_text(text, repo_name_of(repo_path), branch)
 
 

@@ -30,7 +30,13 @@ from __future__ import annotations
 
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    InputPartition,
+)
 from pyspark.sql.types import StructType
 
 from ..schemas import COMMITS_SCHEMA
@@ -39,9 +45,10 @@ from ..schemas import COMMITS_SCHEMA
 class RepoPartition(InputPartition):
     """One schedulable unit of scan work: a single repository."""
 
-    def __init__(self, repo_path: str, branch: str | None):
+    def __init__(self, repo_path: str, branch: str | None, author: str | None):
         self.repo_path = repo_path
         self.branch = branch
+        self.author = author
 
 
 class GitLogReader(DataSourceReader):
@@ -49,15 +56,50 @@ class GitLogReader(DataSourceReader):
         paths = options.get("paths") or options.get("path") or ""
         self._paths: Sequence[str] = [p for p in paths.split(",") if p]
         self._branch = options.get("branch") or None
+        self._author: str | None = None
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Predicate pushdown into git itself: an ``author_email = x``
+        equality becomes ``git log --author=<anchored pattern>`` so the
+        subprocess never emits the other authors' commits (on a
+        monorepo this is the difference between streaming one
+        contributor's history and the whole project's). git matches
+        the pattern against ``Name <email>``, so the literal is
+        regex-escaped and anchored inside the ``<…>`` brackets;
+        ``read`` re-applies exact equality after parsing, making the
+        git prefilter purely a data-reduction step — over-matching is
+        impossible, under-matching can't happen because every commit
+        with that exact email contains ``<email>`` verbatim. All other
+        filters are yielded back for Spark to evaluate."""
+        import re
+
+        for f in filters:
+            if (
+                isinstance(f, EqualTo)
+                and f.attribute == ("author_email",)
+                and isinstance(f.value, str)
+                and self._author is None
+            ):
+                self._author = f.value
+                # still re-checked in read(); never yielded back
+                self._author_pattern = "<" + re.escape(f.value) + ">$"
+            else:
+                yield f
 
     def partitions(self) -> Sequence[InputPartition]:
-        return [RepoPartition(p, self._branch) for p in self._paths]
+        pattern = getattr(self, "_author_pattern", None)
+        return [RepoPartition(p, self._branch, pattern) for p in self._paths]
 
     def read(self, partition: RepoPartition) -> Iterator[tuple]:
         # imported here: this body runs on executors
         from git_etl_spark.sources.git_log import scan_repo_commits
 
-        for c in scan_repo_commits(partition.repo_path, partition.branch):
+        exact = getattr(self, "_author", None)
+        for c in scan_repo_commits(
+            partition.repo_path, partition.branch, partition.author
+        ):
+            if exact is not None and c["author_email"] != exact:
+                continue
             yield (
                 c["repo_name"],
                 c["sha"],
@@ -93,5 +135,8 @@ class GitLogDataSource(DataSource):
 
 
 def register_gitlog_source(spark) -> None:
-    """Idempotently register the gitlog format on a session."""
+    """Idempotently register the gitlog format on a session (and turn
+    on Python-source filter pushdown, off by default in Spark 4.1,
+    so pushFilters participates in planning)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(GitLogDataSource)

@@ -284,3 +284,39 @@ def test_gitlog_datasource_matches_driver_side(spark, synthetic_repo):
         .count()
     )
     assert n >= 1
+
+
+def test_gitlog_datasource_author_pushdown(spark, synthetic_repo):
+    """Author-equality pushdown: the filtered read must equal manual
+    post-filtering of the full scan (the git --author prefilter plus
+    the exact re-check can neither over- nor under-match), and
+    pushFilters must claim only the supported equality, yielding every
+    other filter back to Spark."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+
+    from git_etl_spark.sources.gitlog_datasource import (
+        GitLogReader,
+        register_gitlog_source,
+    )
+
+    from pyspark.sql import functions as F
+
+    register_gitlog_source(spark)
+    base = spark.read.format("gitlog").load(str(synthetic_repo))
+    all_rows = base.collect()
+    emails = sorted({r.author_email for r in all_rows})
+    assert len(emails) >= 2, "fixture should have multiple authors"
+    target = emails[0]
+    pushed = base.filter(F.col("author_email") == target).collect()
+    manual = [r for r in all_rows if r.author_email == target]
+    assert sorted(map(repr, pushed)) == sorted(map(repr, manual))
+    assert 0 < len(pushed) < len(all_rows)
+
+    reader = GitLogReader({"paths": "/r/a"})
+    leftover = list(
+        reader.pushFilters(
+            [EqualTo(("author_email",), target), GreaterThan(("additions",), 0)]
+        )
+    )
+    assert len(leftover) == 1 and isinstance(leftover[0], GreaterThan)
+    assert reader.partitions()[0].author.endswith("$")
