@@ -1143,3 +1143,154 @@ def events_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("value", order_key).alias("close_value"),
         F.count("*").cast("long").alias("n_trades"),
     )
+
+
+@query(
+    "events_max_concurrency",
+    oracle=f"""
+    WITH gapped AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN CAST(FLOOR(epoch(ts)) AS BIGINT)
+                         - CAST(FLOOR(epoch(lag(ts) OVER w)) AS BIGINT)
+                         > {SESSION_GAP_SEC}
+                     OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+        FROM gapped
+    ),
+    sessions AS (
+        SELECT user_id, sid, MIN(ts) AS s_start,
+               MAX(ts) + INTERVAL {SESSION_GAP_SEC} SECOND AS s_end
+        FROM numbered GROUP BY user_id, sid
+    ),
+    boundaries AS (
+        SELECT s_start AS t, 1 AS delta, 0 AS is_end FROM sessions
+        UNION ALL
+        SELECT s_end, -1, 1 FROM sessions
+    ),
+    swept AS (
+        SELECT CAST(date_trunc('day', t) AS TIMESTAMP) AS day,
+               SUM(delta) OVER (ORDER BY t, is_end, delta
+                                ROWS UNBOUNDED PRECEDING) AS live
+        FROM boundaries
+    )
+    SELECT day, CAST(MAX(live) AS BIGINT) AS max_concurrent_sessions
+    FROM swept GROUP BY day
+    """,
+)
+def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day via the classic sweep line:
+    every session contributes a +1 boundary at its start and a −1 at
+    its end (start before end at identical timestamps — a session
+    ending exactly when another starts briefly overlaps, the
+    inclusive convention), and the running boundary sum's daily
+    maximum is the capacity-planning number load tests are sized
+    against.
+
+    The sweep is one ordered pass over 2·|sessions| boundary rows —
+    session *boundaries*, not events, so the window input is already
+    thousands of times smaller than the log; at 100 TB the same sweep
+    runs per day-partition with a carried-in opening count. Session
+    derivation reuses events_sessionize's gaps-and-islands shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gapped = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            (epoch_sec("ts") - epoch_sec(F.lag("ts").over(w)) > SESSION_GAP_SEC)
+            | F.lag("ts").over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    w_run = w.rowsBetween(Window.unboundedPreceding, 0)
+    numbered = gapped.withColumn("sid", F.sum("new_session").over(w_run))
+    sessions = numbered.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("s_start"),
+        F.expr(f"MAX(ts) + INTERVAL {SESSION_GAP_SEC} SECOND").alias("s_end"),
+    )
+    starts = sessions.select(
+        F.col("s_start").alias("t"),
+        F.lit(1).alias("delta"),
+        F.lit(0).alias("is_end"),
+    )
+    ends = sessions.select(
+        F.col("s_end").alias("t"),
+        F.lit(-1).alias("delta"),
+        F.lit(1).alias("is_end"),
+    )
+    w_sweep = Window.orderBy("t", "is_end", "delta").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    swept = starts.unionByName(ends).select(
+        F.date_trunc("day", "t").alias("day"),
+        F.sum("delta").over(w_sweep).alias("live"),
+    )
+    return swept.groupBy("day").agg(
+        F.max("live").cast("long").alias("max_concurrent_sessions")
+    )
+
+
+@query(
+    "events_new_vs_returning",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP)
+                   AS first_day
+        FROM events GROUP BY user_id
+    ),
+    daily AS (
+        SELECT CAST(date_trunc('day', e.ts) AS TIMESTAMP) AS day,
+               e.user_id, f.first_day
+        FROM events e JOIN firsts f USING (user_id)
+        GROUP BY 1, 2, 3
+    )
+    SELECT day,
+           CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+               AS new_users,
+           CAST(SUM(CASE WHEN day > first_day THEN 1 ELSE 0 END) AS BIGINT)
+               AS returning_users
+    FROM daily GROUP BY day
+    """,
+)
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning active users — the growth-accounting
+    split every product dashboard leads with: each active (day, user)
+    is classified by whether that day is the user's first-ever
+    appearance.
+
+    Two aggregations ride one user-keyed shuffle (first-seen day, then
+    distinct day-user activity) plus a broadcast-sized join back; no
+    window over raw events. The first-seen table is the persistable
+    artifact at 100 TB — append-only, updated incrementally per load,
+    so the daily split never rescans history."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("first_day")
+    )
+    daily = (
+        ev.select(
+            F.date_trunc("day", "ts").alias("day"),
+            "user_id",
+        )
+        .distinct()
+        .join(firsts, "user_id")
+    )
+    return daily.groupBy("day").agg(
+        F.sum(F.when(F.col("day") == F.col("first_day"), 1).otherwise(0))
+        .cast("long")
+        .alias("new_users"),
+        F.sum(F.when(F.col("day") > F.col("first_day"), 1).otherwise(0))
+        .cast("long")
+        .alias("returning_users"),
+    )
