@@ -369,3 +369,36 @@ def test_observe_metrics_match_aggregates(spark):
     assert got["n_rows"] == expect["n_rows"]
     assert got["sum_value"] == expect["sum_value"]
     assert got["n_errors"] == expect["n_errors"]
+
+
+def test_partitioning_invariance_of_float_sensitive_queries(spark):
+    """Determinism under re-partitioning: the queries whose outputs
+    could drift with shuffle layout (double folds, iterative rounds,
+    learned structures) must return bit-identical rows when the
+    session's shuffle-partition count changes — the property that
+    makes results reproducible across differently-sized clusters.
+    This is the executable form of the sorted-fold / scaled-integer
+    design rules."""
+    from git_etl_spark import registry
+
+    registry.load_all()
+    names = [
+        "vector_centroid_per_label",
+        "agg_corr_price_quantity",
+        "embedding_pca_top_component",
+        "agg_countmin_heavy_hitters",
+    ]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    results = {}
+    try:
+        for parts in ("3", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            for n in names:
+                rows = sorted(
+                    map(repr, registry.QUERIES[n](spark, SF_CORRECTNESS).collect())
+                )
+                results.setdefault(n, []).append(rows)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    for n, (a, b) in results.items():
+        assert a == b, f"{n} drifted under repartitioning"
