@@ -1294,3 +1294,83 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("returning_users"),
     )
+
+
+@query(
+    "events_cumulative_adoption",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP)
+                   AS first_day
+        FROM events GROUP BY user_id
+    ),
+    daily_new AS (
+        SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS new_users
+        FROM firsts GROUP BY first_day
+    )
+    SELECT day, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cumulative_users
+    FROM daily_new
+    """,
+)
+def events_cumulative_adoption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative user-adoption curve: first-ever appearances per day
+    and their running total — the S-curve a growth review reads first,
+    and the denominator for penetration metrics. Built off the same
+    persistable first-seen artifact as events_new_vs_returning, so at
+    100 TB the curve extends incrementally per load; the running sum
+    is an ordered window over |days| rows (trivially bounded), never
+    over users or events."""
+    ev = load_table(spark, sf_dir, "events")
+    daily_new = (
+        ev.groupBy("user_id")
+        .agg(F.date_trunc("day", F.min("ts")).alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").cast("long").alias("new_users"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily_new.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
+    )
+
+
+@query(
+    "events_weekday_seasonality",
+    oracle="""
+    WITH counts AS (
+        SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS weekday,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS total
+        FROM events GROUP BY dayofweek(ts)
+    )
+    SELECT weekday, n,
+           CAST(n * 1000000 // total AS BIGINT) AS share_ppm,
+           n = MAX(n) OVER () AS is_peak_day
+    FROM counts
+    """,
+)
+def events_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile: traffic share per weekday in
+    exact ppm with the peak day flagged — the calendar fingerprint
+    behind anomaly baselines (compare an hour to ITS weekday's norm,
+    not a global mean) and capacity scheduling. Seven groups total, so
+    everything after the partial-aggregated count is free at any
+    scale; numbering is aligned to Spark's Sunday=1..Saturday=7 (DuckDB
+    counts Sunday=0, so its oracle adds one)."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        F.dayofweek("ts").cast("long").alias("weekday")
+    ).agg(F.count("*").alias("n"))
+    w_all = Window.partitionBy()
+    return counts.select(
+        "weekday",
+        "n",
+        F.expr(
+            "CAST(n * 1000000 div SUM(n) OVER () AS BIGINT)"
+        ).alias("share_ppm"),
+        (F.col("n") == F.max("n").over(w_all)).alias("is_peak_day"),
+    )
