@@ -62,3 +62,24 @@ def test_jsonl_roundtrip_adversarial_including_newlines(spark, tmp_path):
     sf = _write_corpus(spark, tmp_path, ADVERSARIAL_JSON)
     got = sorted(map(tuple, source_jsonl_roundtrip(spark, sf).collect()))
     assert got == _expected(spark, sf)
+
+
+ADVERSARIAL_XML = [
+    "ampersand & and entities &amp; &lt; &gt; literal",
+    "<tag>looks like markup</tag> and </doc> early close",
+    "quotes \" and ' apostrophes",
+    "unicode: ümlaut — em-dash 你好",
+    "CDATA-ish ]]> terminator and <![CDATA[ opener",
+    "",
+]
+
+
+def test_xml_roundtrip_adversarial_entities(spark, tmp_path):
+    """XML's failure mode is entity escaping: &, <, >, stray closing
+    tags, and CDATA terminators inside the text must invert exactly
+    through write+read or the md5 comparison breaks."""
+    from git_etl_spark.operators.file_formats import source_xml_roundtrip
+
+    sf = _write_corpus(spark, tmp_path, ADVERSARIAL_XML)
+    got = sorted(map(tuple, source_xml_roundtrip(spark, sf).collect()))
+    assert got == _expected(spark, sf)
