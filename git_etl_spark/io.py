@@ -61,6 +61,32 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFram
     return tuple(load_table(spark, sf_dir, n) for n in names)
 
 
+def dataset_fingerprint(sf_dir: str, *names: str) -> str:
+    """Content-change fingerprint of one or more corpus tables under
+    ``sf_dir``: sorted (relpath, mtime_ns, size) triples per table.
+
+    Session-lifetime memo caches (checkpointed pair graphs, written
+    format copies, streaming replay sources) key on this in addition
+    to (applicationId, sf_dir) so regenerating the data under a reused
+    path — e.g. a test tmp dir — changes the key instead of serving
+    stale results. Bounded growth: one entry per distinct
+    content-version actually read in the process lifetime."""
+    parts: list[str] = []
+    for name in names:
+        root = table_path(sf_dir, name)
+        try:
+            if os.path.isdir(root):
+                for sub in sorted(os.listdir(root)):
+                    st = os.stat(os.path.join(root, sub))
+                    parts.append(f"{name}/{sub}:{st.st_mtime_ns}:{st.st_size}")
+            else:
+                st = os.stat(root)
+                parts.append(f"{name}:{st.st_mtime_ns}:{st.st_size}")
+        except OSError:
+            parts.append(f"{name}:missing")
+    return "|".join(parts)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every corpus table as a temp view for ``spark.sql``."""
     for name in CORPUS_TABLES:

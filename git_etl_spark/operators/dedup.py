@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.vector import norm
-from ..io import load_table
+from ..io import dataset_fingerprint, load_table
 from ..registry import query
 from ..session import iter_checkpoint, loop_shuffle_partitions
 
@@ -342,13 +342,17 @@ def _rep_graph_impl(
 # generation + verification execute once, not once per consumer. Tiny
 # by construction (distinct sets + verified rep pairs), so pinning is
 # safe.
-_REP_GRAPH_MEMO: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+_REP_GRAPH_MEMO: dict[tuple[str, str, str], tuple[DataFrame, DataFrame]] = {}
 
 
 def _rep_graph_materialized(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        dataset_fingerprint(sf_dir, "documents"),
+    )
     pair = _REP_GRAPH_MEMO.get(key)
     if pair is None:
         members, rep_pairs = _rep_graph_impl(spark, sf_dir)
@@ -406,7 +410,11 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB the same normalized-columnar layout feeds LSH/IVF bucket
     joins (see simsearch_lsh_bucketed); only the blocking changes."""
-    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    memo_key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        dataset_fingerprint(sf_dir, "embeddings"),
+    )
     memoized = _COS_PAIRS_MEMO.get(memo_key)
     if memoized is not None:
         return memoized
@@ -420,7 +428,7 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # verified cosine pair set per (session, sf_dir) — see docstring above
-_COS_PAIRS_MEMO: dict[tuple[str, str], DataFrame] = {}
+_COS_PAIRS_MEMO: dict[tuple[str, str, str], DataFrame] = {}
 
 EMBED_DIM = 64
 
@@ -931,9 +939,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SIMHASH_HAMMING_RADIUS = 3  # pairs within 3 of 48 bits are near-dups
-_SIMHASH_PAIRS_MEMO: dict[tuple[str, str], DataFrame] = {}
+_SIMHASH_PAIRS_MEMO: dict[tuple[str, str, str], DataFrame] = {}
 SIMHASH_BANDS = SIMHASH_HAMMING_RADIUS + 1  # pigeonhole: ≥1 exact band
 _SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 12
+
+
 
 
 @query(
@@ -962,7 +972,11 @@ def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     splitting applies if one bucket runs hot. The DuckDB oracle *is*
     the O(n²) definition, so the banding is proved lossless on every
     run, not assumed."""
-    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    memo_key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        dataset_fingerprint(sf_dir, "documents"),
+    )
     memoized = _SIMHASH_PAIRS_MEMO.get(memo_key)
     if memoized is not None:
         return memoized
@@ -1276,7 +1290,11 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     swap simple propagation for large-star/small-star — same per-round
     join shape, provably O(log n) rounds — and checkpoint to reliable
     storage."""
-    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    memo_key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        dataset_fingerprint(sf_dir, "documents"),
+    )
     memoized = _CLUSTER_MEMO.get(memo_key)
     if memoized is not None:
         return memoized
@@ -1358,7 +1376,7 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # converged cluster labels per (session, sf_dir)
-_CLUSTER_MEMO: dict[tuple[str, str], DataFrame] = {}
+_CLUSTER_MEMO: dict[tuple[str, str, str], DataFrame] = {}
 
 
 MIN_LABEL_MAX_ROUNDS = 20
@@ -1577,7 +1595,11 @@ def semantic_clusters(
         # Jaccard family's _CLUSTER_MEMO (the labels are deterministic
         # given the memoized pair set, and label propagation's per-round
         # fixed cost dominates re-runs within a session)
-        memo_key = (spark.sparkContext.applicationId, sf_dir)
+        memo_key = (
+            spark.sparkContext.applicationId,
+            sf_dir,
+            dataset_fingerprint(sf_dir, "embeddings"),
+        )
         memoized = _SEM_CLUSTER_MEMO.get(memo_key)
         if memoized is not None:
             return memoized
@@ -1591,7 +1613,7 @@ def semantic_clusters(
 
 
 # converged semantic-cluster labels per (session, sf_dir), default path
-_SEM_CLUSTER_MEMO: dict[tuple[str, str], DataFrame] = {}
+_SEM_CLUSTER_MEMO: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def _cluster_vec_pairs(spark: SparkSession, pairs: DataFrame) -> DataFrame:

@@ -1106,10 +1106,14 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_hourly_ohlc",
     oracle="""
     SELECT date_trunc('hour', ts) AS hour_bucket,
-           arg_min(value, CAST(FLOOR(epoch(ts)) AS BIGINT) * 100000000 + event_id) AS open_value,
+           arg_min(value, (CAST(FLOOR(epoch(ts)) AS BIGINT)
+                           - CAST(FLOOR(epoch(date_trunc('hour', ts))) AS BIGINT))
+                          * 1000000000000 + event_id) AS open_value,
            MAX(value) AS high_value,
            MIN(value) AS low_value,
-           arg_max(value, CAST(FLOOR(epoch(ts)) AS BIGINT) * 100000000 + event_id) AS close_value,
+           arg_max(value, (CAST(FLOOR(epoch(ts)) AS BIGINT)
+                           - CAST(FLOOR(epoch(date_trunc('hour', ts))) AS BIGINT))
+                          * 1000000000000 + event_id) AS close_value,
            CAST(COUNT(*) AS BIGINT) AS n_trades
     FROM events WHERE event_type = 'purchase'
     GROUP BY date_trunc('hour', ts)
@@ -1118,10 +1122,13 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly OHLC (open-high-low-close) candles over purchase values —
     the canonical financial/telemetry downsampling shape. Open and
-    close are argmin/argmax over one scalar order key
-    (epoch-seconds·10⁸ + event_id — a total order that stays inside
-    BIGINT and resolves same-second ties identically in both
-    engines); high/low are
+    close are argmin/argmax over one scalar order key: the key only
+    orders *within* an hour group, so the hour base is redundant and
+    seconds-within-hour (< 3600) is used instead of the full epoch —
+    sec_in_hour·10¹² + event_id caps at 3.6·10¹⁵, giving event_id
+    headroom to 10¹² inside BIGINT (the previous full-epoch·10⁸ key
+    silently bled into the next second at event_id ≥ 10⁸); ties at
+    the same second resolve identically in both engines. High/low are
     plain extremes; raw values pass through untouched, so doubles
     compare bit-for-bit with no decimal detour.
 
@@ -1131,9 +1138,9 @@ def events_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase"
     )
-    order_key = epoch_sec("ts") * F.lit(100000000).cast("long") + F.col(
-        "event_id"
-    )
+    order_key = (
+        epoch_sec("ts") - epoch_sec(F.date_trunc("hour", "ts"))
+    ) * F.lit(10**12).cast("long") + F.col("event_id")
     return ev.groupBy(
         F.date_trunc("hour", "ts").alias("hour_bucket")
     ).agg(

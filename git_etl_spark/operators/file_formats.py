@@ -33,12 +33,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..io import load_table
+from ..io import dataset_fingerprint, load_table
 from ..registry import query
 
 # one written copy per (session, sf_dir, format); removed at exit like
 # the streaming replay sources
-_FMT_MEMO: dict[tuple[str, str, str], str] = {}
+_FMT_MEMO: dict[tuple[str, str, str, str], str] = {}
 
 
 def _cleanup_fmt_dirs() -> None:
@@ -66,7 +66,12 @@ _ROUNDTRIP_ORACLE = """
 
 
 def _written_copy(spark: SparkSession, sf_dir: str, fmt: str) -> str:
-    key = (spark.sparkContext.applicationId, sf_dir, fmt)
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        fmt,
+        dataset_fingerprint(sf_dir, "documents"),
+    )
     path = _FMT_MEMO.get(key)
     if path is None:
         path = os.path.join(
@@ -143,7 +148,12 @@ def source_partitioned_pruned_read(spark: SparkSession, sf_dir: str) -> DataFram
     directory names, which is exactly what makes low-cardinality
     columns (lang, date, source) the right partition keys and
     high-cardinality ones a small-files disaster."""
-    key = (spark.sparkContext.applicationId, sf_dir, "part")
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        "part",
+        dataset_fingerprint(sf_dir, "documents"),
+    )
     path = _FMT_MEMO.get(key)
     if path is None:
         path = os.path.join(

@@ -334,11 +334,17 @@ def quality_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ca").over(w).cast("long").alias("cum_a"),
         F.sum("cb").over(w).cast("long").alias("cum_b"),
     )
+    # DECIMAL(38,0) before the cross-multiplication: with int64 the
+    # product cum_a*n_b wraps silently past ~3e9-row cohorts (Spark,
+    # ANSI off) while DuckDB widens to HUGEINT — the engines would
+    # diverge exactly at the scale this operator claims. Same pattern
+    # as agg_gini_concentration.
     scored = ecdf.crossJoin(F.broadcast(totals)).select(
         "cents",
-        F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")).alias(
-            "num"
-        ),
+        F.abs(
+            F.col("cum_a").cast("decimal(38,0)") * F.col("n_b")
+            - F.col("cum_b").cast("decimal(38,0)") * F.col("n_a")
+        ).alias("num"),
         "n_a",
         "n_b",
     )
@@ -348,7 +354,9 @@ def quality_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n_a",
             "n_b",
-            F.expr("num * 1000000 div (n_a * n_b)").cast("long").alias("ks_ppm"),
+            F.expr("num * 1000000 div (cast(n_a as decimal(38,0)) * n_b)")
+            .cast("long")
+            .alias("ks_ppm"),
             (F.col("cents").cast("double") / 100).alias("at_value"),
         )
     )

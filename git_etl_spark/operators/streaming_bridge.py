@@ -19,7 +19,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import load_table
+from ..io import dataset_fingerprint, load_table
 from ..registry import query
 from ..streaming.events_stream import hourly_counts, sessionized
 
@@ -27,7 +27,7 @@ from ..streaming.events_stream import hourly_counts, sessionized
 # every streaming replay query in the session, deleted at interpreter
 # exit (the memo outlives any one query, so per-query cleanup would
 # defeat it — but the temp dirs must not accumulate across sessions)
-_SRC_MEMO: dict[tuple[str, str], str] = {}
+_SRC_MEMO: dict[tuple[str, str, str], str] = {}
 
 
 def _cleanup_replay_sources() -> None:
@@ -66,7 +66,11 @@ def _replay(
     run_id = uuid.uuid4().hex[:8]
     # the replay source is identical for every streaming query over the
     # same (session, sf_dir) — write it once and reuse
-    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    memo_key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        dataset_fingerprint(sf_dir, "events"),
+    )
     src_dir = _SRC_MEMO.get(memo_key)
     if src_dir is None:
         src_dir = os.path.join(tempfile.gettempdir(), f"ges-stream-{run_id}")

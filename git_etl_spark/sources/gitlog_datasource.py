@@ -42,6 +42,20 @@ from pyspark.sql.types import StructType
 from ..schemas import COMMITS_SCHEMA
 
 
+def _bre_escape(text: str) -> str:
+    """Escape a literal for git's POSIX basic regular expressions.
+
+    ``re.escape`` is wrong here: git compiles ``--author`` as a GNU
+    BRE, where a *backslash-prefixed* ``+ ? | ( ) {`` is an operator
+    — so ``re.escape("a+b@x")`` produces ``a\\+b@x`` which means
+    "one-or-more 'a' then 'b@x'" and matches zero commits for a
+    plus-addressed email. In a BRE only bare ``\\ . [ * ^ $`` are
+    special; escape exactly those and emit every other character
+    verbatim.
+    """
+    return "".join("\\" + ch if ch in "\\.[*^$" else ch for ch in text)
+
+
 class RepoPartition(InputPartition):
     """One schedulable unit of scan work: a single repository."""
 
@@ -65,14 +79,16 @@ class GitLogReader(DataSourceReader):
         monorepo this is the difference between streaming one
         contributor's history and the whole project's). git matches
         the pattern against ``Name <email>``, so the literal is
-        regex-escaped and anchored inside the ``<…>`` brackets;
-        ``read`` re-applies exact equality after parsing, making the
-        git prefilter purely a data-reduction step — over-matching is
-        impossible, under-matching can't happen because every commit
-        with that exact email contains ``<email>`` verbatim. All other
-        filters are yielded back for Spark to evaluate."""
-        import re
-
+        BRE-escaped (NOT ``re.escape`` — git compiles a POSIX/GNU
+        basic regex where ``\\+`` means one-or-more, see
+        :func:`_bre_escape`) and anchored inside the ``<…>``
+        brackets; ``read`` re-applies exact equality after parsing,
+        making the git prefilter purely a data-reduction step —
+        over-matching is impossible, under-matching can't happen
+        because every commit with that exact email contains
+        ``<email>`` verbatim and the escaper maps each character to a
+        BRE atom matching exactly itself. All other filters are
+        yielded back for Spark to evaluate."""
         for f in filters:
             if (
                 isinstance(f, EqualTo)
@@ -82,7 +98,7 @@ class GitLogReader(DataSourceReader):
             ):
                 self._author = f.value
                 # still re-checked in read(); never yielded back
-                self._author_pattern = "<" + re.escape(f.value) + ">$"
+                self._author_pattern = "<" + _bre_escape(f.value) + ">$"
             else:
                 yield f
 
@@ -134,9 +150,18 @@ class GitLogDataSource(DataSource):
         return GitLogReader(self.options)
 
 
-def register_gitlog_source(spark) -> None:
-    """Idempotently register the gitlog format on a session (and turn
-    on Python-source filter pushdown, off by default in Spark 4.1,
-    so pushFilters participates in planning)."""
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+def register_gitlog_source(spark, *, enable_filter_pushdown: bool = True) -> None:
+    """Idempotently register the gitlog format on a session.
+
+    .. warning:: By default this ALSO sets
+       ``spark.sql.python.filterPushdown.enabled=true`` **session-wide**
+       (the flag is off by default in Spark 4.1 and pushFilters is dead
+       code without it). That changes planning for *every* Python data
+       source in the session, not just ``gitlog``. Callers embedding
+       this into a session with other Python sources that must not see
+       pushdown can pass ``enable_filter_pushdown=False`` and manage
+       the flag themselves.
+    """
+    if enable_filter_pushdown:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(GitLogDataSource)

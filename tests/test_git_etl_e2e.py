@@ -320,3 +320,42 @@ def test_gitlog_datasource_author_pushdown(spark, synthetic_repo):
     )
     assert len(leftover) == 1 and isinstance(leftover[0], GreaterThan)
     assert reader.partitions()[0].author.endswith("$")
+
+
+def test_gitlog_author_pushdown_bre_special_chars(spark, tmp_path):
+    """Regression for the BRE-escaping bug: git compiles --author as a
+    POSIX/GNU basic regex where a backslash-prefixed '+' means
+    one-or-more, so re.escape-ing a plus-addressed email produced a
+    pattern matching ZERO commits — the pushdown silently dropped that
+    author's entire history. The fixture uses exactly that shape."""
+    from pyspark.sql import functions as F
+
+    from git_etl_spark.sources.gitlog_datasource import (
+        _bre_escape,
+        register_gitlog_source,
+    )
+
+    # unit: only bare BRE metacharacters get escaped; '+' '?' '|' '(' do not
+    assert _bre_escape("a+b?c|d(e") == "a+b?c|d(e"
+    assert _bre_escape(r"a.b[c*d^e$f\g") == r"a\.b\[c\*d\^e\$f\\g"
+
+    repo = tmp_path / "proj-plus"
+    repo.mkdir()
+    _git(repo, "init", "-q", "-b", "main")
+    _commit(
+        repo, "Alice Plus", "alice+git@example.com", "2024-02-01T10:00:00+00:00",
+        "plus-addressed commit", {"a.txt": "1\n"},
+    )
+    _commit(
+        repo, "Bob Dot", "bob.builder@example.com", "2024-02-02T10:00:00+00:00",
+        "dotted commit", {"b.txt": "2\n"},
+    )
+
+    register_gitlog_source(spark)
+    base = spark.read.format("gitlog").load(str(repo))
+    got = base.filter(F.col("author_email") == "alice+git@example.com").collect()
+    assert len(got) == 1 and got[0].author_name == "Alice Plus"
+    # escaping '.' must not break the match for a dotted email either
+    # (under-match is the failure direction the exact re-check can't fix)
+    dot = base.filter(F.col("author_email") == "bob.builder@example.com").collect()
+    assert len(dot) == 1 and dot[0].author_name == "Bob Dot"
