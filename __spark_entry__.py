@@ -38,23 +38,29 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry.QUERIES[FLAGSHIP](spark, SMOKE_SF_DIR)
 
 
-def _driver_verified() -> set[str]:
-    """Query names already green in a prior round's CORRECTNESS_r*.json.
+def _driver_verified() -> dict[str, int]:
+    """Map query name → latest round with a green CORRECTNESS_r*.json row.
 
     The external harness walks ``queries()`` in dict order under a
     per-round budget (~50 queries/round observed in rounds 1-2), so the
     iteration order below front-loads queries that don't yet have a
-    driver-side green row. Cumulatively this gets every query a recorded
-    verification even though no single round can cover all of them.
-    A query counts as verified only if its row/schema/hash checks all
-    passed (or it's a declared rows-only query that returned rows).
+    driver-side green row, then re-verifies the *stalest* greens first
+    (oldest green round) so a regression in a long-untouched query
+    can't hide indefinitely. Cumulatively this gets every query a
+    recorded — and periodically refreshed — verification even though no
+    single round can cover all of them. A query counts as verified only
+    if its row/schema/hash checks all passed (or it's a declared
+    rows-only query that returned rows).
     """
     import glob
     import json
+    import re
 
-    seen: set[str] = set()
+    latest_green: dict[str, int] = {}
     here = Path(__file__).resolve().parent
     for path in glob.glob(str(here / "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             rows = json.loads(Path(path).read_text())
         except (OSError, ValueError):
@@ -62,11 +68,12 @@ def _driver_verified() -> set[str]:
         for name, rec in rows.items():
             if not isinstance(rec, dict):
                 continue
-            if rec.get("hash_match") is True:
-                seen.add(name)
-            elif rec.get("err") == "no_oracle" and rec.get("spark_rows"):
-                seen.add(name)
-    return seen
+            green = rec.get("hash_match") is True or (
+                rec.get("err") == "no_oracle" and rec.get("spark_rows")
+            )
+            if green:
+                latest_green[name] = max(latest_green.get(name, 0), rnd)
+    return latest_green
 
 
 def _cost_hint() -> dict[str, float]:
@@ -85,14 +92,23 @@ def _cost_hint() -> dict[str, float]:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Ordered so queries without a driver-side green CORRECTNESS row yet
-    come first (cheapest first within each group) — see _driver_verified.
+    Ordering (see _driver_verified): queries with no driver-side green
+    CORRECTNESS row yet come first (cheapest first, maximizing how many
+    fit a time-based budget); already-green queries follow ordered by
+    how stale their green is (oldest round first), so the driver's
+    ~50-query budget continuously re-verifies the least-recently-checked
+    part of the registry.
     """
     verified = _driver_verified()
     cost = _cost_hint()
     names = sorted(
         registry.QUERIES,
-        key=lambda n: (n in verified, cost.get(n, 0.0), n),
+        key=lambda n: (
+            n in verified,
+            verified.get(n, 0),
+            cost.get(n, 0.0),
+            n,
+        ),
     )
     return {n: registry.QUERIES[n] for n in names}
 
