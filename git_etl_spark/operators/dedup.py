@@ -679,10 +679,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~(1−t)·corpus shingle occurrences, and the verify join is keyed by
     candidate doc ids — both AQE-skew-splittable.
 
-    The corpus arrives as one small parquet file → one input split, so
-    the shingle explode and the per-doc ranking window would otherwise
-    run on a single task; the cheap repartition up front spreads the
-    CPU-heavy shingling across the cluster.
+    The corpus arrives as one small parquet file → one input split,
+    but the text_key window's hash shuffle already spreads documents
+    across all shuffle partitions before the CPU-heavy shingling runs —
+    no explicit repartition needed (one less full-corpus shuffle).
+
+    Materialization strategy (each localCheckpoint is a barrier — keep
+    them few and small): the per-doc shingle-ARRAY table (|docs| rows)
+    is checkpointed, not its 200×-larger exploded occurrence form —
+    the two occurrence consumers re-explode from the checkpointed
+    arrays, which is a cheap scan; group membership (tiny) is
+    checkpointed once and reused by both expansion branches; the
+    per-doc bitset table (|docs| × ⌈|V|/64⌉ longs) is broadcast on
+    BOTH sides of the verify join, making verification map-only over
+    candidates instead of two shuffle joins.
 
     **Exact-duplicate collapse first**: identical texts have identical
     shingle sets, so the whole PPJoin runs over one representative per
@@ -691,13 +701,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Real corpora are dominated by exact-dup cliques — here a 248-doc
     clique alone would otherwise contribute ~30k of the candidate
     pairs through every stage of the pipeline."""
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = load_table(spark, sf_dir, "documents")
     keyed = docs.withColumn("text_key", F.md5("text")).withColumn(
         "rep", F.min("doc_id").over(Window.partitionBy("text_key"))
     )
-    members = keyed.select("text_key", "doc_id", "rep")
+    members = keyed.select(
+        "text_key", "doc_id", "rep", F.length("text").alias("tlen")
+    ).localCheckpoint()  # tiny; reused by both expansion branches
     reps = keyed.filter(F.col("doc_id") == F.col("rep")).select("doc_id", "text")
     # Chunked shingling: substring(text, i, 5) is O(i) on UTF8String
     # (char offsets are found by scanning), so the naive per-position
@@ -720,14 +730,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " ELSE array() END"
             )
         ).alias("sh"),
-    )
-    # the shingle-occurrence table feeds document frequency, prefix
-    # ranking, AND the bitset build — materialize it once (and its two
-    # small derivatives) instead of re-shingling the corpus per branch
+    ).localCheckpoint()  # |docs| rows of shingle arrays — the compact
+    # form of the occurrence table; consumers re-explode from here so
+    # the expensive shingling runs once but no 200×-larger exploded
+    # table is ever written
     occ = sets.select(
         "doc_id", F.size("sh").alias("sz"), F.explode("sh").alias("s")
-    ).localCheckpoint()
-    docfreq = occ.groupBy("s").agg(F.count("*").alias("df")).localCheckpoint()
+    )
+    docfreq = occ.groupBy("s").agg(F.count("*").alias("df"))
     # dictionary-encode shingles ONCE, up front: every downstream stage
     # (prefix ranking, candidate self-join, bitset build) then works on
     # int ids instead of 5-char strings — cheaper hashing/shuffles, and
@@ -752,12 +762,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "sid", "sz", "pos")
         .localCheckpoint()  # consumed twice (both sides of the self-join)
     )
-    a, b = prefix.alias("a"), prefix.alias("b")
+    a, b = prefix.alias("a"), F.broadcast(prefix.alias("b"))
     # overlap lower bound α = ⌈t/(1+t)·(|A|+|B|)⌉ = ⌈9(|A|+|B|)/19⌉
     alpha = F.floor((9 * (F.col("a.sz") + F.col("b.sz")) + 18) / 19)
     cand = (
         a.join(
-            b,
+            b,  # prefix rows ≈ (1−t)·occurrences — broadcastable, so
+            # candidate generation is map-side (no sid shuffle; sid is
+            # low-cardinality and would skew a shuffle join)
             (F.col("a.sid") == F.col("b.sid"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             # length filter: t ≤ |A|/|B| ≤ 1/t
@@ -815,8 +827,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 0, (acc, v) -> acc + v)"
     )
     rep_pairs = (
-        cand.join(ba, "doc_a")
-        .join(bb, "doc_b")
+        cand.join(F.broadcast(ba), "doc_a")
+        .join(F.broadcast(bb), "doc_b")
         .withColumn("inter", inter)
         .withColumn(
             "jaccard",
@@ -840,7 +852,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard",
         )
     )
-    shingled = sets.filter(F.size("sh") > 0).select(
+    # sh is non-empty ⇔ length(text) ≥ 5 (the CASE guard), so test the
+    # cheap length predicate instead of recomputing the whole shingle
+    # transform for this branch (Catalyst can't prune it away: size(sh)
+    # needs sh) — this was a full second re-shingle of the corpus
+    shingled = reps.filter(F.length("text") >= 5).select(
         F.col("doc_id").alias("sh_rep")
     )
     within = (
