@@ -155,16 +155,41 @@ def scan_repo_commits(
     repo_path: str,
     branch: str | None = None,
     author_pattern: str | None = None,
+    skip: int | None = None,
+    max_count: int | None = None,
 ) -> list[dict]:
     """S1: subprocess scan → parsed commit records. ``author_pattern``
     (a git --author regex) prefilters inside git itself — the pushdown
-    channel used by the gitlog DataSource."""
+    channel used by the gitlog DataSource. ``skip``/``max_count`` slice
+    the (deterministic) commit list — the monorepo sharding channel:
+    disjoint [skip, skip+max_count) windows of the same ordering
+    partition the full scan exactly."""
     branch = branch or current_branch(repo_path)
     args = ["log", branch, f"--pretty=format:{LOG_FORMAT}", "--numstat"]
     if author_pattern:
         args[2:2] = ["--author", author_pattern]
+    if skip:
+        args[2:2] = [f"--skip={skip}"]
+    if max_count is not None:
+        args[2:2] = [f"--max-count={max_count}"]
     text = _run_git(repo_path, *args)
     return parse_git_log_text(text, repo_name_of(repo_path), branch)
+
+
+def count_commits(
+    repo_path: str,
+    branch: str | None = None,
+    author_pattern: str | None = None,
+) -> int:
+    """Commit count for shard planning (``git rev-list --count``), with
+    the same author prefilter as the scan so shard ranges align with
+    the filtered list the shards will slice."""
+    branch = branch or current_branch(repo_path)
+    args = ["rev-list", "--count"]
+    if author_pattern:
+        args += ["--author", author_pattern]
+    args.append(branch)
+    return int(_run_git(repo_path, *args).strip() or 0)
 
 
 def has_commits_by_author(repo_path: str, pattern: str, branch: str | None = None) -> bool:

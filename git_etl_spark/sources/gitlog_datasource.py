@@ -17,9 +17,11 @@ driver-side (``repo_commits_df``) and mapInPandas
 surfaces cannot diverge semantically (equality asserted in
 tests/test_git_parsers.py).
 
-Scale notes: parallelism unit = repository (for monorepos, shard by
-commit range into multiple partitions carrying ``since..until``
-specs — same reader shape). Repos must live on storage executors can
+Scale notes: parallelism unit = repository, or with ``numShards=k``
+a commit-range window of one repository (disjoint ``--skip`` /
+``--max-count`` slices of the deterministic log ordering), so one
+huge monorepo fans out over k tasks instead of serializing into
+one. Repos must live on storage executors can
 reach, exactly like the mapInPandas path, and the ``git_etl_spark``
 package must be importable on executors (``spark-submit
 --py-files``/cluster image — the standard Python-dependency channel;
@@ -57,12 +59,23 @@ def _bre_escape(text: str) -> str:
 
 
 class RepoPartition(InputPartition):
-    """One schedulable unit of scan work: a single repository."""
+    """One schedulable unit of scan work: a repository, or — in sharded
+    mode — one contiguous [skip, skip+max_count) window of a
+    repository's deterministic ``git log`` commit ordering."""
 
-    def __init__(self, repo_path: str, branch: str | None, author: str | None):
+    def __init__(
+        self,
+        repo_path: str,
+        branch: str | None,
+        author: str | None,
+        skip: int | None = None,
+        max_count: int | None = None,
+    ):
         self.repo_path = repo_path
         self.branch = branch
         self.author = author
+        self.skip = skip
+        self.max_count = max_count
 
 
 class GitLogReader(DataSourceReader):
@@ -70,6 +83,9 @@ class GitLogReader(DataSourceReader):
         paths = options.get("paths") or options.get("path") or ""
         self._paths: Sequence[str] = [p for p in paths.split(",") if p]
         self._branch = options.get("branch") or None
+        self._num_shards = max(
+            int(options.get("numshards") or options.get("numShards") or 1), 1
+        )
         self._author: str | None = None
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
@@ -103,8 +119,35 @@ class GitLogReader(DataSourceReader):
                 yield f
 
     def partitions(self) -> Sequence[InputPartition]:
+        """One partition per repo — or, with ``numShards=k``, up to k
+        commit-range windows per repo so ONE huge monorepo no longer
+        serializes into one task. Planning runs driver-side (like file
+        listing in any file source): ``git rev-list --count`` with the
+        same branch + author prefilter the shards will scan, then
+        disjoint ``--skip/--max-count`` windows over the deterministic
+        log ordering — their union is exactly the unsharded scan (the
+        history *walk* repeats per shard, but the expensive per-commit
+        numstat diffing is computed only inside each window)."""
         pattern = getattr(self, "_author_pattern", None)
-        return [RepoPartition(p, self._branch, pattern) for p in self._paths]
+        parts: list[RepoPartition] = []
+        for p in self._paths:
+            if self._num_shards > 1:
+                from git_etl_spark.sources.git_log import (
+                    count_commits,
+                    current_branch,
+                )
+
+                branch = self._branch or current_branch(p)
+                n = count_commits(p, branch, pattern)
+                chunk = -(-n // self._num_shards) if n else 0
+                if chunk:
+                    for skip in range(0, n, chunk):
+                        parts.append(
+                            RepoPartition(p, branch, pattern, skip, chunk)
+                        )
+                    continue
+            parts.append(RepoPartition(p, self._branch, pattern))
+        return parts
 
     def read(self, partition: RepoPartition) -> Iterator[tuple]:
         # imported here: this body runs on executors
@@ -112,7 +155,11 @@ class GitLogReader(DataSourceReader):
 
         exact = getattr(self, "_author", None)
         for c in scan_repo_commits(
-            partition.repo_path, partition.branch, partition.author
+            partition.repo_path,
+            partition.branch,
+            partition.author,
+            partition.skip,
+            partition.max_count,
         ):
             if exact is not None and c["author_email"] != exact:
                 continue
@@ -137,7 +184,9 @@ class GitLogReader(DataSourceReader):
 
 class GitLogDataSource(DataSource):
     """``format("gitlog")``: options ``path``/``paths`` (comma-separated
-    repo dirs) and ``branch`` (default: each repo's current branch)."""
+    repo dirs), ``branch`` (default: each repo's current branch), and
+    ``numShards`` (split each repo into up to k commit-range input
+    partitions — parallelism *within* a monorepo)."""
 
     @classmethod
     def name(cls) -> str:

@@ -322,6 +322,47 @@ def test_gitlog_datasource_author_pushdown(spark, synthetic_repo):
     assert reader.partitions()[0].author.endswith("$")
 
 
+def test_gitlog_datasource_numshards_equals_unsharded(spark, synthetic_repo):
+    """Monorepo sharding: numShards=k must produce exactly the unsharded
+    result (the disjoint --skip/--max-count windows partition the same
+    deterministic ordering), including shards interacting with author
+    pushdown — and must actually plan multiple input partitions."""
+    from pyspark.sql import functions as F
+
+    from git_etl_spark.sources.gitlog_datasource import (
+        GitLogReader,
+        register_gitlog_source,
+    )
+
+    register_gitlog_source(spark)
+    base = spark.read.format("gitlog").load(str(synthetic_repo))
+    expected = sorted(map(repr, base.collect()))
+    for k in (2, 3, 16):  # 16 > commit count: degenerate 1-commit shards
+        sharded = (
+            spark.read.format("gitlog")
+            .option("numShards", k)
+            .load(str(synthetic_repo))
+        )
+        assert sorted(map(repr, sharded.collect())) == expected, k
+
+    # shard planning: 4 commits / numShards=3 -> ceil -> 2 windows of 2
+    reader = GitLogReader({"paths": str(synthetic_repo), "numshards": 3})
+    parts = reader.partitions()
+    assert [(p.skip, p.max_count) for p in parts] == [(0, 2), (2, 2)]
+    assert all(p.branch == "main" for p in parts)
+
+    # sharding composes with author pushdown (count uses the same filter)
+    pushed = (
+        spark.read.format("gitlog")
+        .option("numShards", 2)
+        .load(str(synthetic_repo))
+        .filter(F.col("author_email") == "alice@example.com")
+    )
+    assert pushed.count() == base.filter(
+        F.col("author_email") == "alice@example.com"
+    ).count()
+
+
 def test_gitlog_author_pushdown_bre_special_chars(spark, tmp_path):
     """Regression for the BRE-escaping bug: git compiles --author as a
     POSIX/GNU basic regex where a backslash-prefixed '+' means
