@@ -296,6 +296,41 @@ def simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(spark, sf_dir, N_PROBE)
 
 
+@query(
+    "simsearch_ivf_full_probe",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+               WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT q.q_id, e.vec_id AS neighbor_id,
+               {duck_cosine('q.q_emb', 'e.embedding')} AS cos_sim
+        FROM q, embeddings e
+        WHERE e.vec_id <> q.q_id
+    ),
+    ranked AS (
+        SELECT q_id, neighbor_id, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        FROM scored
+    )
+    SELECT q_id, neighbor_id, cos_sim, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= {TOP_K}
+    """,
+)
+def simsearch_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF index with ``n_probe == K_CELLS``: every cell is probed,
+    so the index structurally degrades to exact brute force — and the
+    oracle is therefore the exact top-k SQL definition. This gives the
+    whole IVF machinery (Lloyd training, cell posting, probe routing,
+    candidate scoring, ranking) a hash-checked cross-engine gate every
+    driver round, complementing the rows-only default-``n_probe``
+    surface and the pytest bit-equality twin
+    (tests/test_rows_only.py::test_ivf_full_probe_equals_bruteforce):
+    a routing bug that silently dropped or duplicated candidates would
+    MISMATCH here even though it survives recall-style checks."""
+    return ivf_topk(spark, sf_dir, K_CELLS)
+
+
 @query("simsearch_ann_ml_lsh")  # rows-only: pyspark.ml LSH is seed-dependent
 def simsearch_ann_ml_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pyspark.ml BucketedRandomProjectionLSH approximate similarity
@@ -417,6 +452,14 @@ def pq_codebooks_and_codes(
 
 @query("simsearch_pq_adc")  # rows-only: learned codebooks are engine-internal
 def simsearch_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered surface of the PQ-ADC index at the production
+    shortlist depth (see pq_adc_topk)."""
+    return pq_adc_topk(spark, sf_dir, PQ_SHORTLIST)
+
+
+def pq_adc_topk(
+    spark: SparkSession, sf_dir: str, shortlist_n: int
+) -> DataFrame:
     """Product-quantization ANN with asymmetric distance computation
     (Jégou et al., TPAMI'11): the 64-dim float corpus is compressed to
     8 four-bit codes per vector (64× smaller than float32), and each
@@ -430,7 +473,7 @@ def simsearch_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     the table followed by a fixed-depth fold — no full-precision
     vector ever moves after encoding. Re-ranking the ADC top
     candidates against raw vectors (the standard two-stage refinement)
-    is stage two here: only the 100-deep ADC shortlist touches raw
+    is stage two here: only the shortlist_n-deep ADC shortlist touches raw
     vectors (the corpus is unit-norm, so exact-L2 order ≡ cosine
     order and the re-rank is the cosine kernel). Deterministic end to
     end: seeded Lloyd, sorted folds, total tie-break order; recall vs
@@ -485,7 +528,7 @@ def simsearch_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_adc = Window.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
     shortlist = (
         scored.withColumn("adc_rnk", F.row_number().over(w_adc))
-        .filter(F.col("adc_rnk") <= PQ_SHORTLIST)
+        .filter(F.col("adc_rnk") <= shortlist_n)
         .select("q_id", "vec_id", "adc_dist")
     )
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
@@ -508,6 +551,44 @@ def simsearch_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         reranked.withColumn("rnk", F.row_number().over(w_exact))
         .filter(F.col("rnk") <= TOP_K)
         .select("q_id", "neighbor_id", "adc_dist", "cos_sim", "rnk")
+    )
+
+
+@query(
+    "simsearch_pq_full_rerank",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+               WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT q.q_id, e.vec_id AS neighbor_id,
+               {duck_cosine('q.q_emb', 'e.embedding')} AS cos_sim
+        FROM q, embeddings e
+        WHERE e.vec_id <> q.q_id
+    ),
+    ranked AS (
+        SELECT q_id, neighbor_id, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        FROM scored
+    )
+    SELECT q_id, neighbor_id, cos_sim, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= {TOP_K}
+    """,
+)
+def simsearch_pq_full_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ-ADC two-stage pipeline with an unbounded shortlist: every
+    corpus vector passes ADC scoring into the exact re-rank, so the
+    output must equal exact brute-force top-k — and the oracle is that
+    SQL definition. Like simsearch_ivf_full_probe this hash-gates the
+    index *machinery* (codebook training, 4-bit encoding, ADC table
+    join, fold, shortlist window, re-rank) cross-engine every driver
+    round: a bug that dropped or duplicated candidates anywhere in the
+    chain MISMATCHes here while recall tests might still pass.
+    adc_dist is projected away — it is the one engine-internal column
+    (learned codebooks), and the re-ranked order must not depend on it.
+    """
+    return pq_adc_topk(spark, sf_dir, 1 << 30).select(
+        "q_id", "neighbor_id", "cos_sim", "rnk"
     )
 
 
@@ -535,7 +616,28 @@ def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Verification (pytest, tests/test_rows_only.py): unit-norm loading,
     eigen-residual ‖Cv−λv‖ < 1e-6·λ, |cos| ≥ 0.999 agreement with
-    numpy.linalg.eigh on the same matrix, run-to-run determinism."""
+    numpy.linalg.eigh on the same matrix, run-to-run determinism —
+    plus the hash-oracled ppm twin ``embedding_pca_loading_ppm``."""
+    d, n, mu, v, lam, trace = _pca_power_solve(spark, sf_dir)
+    evr = lam / trace
+    out = [(i, mu[i], v[i], lam, evr) for i in range(d)]
+    return spark.createDataFrame(
+        out, "pos INT, mean_val DOUBLE, pc1_loading DOUBLE, "
+        "eigenvalue DOUBLE, explained_variance_ratio DOUBLE"
+    )
+
+
+def _pca_power_solve(
+    spark: SparkSession, sf_dir: str
+) -> tuple[int, int, list, list, float, float]:
+    """Shared PCA kernel: distributed moment pass + driver-side
+    fixed-round power iteration. Every float operation is written to be
+    reproducible verbatim in DuckDB (sequential left folds, math.sqrt,
+    identical association order), which is what lets
+    ``embedding_pca_loading_ppm`` hash-oracle the whole solve
+    cross-engine. Returns (d, n, mu, v, lam, trace)."""
+    import math
+
     emb = load_table(spark, sf_dir, "embeddings")
     elems = emb.select(
         "vec_id", F.posexplode("embedding").alias("pos", "raw")
@@ -586,16 +688,114 @@ def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     lam = 0.0
     for _ in range(PCA_ITERS):
         w = [sum(C[i][j] * v[j] for j in range(d)) for i in range(d)]
-        norm = sum(x * x for x in w) ** 0.5
+        norm = math.sqrt(sum(x * x for x in w))
         v = [x / norm for x in w]
         lam = norm
     trace = sum(C[i][i] for i in range(d))
+    return d, n, mu, v, lam, trace
+
+
+# DuckDB twin of the ENTIRE PCA solve — the moment pass (exact BIGINT
+# cells, proven sorted-fold means) AND the 500-round power iteration,
+# run as a recursive CTE over a list-typed state vector with the same
+# sequential fold arithmetic as the Python loop. MATERIALIZED is
+# load-bearing: without it DuckDB re-evaluates the moment-matrix chain
+# on every one of the 500 recursive steps (measured 63 s → 0.9 s).
+_PCA_PPM_ORACLE = """
+WITH RECURSIVE elems AS MATERIALIZED (
+    SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+           CAST(unnest(embedding) AS DOUBLE) AS val
+    FROM embeddings
+),
+mu AS MATERIALIZED (
+    SELECT pos, list_aggregate(list_sort(list(val)), 'sum') / COUNT(*) AS mu,
+           COUNT(*) AS n
+    FROM elems GROUP BY pos
+),
+cells AS MATERIALIZED (
+    SELECT a.pos AS i, b.pos AS j,
+           SUM(CAST(trunc(a.val * b.val * 1e14) AS BIGINT)) AS s14
+    FROM elems a JOIN elems b USING (vec_id)
+    WHERE b.pos >= a.pos
+    GROUP BY a.pos, b.pos
+),
+mat AS MATERIALIZED (
+    SELECT list(row ORDER BY i) AS m FROM (
+        SELECT i, list(c ORDER BY j) AS row FROM (
+            SELECT i, j,
+                   s14 / 1e14 / (SELECT ANY_VALUE(n) FROM mu)
+                     - (SELECT mu FROM mu WHERE pos = i)
+                     * (SELECT mu FROM mu WHERE pos = j) AS c
+            FROM (SELECT i, j, s14 FROM cells
+                  UNION ALL
+                  SELECT j AS i, i AS j, s14 FROM cells WHERE i <> j)
+        ) GROUP BY i
+    )
+),
+it AS (
+    SELECT 0 AS k,
+           list_transform(range(0, 64),
+             i -> CAST(CASE WHEN i = 0 THEN 1 ELSE 0 END AS DOUBLE)) AS v,
+           CAST(0 AS DOUBLE) AS lam
+    UNION ALL
+    SELECT k + 1, list_transform(w, x -> x / nrm), nrm
+    FROM (
+        SELECT k,
+               list_transform(range(0, 64),
+                 i -> list_aggregate(list_transform(range(0, 64),
+                        j -> m[i + 1][j + 1] * v[j + 1]), 'sum')) AS w
+        FROM it, mat WHERE k < 500
+    ),
+    LATERAL (SELECT sqrt(list_aggregate(list_transform(w, x -> x * x), 'sum')) AS nrm)
+),
+anch AS (
+    SELECT v, lam,
+           CASE WHEN v[list_position(list_transform(v, x -> abs(x)),
+                        list_aggregate(list_transform(v, x -> abs(x)), 'max'))]
+                     > 0
+                THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END AS s,
+           (SELECT list_aggregate(
+                list_transform(range(0, 64), i -> m[i + 1][i + 1]), 'sum')
+            FROM mat) AS trace
+    FROM it WHERE k = 500
+)
+SELECT CAST(t.i AS INT) AS pos,
+       CAST(floor(s * v[t.i + 1] * 1000000 + 0.5) AS BIGINT) AS loading_ppm,
+       CAST(floor(lam * 1000000000 + 0.5) AS BIGINT) AS eigenvalue_ppb,
+       CAST(floor(lam / trace * 1000000 + 0.5) AS BIGINT) AS evr_ppm
+FROM anch, range(0, 64) t(i)
+"""
+
+
+@query("embedding_pca_loading_ppm", oracle=_PCA_PPM_ORACLE)
+def embedding_pca_loading_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-oracled surface of the PCA solve: PC1 loadings sign-anchored
+    (the component with the largest |loading| is made positive —
+    eigenvectors are defined up to sign) and quantized to exact ppm
+    integers, plus the eigenvalue (ppb) and explained-variance ratio
+    (ppm). The DuckDB oracle reproduces the *entire* computation — the
+    distributed moment pass arrives at bit-identical doubles (exact
+    scaled-BIGINT cells + sorted-fold means) and a recursive CTE runs
+    the same 500 power-iteration rounds with the same sequential fold
+    order, so the quantization has ~8 orders of magnitude of margin.
+    This converts the PCA family from rows-only to a full cross-engine
+    hash gate every driver round (the unquantized doubles remain
+    available as ``embedding_pca_top_component``)."""
+    import math
+
+    d, n, mu, v, lam, trace = _pca_power_solve(spark, sf_dir)
+    m = max(range(d), key=lambda i: (abs(v[i]), -i))
+    s = 1.0 if v[m] > 0 else -1.0
     evr = lam / trace
     out = [
-        (i, mu[i], v[i], lam, evr)
+        (
+            i,
+            int(math.floor(s * v[i] * 1e6 + 0.5)),
+            int(math.floor(lam * 1e9 + 0.5)),
+            int(math.floor(evr * 1e6 + 0.5)),
+        )
         for i in range(d)
     ]
     return spark.createDataFrame(
-        out, "pos INT, mean_val DOUBLE, pc1_loading DOUBLE, "
-        "eigenvalue DOUBLE, explained_variance_ratio DOUBLE"
+        out, "pos INT, loading_ppm BIGINT, eigenvalue_ppb BIGINT, evr_ppm BIGINT"
     )
