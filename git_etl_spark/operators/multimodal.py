@@ -11,10 +11,12 @@ The stand-in payloads ship in a real (synthetic) container format —
 SIMG: 4-byte magic + big-endian width/height header + body — built
 JVM-side and *parsed* back in the Python workers (``decode_image``),
 so the mapInPandas path exercises an actual per-payload decode whose
-every feature the DuckDB oracle reconstructs independently. Real codec
-formats (PNG/JPEG/RIFF) still raise NotImplementedError: PIL/ffmpeg
-are not in this environment, and a silent fake decode of real media
-would be worse than a loud gap.
+every feature the DuckDB oracle reconstructs independently. PNG is
+decoded for real with only the stdlib (``decode_png``: chunk walk,
+zlib inflate, all five scanline prediction filters). Codec formats
+that genuinely need external libraries (JPEG/RIFF) still raise
+NotImplementedError: libjpeg/ffmpeg are not in this environment, and
+a silent fake decode of real media would be worse than a loud gap.
 """
 
 from __future__ import annotations
@@ -37,7 +39,96 @@ FEATURE_SCHEMA = (
 # the synthetic container format the corpus's stand-in media ships in:
 # 4-byte magic, 2-byte big-endian width, 2-byte big-endian height, body
 SIMG_MAGIC = b"SIMG"
-REAL_CODEC_MAGICS = (b"\x89PNG", b"\xff\xd8\xff\xe0", b"RIFF")
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+# formats whose decode genuinely needs an external codec (libjpeg /
+# ffmpeg — not in this environment); PNG is NOT here: its container is
+# zlib + byte-prediction filters, both fully decodable with the stdlib
+REAL_CODEC_MAGICS = (b"\xff\xd8\xff\xe0", b"RIFF")
+
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_png(payload: bytes) -> dict:
+    """Real PNG decode with only the stdlib: chunk walk (IHDR → IDAT*
+    → IEND), one ``zlib.decompress`` of the concatenated IDAT stream,
+    then per-scanline reversal of all five PNG prediction filters
+    (None/Sub/Up/Average/Paeth, RFC 2083 §6) — so mean/max statistics
+    are over actual reconstructed pixel bytes, not compressed bits.
+    8-bit depth, non-interlaced; anything else raises loudly (the
+    honest-gap policy) rather than returning wrong statistics."""
+    import struct
+    import zlib
+
+    if payload[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    width = height = bit_depth = color_type = None
+    interlace = 0
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (clen,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + clen]
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type = struct.unpack(
+                ">IIBB", data[:10]
+            )
+            interlace = data[12]
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen  # length + type + payload + crc
+    if width is None:
+        raise ValueError("PNG without IHDR")
+    if bit_depth != 8 or interlace != 0 or color_type not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"PNG bit_depth={bit_depth} color_type={color_type} "
+            f"interlace={interlace}: only 8-bit non-interlaced supported"
+        )
+    bpp = _PNG_CHANNELS[color_type]
+    stride = width * bpp
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG scanline stream has wrong length")
+    recon = bytearray()
+    prev = bytearray(stride)
+    p = 0
+    for _ in range(height):
+        filt = raw[p]
+        row = bytearray(raw[p + 1 : p + 1 + stride])
+        p += 1 + stride
+        if filt == 1:  # Sub
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif filt == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif filt == 3:  # Average
+            for i in range(stride):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif filt == 4:  # Paeth
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                pr = a + b - c
+                pa, pb, pc = abs(pr - a), abs(pr - b), abs(pr - c)
+                best = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + best) & 0xFF
+        elif filt != 0:
+            raise ValueError(f"invalid PNG filter byte {filt}")
+        recon += row
+        prev = row
+    return {
+        "n_bytes": len(recon),
+        "magic": "PNG",
+        "width": width,
+        "height": height,
+        "mean_byte": (sum(recon) / len(recon)) if recon else 0.0,
+        "max_byte": max(recon) if recon else 0,
+    }
 
 
 @query(
@@ -121,18 +212,20 @@ def encode_simg(doc_id_col, text_col):
 
 
 def decode_image(payload: bytes) -> dict:
-    """Pure-Python deterministic decode of the SIMG container: parses
-    the header with ``struct`` and computes per-payload byte features —
-    a real (if tiny) decode running inside the Arrow-batched
-    ``mapInPandas`` plumbing. Real codec formats still raise
-    (PIL/ffmpeg are not in this environment); any other payload falls
-    back to raw byte statistics so the pipeline stays total."""
+    """Pure-Python deterministic decode inside the Arrow-batched
+    ``mapInPandas`` plumbing: SIMG containers are struct-parsed, PNGs
+    are decoded for real via ``decode_png`` (stdlib zlib + filter
+    reversal), JPEG/RIFF raise loudly (libjpeg/ffmpeg absent), and any
+    other payload falls back to raw byte statistics so the pipeline
+    stays total."""
     import struct
 
     if payload[:4] in REAL_CODEC_MAGICS:
         raise NotImplementedError(
-            "real media decode requires PIL/ffmpeg; not present in this env"
+            "real media decode requires libjpeg/ffmpeg; not present in this env"
         )
+    if payload[:8] == PNG_SIGNATURE:
+        return decode_png(payload)
     if payload[:4] == SIMG_MAGIC:
         width, height = struct.unpack(">HH", payload[4:8])
         body = payload[8:]

@@ -53,13 +53,115 @@ def test_multimodal_decode_schema_and_determinism(spark):
     assert all(meta[d] == v[0] for d, v in rows1.items())
 
 
+def _make_png(width, height, pixels, color_type=2, filters=None):
+    """Minimal stdlib PNG writer for fixtures: 8-bit, non-interlaced.
+    ``pixels`` is raw scanline bytes (height × width·channels);
+    ``filters`` picks the per-row filter type (default all 0) and the
+    writer FORWARD-applies it, so decode must reverse it to recover
+    ``pixels`` exactly."""
+    import struct
+    import zlib
+
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    stride = width * channels
+    bpp = channels
+    filters = filters or [0] * height
+    raw = bytearray()
+    prev = bytearray(stride)
+    for r in range(height):
+        row = bytearray(pixels[r * stride : (r + 1) * stride])
+        filt = filters[r]
+        enc = bytearray(row)
+        if filt == 1:  # Sub
+            for i in range(stride - 1, bpp - 1, -1):
+                enc[i] = (row[i] - row[i - bpp]) & 0xFF
+        elif filt == 2:  # Up
+            for i in range(stride):
+                enc[i] = (row[i] - prev[i]) & 0xFF
+        elif filt == 3:  # Average
+            for i in range(stride):
+                left = row[i - bpp] if i >= bpp else 0
+                enc[i] = (row[i] - ((left + prev[i]) >> 1)) & 0xFF
+        elif filt == 4:  # Paeth
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                pr = a + b - c
+                pa, pb, pc = abs(pr - a), abs(pr - b), abs(pr - c)
+                best = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[i] = (row[i] - best) & 0xFF
+        raw += bytes([filt]) + enc
+        prev = row
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_all_filters_and_mapinpandas(spark):
+    """Real stdlib PNG decode: every filter type (None/Sub/Up/Average/
+    Paeth) must reverse to the exact pixel bytes, and the payload must
+    decode through the same Arrow-batched mapInPandas path as SIMG."""
+    from git_etl_spark.operators.multimodal import decode_image, decode_png
+
+    width, height = 5, 5
+    pixels = bytes((r * 37 + c * 11) % 256 for r in range(height) for c in range(width * 3))
+    png = _make_png(width, height, pixels, color_type=2, filters=[0, 1, 2, 3, 4])
+    out = decode_png(png)
+    assert out["magic"] == "PNG" and (out["width"], out["height"]) == (5, 5)
+    assert out["n_bytes"] == len(pixels)
+    assert out["mean_byte"] == sum(pixels) / len(pixels)
+    assert out["max_byte"] == max(pixels)
+    # grayscale single-channel too
+    g = bytes(range(16))
+    png_g = _make_png(4, 4, g, color_type=0, filters=[0, 1, 2, 4])
+    assert decode_png(png_g)["mean_byte"] == sum(g) / 16
+    # decode_image dispatches on the signature
+    assert decode_image(png)["magic"] == "PNG"
+
+    # through the mapInPandas plumbing, mixed with an SIMG payload
+    import pandas as pd
+
+    from git_etl_spark.operators.multimodal import FEATURE_SCHEMA
+
+    simg = b"SIMG" + (4).to_bytes(2, "big") + (2).to_bytes(2, "big") + b"abcdefgh"
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "payload": [png, simg]}),
+        "doc_id long, payload binary",
+    )
+
+    def extract(batches):
+        for pdf in batches:
+            feats = [decode_image(p) for p in pdf["payload"]]
+            o = pd.DataFrame(feats)
+            o.insert(0, "doc_id", pdf["doc_id"].values)
+            yield o
+
+    rows = {r.doc_id: r for r in df.mapInPandas(extract, FEATURE_SCHEMA).collect()}
+    assert rows[1].magic == "PNG" and rows[1].max_byte == max(pixels)
+    assert rows[2].magic == "SIMG" and rows[2].n_bytes == 8
+
+
 def test_decode_rejects_real_formats_and_parses_simg():
     import pytest
 
     from git_etl_spark.operators.multimodal import decode_image
 
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG\r\n\x1a\n....")
+        decode_image(b"\xff\xd8\xff\xe0....")  # JPEG/JFIF needs libjpeg
     # raw fallback for unknown payloads
     out = decode_image("plain text payload".encode())
     assert out["n_bytes"] == 18 and out["magic"] == "plai"
