@@ -98,10 +98,15 @@ def main() -> None:
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     cold: dict[str, float] = {}
     timings: dict[str, float] = {}
+    spread: dict[str, dict[str, float]] = {}
     for name in sorted(registry.QUERIES):
         cold[name] = run(name)
-        best = min([cold[name]] + [run(name) for _ in range(reps - 1)])
-        timings[name] = round(best, 4)
+        times = [cold[name]] + [run(name) for _ in range(reps - 1)]
+        timings[name] = round(min(times), 4)
+        # per-query {min,max} over the reps: lets a reader separate
+        # host-tenancy noise (wide spread, unchanged min) from a real
+        # regression (min itself moved) without re-running the bench
+        spread[name] = {"min": round(min(times), 4), "max": round(max(times), 4)}
 
     total = round(sum(timings.values()), 4)
     full = json.dumps(
@@ -114,6 +119,7 @@ def main() -> None:
             "n_queries": len(timings),
             "reps": reps,
             "cold_value": round(sum(cold.values()), 4),
+            "spread": spread,
         }
     )
     (Path(__file__).resolve().parent / "BENCH.json").write_text(full + "\n")

@@ -91,6 +91,79 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(F.col("src").alias("node"), "rank")
 
 
+_PAGERANK_PPM_ORACLE = """
+WITH RECURSIVE pairs AS MATERIALIZED (
+    SELECT DISTINCT 'c' || o_custkey AS cust, 's' || l_suppkey AS supp
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_quantity >= 40
+),
+edges AS MATERIALIZED (
+    SELECT cust AS src, supp AS dst FROM pairs
+    UNION ALL
+    SELECT supp, cust FROM pairs
+),
+nodes AS MATERIALIZED (
+    SELECT node, row_number() OVER (ORDER BY node) - 1 AS idx
+    FROM (SELECT DISTINCT src AS node FROM edges)
+),
+degs AS MATERIALIZED (
+    SELECT list(deg ORDER BY idx) AS dl FROM (
+        SELECT n.idx AS idx, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM edges e JOIN nodes n ON e.src = n.node
+        GROUP BY n.idx)
+),
+adj AS MATERIALIZED (
+    SELECT list(nbrs ORDER BY idx) AS al FROM (
+        SELECT nd.idx AS idx, list(ns.idx) AS nbrs
+        FROM edges e JOIN nodes nd ON e.dst = nd.node
+                     JOIN nodes ns ON e.src = ns.node
+        GROUP BY nd.idx)
+),
+it AS (
+    SELECT 0 AS k,
+           (SELECT list_transform(range(0, COUNT(*)), x -> CAST(1 AS DOUBLE))
+            FROM nodes) AS v
+    UNION ALL
+    SELECT k + 1,
+           list_transform(range(0, len(v)),
+             i -> (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                  + CAST(0.85 AS DOUBLE) * list_aggregate(list_sort(
+                        list_transform(al[i + 1], j -> v[j + 1] / dl[j + 1])),
+                        'sum'))
+    FROM it, adj, degs WHERE k < 6
+)
+SELECT n.node AS node,
+       CAST(floor(v[n.idx + 1] * 1000000 + 0.5) AS BIGINT) AS rank_ppm
+FROM it, nodes n WHERE k = 6
+"""
+
+
+@query("graph_pagerank_ppm", oracle=_PAGERANK_PPM_ORACLE)
+def graph_pagerank_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-oracled surface of the PageRank fixpoint: the same six
+    synchronous rounds, quantized to exact ppm integers. The DuckDB
+    oracle reproduces the ENTIRE iteration — same damping arithmetic
+    ((1−d) and d as IEEE doubles), same per-node sorted-value fold of
+    contributions, same rank/out-degree division — as a recursive CTE
+    over an index-aligned adjacency-list state (the PCA-oracle
+    technique, ``embedding_pca_loading_ppm``). Every node's rank after
+    round 6 must agree cross-engine to the ppm; the unquantized
+    doubles remain available as ``graph_pagerank_bipartite``.
+
+    Alignment caveat the oracle relies on: the trade graph is
+    symmetric (both directions of every pair), so every node has
+    in-degree ≥ 1 and the dense index-keyed adjacency list covers all
+    nodes — the same property that keeps the Spark groupBy from
+    dropping rankless nodes between rounds."""
+    ranks = graph_pagerank_bipartite(spark, sf_dir)
+    return ranks.select(
+        "node",
+        F.floor(F.col("rank") * 1000000 + F.lit(0.5)).cast("long").alias(
+            "rank_ppm"
+        ),
+    )
+
+
 def large_star_small_star(spark: SparkSession, edges: DataFrame) -> DataFrame:
     """Connected components via alternating Large-Star / Small-Star
     (Kiveris et al., "Connected Components in MapReduce and Beyond") —
