@@ -665,3 +665,67 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("dup_rate_ppm"),
     )
+
+
+CURRICULUM_HEAD = 2000  # emitted prefix of the training order
+
+
+@query(
+    "pipeline_curriculum_order",
+    oracle=f"""
+    WITH banded AS (
+        SELECT doc_id, source,
+               CASE WHEN len(string_split(text, ' ')) >= 40
+                     AND len(list_filter(string_split(text, ' '),
+                                         t -> t IN ({_STOP_SQL}))) * 1.0
+                         / len(string_split(text, ' ')) >= 0.05
+                    THEN 'good' ELSE 'low' END AS quality_band
+        FROM documents
+    ),
+    ordered AS (
+        SELECT doc_id, source, quality_band,
+               ROW_NUMBER() OVER (
+                   ORDER BY CASE quality_band WHEN 'good' THEN 0 ELSE 1 END,
+                            substring(md5(CAST(doc_id AS VARCHAR)), 1, 8),
+                            doc_id
+               ) AS train_pos
+        FROM banded
+    )
+    SELECT doc_id, source, quality_band, CAST(train_pos AS BIGINT) AS train_pos
+    FROM ordered WHERE train_pos <= {CURRICULUM_HEAD}
+    """,
+)
+def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum data ordering: emit the training-order prefix with
+    high-quality documents first and a DETERMINISTIC shuffle within
+    each band (sort key = md5(doc_id) — reproducible across runs and
+    engines, unlike rand()). This is the curriculum / quality-annealing
+    stage of a pretraining pipeline: the band rule is the same one
+    text_quality_score applies, so the curriculum consumes an existing
+    audited signal rather than inventing a parallel notion of quality.
+
+    The global ROW_NUMBER is a range-partitioned sort on (band, md5) —
+    Spark's distributed TakeOrdered handles the LIMIT-ed prefix without
+    a single-partition window; at 100 TB you'd publish the full order
+    by writing the sorted table out with zipWithIndex-style partition
+    offsets instead of numbering a prefix."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double")
+        / F.size(toks)
+    )
+    banded = docs.select(
+        "doc_id",
+        "source",
+        F.when(
+            (F.size(toks) >= 40) & (stop_ratio >= 0.05), F.lit("good")
+        ).otherwise(F.lit("low")).alias("quality_band"),
+    )
+    band_rank = F.when(F.col("quality_band") == "good", 0).otherwise(1)
+    shuffle_key = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    w = Window.orderBy(band_rank, shuffle_key, F.col("doc_id"))
+    return (
+        banded.withColumn("train_pos", F.row_number().over(w).cast("long"))
+        .filter(F.col("train_pos") <= CURRICULUM_HEAD)
+    )

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.vector import cosine, duck_cosine, duck_dot
-from ..io import load_table
+from ..io import dataset_fingerprint, load_table
 from ..registry import query
 from ..session import iter_checkpoint, loop_shuffle_partitions
 
@@ -178,6 +178,32 @@ K_CELLS = 16  # IVF coarse cells
 N_PROBE = 2  # cells searched per query
 
 
+# trained IVF index (centroids, posting list) per (session, sf_dir,
+# data fingerprint): an ANN index is a persisted artifact queried many
+# times, not rebuilt per query — the default-probe and full-probe
+# surfaces (and repeated runs in one session) share one training job.
+# Both component DataFrames are checkpointed (lineage-free) and small
+# (K·dim centroids, one (vec_id, cell) row per vector).
+_IVF_INDEX_MEMO: dict[tuple[str, str, str], tuple[DataFrame, DataFrame]] = {}
+
+
+def _ivf_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Train (or fetch the session-memoized) IVF index: Lloyd k-means
+    centroids plus the per-vector cell posting list. See ivf_topk for
+    the algorithm and determinism contract."""
+    memo_key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        dataset_fingerprint(sf_dir, "embeddings"),
+    )
+    memoized = _IVF_INDEX_MEMO.get(memo_key)
+    if memoized is not None:
+        return memoized
+    centroids, posting = _ivf_train(spark, sf_dir)
+    _IVF_INDEX_MEMO[memo_key] = (centroids, posting)
+    return centroids, posting
+
+
 def ivf_topk(spark: SparkSession, sf_dir: str, n_probe: int = N_PROBE) -> DataFrame:
     """IVF (inverted-file) approximate top-k: Lloyd k-means learns
     K_CELLS coarse cells, every vector is posted to its nearest cell,
@@ -197,6 +223,51 @@ def ivf_topk(spark: SparkSession, sf_dir: str, n_probe: int = N_PROBE) -> DataFr
     cell assignment is one narrow shuffle; per-cell search is an equi
     join on cell id — skewed (hot) cells split by AQE. Training runs
     on a sample; assignment streams."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids, posting = _ivf_index(spark, sf_dir)
+    l2 = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    q_vecs = queries.select(
+        "q_id", F.transform("q_emb", lambda x: x.cast("double")).alias("qv")
+    )
+    w_probe = Window.partitionBy("q_id").orderBy("dist", "cell")
+    probes = (
+        q_vecs.crossJoin(F.broadcast(centroids))
+        .withColumn("dist", l2(F.col("qv"), F.col("cv")))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= n_probe)
+        .select("q_id", "cell")
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(posting, "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+    )
+    scored = (
+        cand.join(emb.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(queries), "q_id")
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("q_emb"), F.col("embedding")).alias("cos_sim"),
+        )
+    )
+    w_rank = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rnk", F.row_number().over(w_rank)).filter(
+        F.col("rnk") <= TOP_K
+    )
+
+
+def _ivf_train(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """The IVF training job (see ivf_topk docstring): deterministic
+    Lloyd rounds producing (centroids, posting)."""
     emb = load_table(spark, sf_dir, "embeddings")
     vecs = emb.select(
         "vec_id",
@@ -252,41 +323,9 @@ def ivf_topk(spark: SparkSession, sf_dir: str, n_probe: int = N_PROBE) -> DataFr
             .filter(F.col("rn") == 1)
             .select("vec_id", "cell")
         )
-        posting = iter_checkpoint(posting)  # reused below; keeps the
-        # assignment inside the sized-loop scope
-    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
-    )
-    q_vecs = queries.select(
-        "q_id", F.transform("q_emb", lambda x: x.cast("double")).alias("qv")
-    )
-    w_probe = Window.partitionBy("q_id").orderBy("dist", "cell")
-    probes = (
-        q_vecs.crossJoin(F.broadcast(centroids))
-        .withColumn("dist", l2(F.col("qv"), F.col("cv")))
-        .withColumn("rn", F.row_number().over(w_probe))
-        .filter(F.col("rn") <= n_probe)
-        .select("q_id", "cell")
-    )
-    cand = (
-        F.broadcast(probes)
-        .join(posting, "cell")
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "vec_id")
-    )
-    scored = (
-        cand.join(emb.select("vec_id", "embedding"), "vec_id")
-        .join(F.broadcast(queries), "q_id")
-        .select(
-            "q_id",
-            F.col("vec_id").alias("neighbor_id"),
-            cosine(F.col("q_emb"), F.col("embedding")).alias("cos_sim"),
-        )
-    )
-    w_rank = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return scored.withColumn("rnk", F.row_number().over(w_rank)).filter(
-        F.col("rnk") <= TOP_K
-    )
+        posting = iter_checkpoint(posting)  # materialized inside the
+        # sized-loop scope, per the loop_shuffle_partitions contract
+    return centroids, posting
 
 
 @query("simsearch_ivf")  # rows-only: learned cells are engine-internal
@@ -375,6 +414,12 @@ def _pq_l2(a, b):
     )
 
 
+# trained PQ index (codebooks, codes) per (session, sf_dir, data
+# fingerprint) — same artifact-reuse rationale as _IVF_INDEX_MEMO:
+# the ADC and full-re-rank surfaces query one trained quantizer.
+_PQ_INDEX_MEMO: dict[tuple[str, str, str], tuple[DataFrame, DataFrame]] = {}
+
+
 def pq_codebooks_and_codes(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:
@@ -386,6 +431,14 @@ def pq_codebooks_and_codes(
     round is a single job keyed by (m, code), not a per-subspace loop —
     so the round count, not the subspace count, bounds the number of
     shuffles."""
+    memo_key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        dataset_fingerprint(sf_dir, "embeddings"),
+    )
+    memoized = _PQ_INDEX_MEMO.get(memo_key)
+    if memoized is not None:
+        return memoized
     emb = load_table(spark, sf_dir, "embeddings")
     sub_dim = 64 // PQ_M
     # (vec_id, m, sv): the m-th contiguous sub_dim-slice, cast double
@@ -447,6 +500,7 @@ def pq_codebooks_and_codes(
         .filter(F.col("rn") == 1)
         .select("vec_id", "m", "code")
     )
+    _PQ_INDEX_MEMO[memo_key] = (codebooks, codes)
     return codebooks, codes
 
 
@@ -798,4 +852,53 @@ def embedding_pca_loading_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return spark.createDataFrame(
         out, "pos INT, loading_ppm BIGINT, eigenvalue_ppb BIGINT, evr_ppm BIGINT"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range query: all neighbors within a similarity radius
+# ---------------------------------------------------------------------------
+
+RANGE_N_PROBES = 3  # probe set = vec_id < 3
+RANGE_TAU = 0.30  # cosine radius (calibrated to near-random vectors)
+
+
+@query(
+    "simsearch_range_cosine",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+               WHERE vec_id < {RANGE_N_PROBES})
+    SELECT q.q_id, e.vec_id AS neighbor_id,
+           {{cos}} AS cos_sim
+    FROM q, embeddings e
+    WHERE e.vec_id <> q.q_id AND {{cos}} >= {RANGE_TAU}
+    """.replace("{cos}", duck_cosine("q.q_emb", "e.embedding")),
+)
+def simsearch_range_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range query: EVERY corpus vector within cosine ≥ τ of each probe
+    (the radius-based complement of top-k — dedup candidate pulls and
+    recommendation candidate pools want "all close enough", not "the k
+    closest"). Exact tier: broadcast the probe set, score all vectors,
+    keep the threshold survivors; the cosine fold is the bitwise-
+    reproducible double chain shared with the other exact kernels, so
+    the ≥ τ comparison decides identically in both engines.
+
+    At 100 TB the probe side stays broadcast and the corpus scan
+    shards freely (no shuffle at all — scan → filter); with a large
+    probe set the same query routes through the LSH/IVF bucketed
+    candidate generation instead (simsearch_lsh_bucketed)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < RANGE_N_PROBES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return (
+        F.broadcast(q)
+        .crossJoin(emb)
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("q_emb"), F.col("embedding")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= RANGE_TAU)
     )

@@ -692,3 +692,298 @@ def text_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_oov * 1000000 div n_tokens").cast("long").alias("oov_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing (MOSS) fingerprints — position-aware sub-document overlap
+# ---------------------------------------------------------------------------
+
+WIN_K = 4  # tokens per k-gram
+WIN_W = 5  # winnowing window: one fingerprint selected per W k-grams
+WIN_DF_CAP = 10  # fingerprints in more docs than this are boilerplate
+WIN_MIN_SHARED = 3  # report pairs sharing at least this many fingerprints
+_POS_BITS = 1 << 20  # pos packed into the low 20 bits of the select key
+
+
+@query(
+    "text_winnowing_pairs",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        WHERE len(string_split(text, ' ')) >= {WIN_K + WIN_W - 1}
+    ),
+    kg AS (
+        SELECT doc_id, u.pos,
+               CAST('0x' || substring(u.k, 1, 10) AS BIGINT) * {_POS_BITS}
+                   + ({_POS_BITS - 1} - u.pos) AS key
+        FROM (
+            SELECT doc_id,
+                   unnest([{{'pos': i,
+                            'k': md5(array_to_string(toks[i:i + {WIN_K - 1}], ' '))}}
+                           FOR i IN range(1, len(toks) - {WIN_K - 2})]) AS u
+            FROM t
+        )
+    ),
+    sel AS (
+        SELECT doc_id, pos,
+               COUNT(*) OVER (PARTITION BY doc_id) AS nk,
+               MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN CURRENT ROW
+                              AND {WIN_W - 1} FOLLOWING) AS wmin
+        FROM kg
+    ),
+    fp AS (
+        SELECT DISTINCT doc_id, wmin // {_POS_BITS} AS fp
+        FROM sel WHERE pos <= nk - {WIN_W - 1}
+    ),
+    keep AS (
+        SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) <= {WIN_DF_CAP}
+    ),
+    fpk AS (SELECT f.doc_id, f.fp FROM fp f JOIN keep USING (fp)),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+        FROM fpk a JOIN fpk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared
+    FROM pairs WHERE n_shared >= {WIN_MIN_SHARED}
+    """,
+)
+def text_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS, Schleimer et al. 2003) document fingerprints:
+    hash every {K}-token k-gram, slide a {W}-wide window over the hash
+    sequence, and keep the window minimum — ties broken toward the
+    RIGHTMOST position by packing ``(hash, reversed pos)`` into one
+    integer select key, so the selection is a pure ``MIN`` window
+    aggregate instead of stateful scan logic. Two docs sharing enough
+    selected fingerprints share runs of verbatim text (plagiarism /
+    template detection that document-level dedup misses).
+
+    Scale plan: fingerprint density is 2/(W+1) of k-grams by the
+    winnowing guarantee, the pair join is keyed on fingerprint value,
+    and fingerprints occurring in more than {CAP} docs are dropped as
+    boilerplate first (the MOSS practice), so candidate volume is
+    bounded by output density — never corpus². The window aggregate
+    partitions by doc_id: no global sort anywhere."""
+    docs = with_tokens(load_table(spark, sf_dir, "documents")).filter(
+        F.size("toks") >= WIN_K + WIN_W - 1
+    )
+    kg = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {WIN_K - 1}),"
+                f" i -> md5(concat_ws(' ', slice(toks, i, {WIN_K}))))"
+            )
+        ).alias("pos0", "kh"),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        (
+            F.conv(F.substring("kh", 1, 10), 16, 10).cast("long") * _POS_BITS
+            + (F.lit(_POS_BITS - 1) - F.col("pos0") - 1)
+        ).alias("key"),
+    )
+    wdoc = Window.partitionBy("doc_id")
+    wsel = wdoc.orderBy("pos").rowsBetween(0, WIN_W - 1)
+    fp = (
+        kg.select(
+            "doc_id",
+            "pos",
+            F.count("*").over(wdoc).alias("nk"),
+            F.min("key").over(wsel).alias("wmin"),
+        )
+        .filter(F.col("pos") <= F.col("nk") - (WIN_W - 1))
+        .select("doc_id", F.expr(f"wmin DIV {_POS_BITS}").alias("fp"))
+        .distinct()
+    )
+    keep = fp.groupBy("fp").agg(F.count("*").alias("ndocs")).filter(
+        F.col("ndocs") <= WIN_DF_CAP
+    )
+    fpk = fp.join(keep.select("fp"), "fp")
+    a = fpk.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fpk.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, ["fp"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= WIN_MIN_SHARED)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM surprisal quality buckets — a CCNet-style perplexity filter
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_surprisal_deciles",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents
+    ),
+    vocab AS (SELECT tk, COUNT(*) AS cnt FROM tok GROUP BY tk),
+    tot AS (SELECT COUNT(*) AS n FROM tok),
+    scored AS (
+        SELECT t.doc_id,
+               length(bin(CAST(tot.n // v.cnt AS BIGINT))) AS s
+        FROM tok t JOIN vocab v USING (tk) CROSS JOIN tot
+    ),
+    per AS (
+        SELECT doc_id, COUNT(*) AS n_tokens, SUM(s) AS sum_surprisal
+        FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(sum_surprisal AS BIGINT) AS sum_surprisal,
+           CAST(sum_surprisal AS DOUBLE) / n_tokens AS avg_surprisal,
+           CAST(NTILE(10) OVER (
+               ORDER BY CAST(sum_surprisal AS DOUBLE) / n_tokens, doc_id
+           ) AS INT) AS decile
+    FROM per
+    """,
+)
+def text_surprisal_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style language-model quality filter, self-trained: score
+    every document by the mean surprisal of its tokens under the
+    corpus's own unigram distribution, then bucket into deciles (CCNet
+    keeps the low-perplexity head/middle and drops the tail).
+
+    Surprisal is the INTEGER log2 bucket ``length(bin(N div cnt))`` —
+    floor(log2(N/cnt)) + 1 computed through integer division and a
+    binary-string length, which both engines evaluate exactly (a
+    float ``ln`` would differ in the last ulp between the JVM and
+    DuckDB and poison the hash compare). The mean is int/int division
+    in double: deterministic.
+
+    Scale plan: the unigram table is a per-term partial-aggregated
+    count (shuffle ∝ vocabulary); the score join is token→cnt keyed by
+    term; per-doc totals partial-aggregate. The only global order is
+    the final NTILE over per-DOC rows — at 100 TB you'd swap it for
+    approx-quantile cut points broadcast back (the document table is
+    corpus-sized but the sort is range-partitioned by Spark anyway)."""
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    tok = docs.select("doc_id", F.explode("toks").alias("tk"))
+    vocab = tok.groupBy("tk").agg(F.count("*").alias("cnt"))
+    tot = tok.agg(F.count("*").alias("n"))
+    per = (
+        tok.join(vocab, "tk")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.length(F.bin(F.expr("n DIV cnt"))).cast("long").alias("s"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("s").cast("long").alias("sum_surprisal"),
+        )
+    )
+    avg = F.col("sum_surprisal").cast("double") / F.col("n_tokens")
+    wq = Window.orderBy(avg, F.col("doc_id"))
+    return per.select(
+        "doc_id",
+        "n_tokens",
+        "sum_surprisal",
+        avg.alias("avg_surprisal"),
+        F.ntile(10).over(wq).alias("decile"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Overlap-coefficient containment pairs — short-inside-long duplication
+# ---------------------------------------------------------------------------
+
+CONT_DF_CAP = 20  # shingles in more docs than this don't discriminate
+CONT_NUM, CONT_DEN = 4, 5  # overlap threshold 4/5 as an exact rational
+
+
+@query(
+    "text_containment_pairs",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest([md5(array_to_string(toks[i:i + 2], ' '))
+                       FOR i IN range(1, len(toks) - 1)]) AS sk
+        FROM t
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    keep AS (SELECT sk FROM sh GROUP BY sk HAVING COUNT(*) <= {CONT_DF_CAP}),
+    shc AS (SELECT s.doc_id, s.sk FROM sh s JOIN keep USING (sk)),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+        FROM shc a JOIN shc b ON a.sk = b.sk AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(shared AS BIGINT) AS n_shared,
+           CAST(sa.n_sh AS BIGINT) AS n_a,
+           CAST(sb.n_sh AS BIGINT) AS n_b,
+           CAST(shared AS DOUBLE) / least(sa.n_sh, sb.n_sh) AS overlap_coef
+    FROM pairs
+    JOIN sz sa ON sa.doc_id = doc_a
+    JOIN sz sb ON sb.doc_id = doc_b
+    WHERE shared * {CONT_DEN} >= {CONT_NUM} * least(sa.n_sh, sb.n_sh)
+    """,
+)
+def text_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlap-coefficient near-duplication: |A∩B| / min(|A|,|B|) over
+    distinct token-3-gram shingle sets. Jaccard misses a short document
+    quoted whole inside a long one (the union dominates); the overlap
+    coefficient is the standard containment detector for that case.
+
+    The threshold compare is the exact integer cross-multiplication
+    ``shared·5 ≥ 4·min(|A|,|B|)`` — no float boundary for the hash
+    compare to trip on. Scale plan mirrors the Jaccard pair query:
+    inverted-index join on shingle hash, document-frequency cap {CAP}
+    pruning non-discriminative shingles first (candidates ∝ shared
+    content, never corpus²), sizes joined from a per-doc aggregate."""
+    docs = with_tokens(load_table(spark, sf_dir, "documents")).filter(
+        F.size("toks") >= 3
+    )
+    sh = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 2),"
+                    " i -> md5(concat_ws(' ', slice(toks, i, 3))))"
+                )
+            ).alias("sk"),
+        )
+        .distinct()
+    )
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    keep = sh.groupBy("sk").agg(F.count("*").alias("d")).filter(
+        F.col("d") <= CONT_DF_CAP
+    )
+    shc = sh.join(keep.select("sk"), "sk")
+    a = shc.select(F.col("doc_id").alias("doc_a"), "sk")
+    b = shc.select(F.col("doc_id").alias("doc_b"), "sk")
+    pairs = (
+        a.join(b, ["sk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    mn = F.least(F.col("n_a"), F.col("n_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("shared") * CONT_DEN >= CONT_NUM * mn)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("shared").cast("long").alias("n_shared"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            (F.col("shared").cast("double") / mn).alias("overlap_coef"),
+        )
+    )
