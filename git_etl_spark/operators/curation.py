@@ -729,3 +729,58 @@ def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         banded.withColumn("train_pos", F.row_number().over(w).cast("long"))
         .filter(F.col("train_pos") <= CURRICULUM_HEAD)
     )
+
+
+MIXTURE_EPOCH_BUDGET = 10_000  # sampled docs per training epoch
+
+
+@query(
+    "pipeline_mixture_temperature",
+    oracle=f"""
+    WITH c AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(floor(sqrt(COUNT(*))) AS BIGINT) AS w
+        FROM documents GROUP BY source
+    ),
+    t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM c)
+    SELECT c.source, c.n_docs, c.w AS weight,
+           c.w * 1000000 // t.tw AS share_ppm,
+           c.w * {MIXTURE_EPOCH_BUDGET} // t.tw AS epoch_docs,
+           CASE WHEN c.w * {MIXTURE_EPOCH_BUDGET} // t.tw > c.n_docs
+                THEN c.w * {MIXTURE_EPOCH_BUDGET} // t.tw - c.n_docs
+                ELSE 0 END AS oversample_docs
+    FROM c, t
+    """,
+)
+def pipeline_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled data-mixture weights (the multilingual /
+    multi-source sampling rule from mBERT/XLM-R pretraining): source
+    weight ∝ count^α with α = 1/2, flattening the source distribution
+    so head sources don't drown tail ones. √count is floored to an
+    integer up front — IEEE sqrt is correctly rounded in both engines,
+    and every derived number after that (share, per-epoch quota, the
+    oversampling overhang where quota exceeds corpus size) is pure
+    BIGINT arithmetic, so the whole mixture plan is hash-stable.
+
+    Scale: one groupBy(source) scan; the |sources|-row weight table
+    joins back as a broadcast literal (a 1-row total via cross join) —
+    driver and shuffle traffic are O(|sources|), never corpus-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(F.count("*").cast("long").alias("n_docs"))
+    c = c.withColumn("weight", F.floor(F.sqrt(F.col("n_docs"))).cast("long"))
+    total = c.agg(F.sum("weight").cast("long").alias("tw"))
+    quota = F.expr(f"weight * {MIXTURE_EPOCH_BUDGET} div tw")
+    return (
+        c.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            "weight",
+            F.expr("weight * 1000000 div tw").alias("share_ppm"),
+            quota.alias("epoch_docs"),
+            F.when(quota > F.col("n_docs"), quota - F.col("n_docs"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("oversample_docs"),
+        )
+    )

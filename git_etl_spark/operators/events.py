@@ -1381,3 +1381,82 @@ def events_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("share_ppm"),
         (F.col("n") == F.max("n").over(w_all)).alias("is_peak_day"),
     )
+
+
+@query(
+    "events_conversion_latency",
+    oracle="""
+    WITH su AS (
+        SELECT user_id, MIN(ts) AS signup_ts FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    conv AS (
+        SELECT su.user_id, su.signup_ts,
+               MIN(CAST(FLOOR(epoch(e.ts)) AS BIGINT)
+                   - CAST(FLOOR(epoch(su.signup_ts)) AS BIGINT)) AS latency_s
+        FROM su JOIN events e
+          ON e.user_id = su.user_id
+         AND e.event_type = 'purchase' AND e.ts >= su.signup_ts
+        GROUP BY su.user_id, su.signup_ts
+    )
+    SELECT date_trunc('week', su.signup_ts) AS cohort_week,
+           CAST(COUNT(*) AS BIGINT) AS n_signups,
+           CAST(COUNT(conv.latency_s) AS BIGINT) AS n_converted,
+           CAST(COUNT(conv.latency_s) * 1000000 // COUNT(*) AS BIGINT)
+               AS conversion_ppm,
+           CAST(MIN(conv.latency_s) AS BIGINT) AS min_latency_s,
+           CAST(median(conv.latency_s) * 2 AS BIGINT) AS median_latency_2s,
+           CAST(MAX(conv.latency_s) AS BIGINT) AS max_latency_s
+    FROM su LEFT JOIN conv ON conv.user_id = su.user_id
+    GROUP BY date_trunc('week', su.signup_ts)
+    """,
+)
+def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→first-purchase conversion latency per weekly signup
+    cohort: the growth-analytics companion to events_cohort_retention
+    that answers *how fast* users convert, not just whether. Latencies
+    are whole seconds (exact BIGINTs); the median rides doubled (the
+    quality_outliers_mad device) so even-count interpolation stays
+    integer-exact; the conversion rate is exact ppm.
+
+    Plan: signup firsts are one groupBy(user_id); first qualifying
+    purchase is a keyed join of the purchase slice to that aggregate
+    followed by a second user-keyed min — both shuffles on user_id, so
+    AQE coalesces them onto one exchange. The cohort rollup then
+    aggregates |users| rows, never raw events. No window over the
+    event stream, no per-user state beyond the aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(
+            (F.min(epoch_sec("ts") - epoch_sec("signup_ts"))).alias("latency_s")
+        )
+    )
+    return (
+        su.join(conv, "user_id", "left")
+        # to_date: DuckDB's date_trunc('week') yields DATE, Spark's a
+        # timestamp — align the grain so the value-hash agrees
+        .groupBy(
+            F.to_date(F.date_trunc("week", "signup_ts")).alias("cohort_week")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_signups"),
+            F.count("latency_s").cast("long").alias("n_converted"),
+            F.expr("count(latency_s) * 1000000 div count(*)")
+            .cast("long")
+            .alias("conversion_ppm"),
+            F.min("latency_s").cast("long").alias("min_latency_s"),
+            (F.expr("percentile(latency_s, 0.5)") * 2)
+            .cast("long")
+            .alias("median_latency_2s"),
+            F.max("latency_s").cast("long").alias("max_latency_s"),
+        )
+    )

@@ -647,3 +647,86 @@ def quality_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(obs_ppm - F.col("expected_ppm")).alias("abs_dev_ppm"),
         )
     )
+
+
+@query(
+    "quality_cohen_kappa",
+    oracle="""
+    WITH labeled AS (
+        SELECT CASE WHEN len(list_filter(string_split(text, ' '),
+                                         t -> t IN ('the', 'a', 'of', 'and',
+                                                    'to', 'in', 'is', 'on')))
+                         * 1.0 / len(string_split(text, ' ')) >= 0.08
+                    THEN 1 ELSE 0 END AS guess_en,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en
+        FROM documents
+    ),
+    cm AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(guess_en * is_en) AS BIGINT) AS tp,
+               CAST(SUM(guess_en * (1 - is_en)) AS BIGINT) AS fp,
+               CAST(SUM((1 - guess_en) * is_en) AS BIGINT) AS fn,
+               CAST(SUM((1 - guess_en) * (1 - is_en)) AS BIGINT) AS tn
+        FROM labeled
+    )
+    SELECT n, tp, fp, fn, tn,
+           CAST(CAST(n AS DECIMAL(19,0)) * (tp + tn)
+                - (CAST(tp + fp AS DECIMAL(19,0)) * (tp + fn)
+                   + CAST(tn + fn AS DECIMAL(19,0)) * (tn + fp)) AS DOUBLE)
+               / CAST(CAST(n AS DECIMAL(19,0)) * n
+                      - (CAST(tp + fp AS DECIMAL(19,0)) * (tp + fn)
+                         + CAST(tn + fn AS DECIMAL(19,0)) * (tn + fp)) AS DOUBLE)
+               AS kappa
+    FROM cm
+    """,
+)
+def quality_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the stopword-ratio language-ID heuristic
+    (text_langid_heuristic's rule) and the corpus's ``lang`` label,
+    binarized to en / not-en — the chance-corrected agreement metric a
+    labeling pipeline reports when validating a cheap model against
+    ground truth. The 2×2 confusion matrix is four conditional counts
+    in ONE partial-aggregated scan; po/pe/kappa derive from those exact
+    BIGINTs, with only the final division in double (identical IEEE
+    bits both engines). Scale: a scan plus a 4-cell aggregate —
+    nothing grows with the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    stop_ratio = (
+        F.size(
+            F.filter(
+                toks,
+                lambda t: t.isin("the", "a", "of", "and", "to", "in", "is", "on"),
+            )
+        ).cast("double")
+        / F.size(toks)
+    )
+    labeled = docs.select(
+        F.when(stop_ratio >= 0.08, 1).otherwise(0).alias("guess_en"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("is_en"),
+    )
+    g, e = F.col("guess_en"), F.col("is_en")
+    cm = labeled.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(g * e).cast("long").alias("tp"),
+        F.sum(g * (1 - e)).cast("long").alias("fp"),
+        F.sum((1 - g) * e).cast("long").alias("fn"),
+        F.sum((1 - g) * (1 - e)).cast("long").alias("tn"),
+    )
+    n = F.col("n")
+    tp, fp, fn, tn = F.col("tp"), F.col("fp"), F.col("fn"), F.col("tn")
+    # products in DECIMAL(38,0): n·(counts) passes 2^63 once cohorts
+    # cross ~3e9 rows — the scale this claims to run at
+    dec = "decimal(19,0)"
+    pe_num = (tp + fp).cast(dec) * (tp + fn) + (tn + fn).cast(dec) * (tn + fp)
+    return cm.select(
+        "n",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        (
+            (n.cast(dec) * (tp + tn) - pe_num).cast("double")
+            / (n.cast(dec) * n - pe_num).cast("double")
+        ).alias("kappa"),
+    )

