@@ -58,6 +58,91 @@ def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
     return total
 
 
+# ---------------------------------------------------------------------------
+# Order-independent exact mean machinery (scaled-integer sums)
+# ---------------------------------------------------------------------------
+#
+# A plain double SUM is partial-merge-order dependent, and the sorted-fold
+# alternative (array_sort(collect_list(...)) then a sequential fold) carries
+# per-group state ∝ group size — an executor OOM once groups are corpus-sized
+# (per-label centroids, Lloyd cell means, the PCA mean vector at 100 TB).
+#
+# This trio instead truncates each double to exact 1e-14-unit integers,
+# sums them as DECIMAL(38,0) (order-independent, partial-aggregates map-side,
+# no overflow below ~10^24 terms), and reconstructs a double through a
+# sign/hi/lo split in which every floating-point operation is correctly
+# rounded from exactly representable operands — so Spark, DuckDB, and the
+# driver-side Python mirror produce bit-identical doubles regardless of
+# partitioning. The ≤1e-14 per-term truncation is the documented accuracy
+# contract (callers quantize at ≥1e-9, 5+ orders of margin).
+#
+# Precondition: |value| ≲ 9e4 so value·1e14 fits in int64 per term.
+
+_DEC14_SPLIT = 1_000_000_000_000  # hi/lo split at 1e12: both halves < 2^53
+
+
+def sum14(col: Column) -> Column:
+    """Order-independent exact Σ trunc(col·1e14) as DECIMAL(38,0)."""
+    return F.sum(
+        (col.cast("double") * F.lit(1e14)).cast("long").cast("decimal(38,0)")
+    )
+
+
+def dec14_to_double(s: Column) -> Column:
+    """DECIMAL(38,0) 1e-14-unit sum → double (original units), via the
+    cross-engine-exact sign/hi/lo reconstruction described above."""
+    sgn = F.when(s < F.lit(0), F.lit(-1.0)).otherwise(F.lit(1.0))
+    a = F.abs(s)
+    lo = a % F.lit(_DEC14_SPLIT)
+    hi = (a - lo) / F.lit(_DEC14_SPLIT)  # exact integral decimal
+    return (
+        sgn
+        * (
+            hi.cast("long").cast("double") * F.lit(1e12)
+            + lo.cast("long").cast("double")
+        )
+        / F.lit(1e14)
+    )
+
+
+def mean14(col: Column) -> Column:
+    """Exact-reconstruction mean: dec14_to_double(sum14(col)) / COUNT(*).
+    Aggregate expression; bit-identical to duck_mean14 / py_dec14."""
+    return dec14_to_double(sum14(col)) / F.count("*")
+
+
+def duck_sum14(expr: str) -> str:
+    """DuckDB twin of sum14 (HUGEINT — exact, no overflow)."""
+    return f"SUM(CAST(trunc(({expr}) * 1e14) AS BIGINT))"
+
+
+def duck_dec14_to_double(s: str) -> str:
+    """DuckDB twin of dec14_to_double (``//``/``%`` on nonnegative
+    operands, so floor ≡ trunc and both engines agree bit-for-bit)."""
+    return (
+        f"(CASE WHEN ({s}) < 0 THEN -1.0 ELSE 1.0 END"
+        f" * (CAST(abs({s}) // {_DEC14_SPLIT} AS DOUBLE) * 1e12"
+        f" + CAST(abs({s}) % {_DEC14_SPLIT} AS DOUBLE)) / 1e14)"
+    )
+
+
+def duck_mean14(expr: str) -> str:
+    """DuckDB twin of mean14."""
+    return f"({duck_dec14_to_double(duck_sum14(expr))} / COUNT(*))"
+
+
+def py_dec14(s) -> float:
+    """Driver-side mirror of dec14_to_double for collected DECIMAL sums."""
+    s = int(s)
+    sgn = -1.0 if s < 0 else 1.0
+    a = abs(s)
+    return (
+        sgn
+        * (float(a // _DEC14_SPLIT) * 1e12 + float(a % _DEC14_SPLIT))
+        / 1e14
+    )
+
+
 # DuckDB twin expressions (oracle side), parameterized by column names
 def duck_dot(a: str, b: str) -> str:
     return (

@@ -18,7 +18,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine, duck_cosine, duck_dot
+from ..functions.vector import (
+    cosine,
+    duck_cosine,
+    duck_dec14_to_double,
+    duck_dot,
+    duck_mean14,
+    duck_sum14,
+    mean14,
+    py_dec14,
+    sum14,
+)
 from ..io import dataset_fingerprint, load_table
 from ..registry import query
 from ..session import iter_checkpoint, loop_shuffle_partitions
@@ -138,14 +148,14 @@ def simsearch_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "vector_centroid_per_label",
-    oracle="""
+    oracle=f"""
     WITH elems AS (
         SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
                CAST(unnest(embedding) AS DOUBLE) AS val
         FROM embeddings
     )
     SELECT label, pos,
-           list_aggregate(list_sort(list(val)), 'sum') / COUNT(*) AS centroid_val,
+           {duck_mean14('val')} AS centroid_val,
            COUNT(*) AS n_vecs
     FROM elems GROUP BY label, pos
     """,
@@ -155,21 +165,21 @@ def vector_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean component) — the distributed shape of a k-means update step /
     class-prototype computation, one shuffle keyed on (label, pos).
 
-    Determinism: the per-group mean sums *sorted* doubles sequentially
-    (collect → sort → fold). A plain double SUM is partial-merge-order
-    dependent, and a decimal detour rounds doubles HALF_UP in Spark vs
-    HALF_EVEN in DuckDB (observed 1-ulp-of-scale mismatches) — sorting
-    makes the fold order itself canonical instead."""
+    Determinism at scale: the mean is the order-independent 1e-14-unit
+    scaled-DECIMAL sum (functions/vector.py sum14/mean14), which
+    partial-aggregates map-side with O(1) per-group state and
+    reconstructs a bit-identical double in both engines. A plain double
+    SUM is partial-merge-order dependent; the earlier sorted-fold
+    (array_sort ∘ collect_list) was order-canonical but carried
+    per-group state ∝ corpus — an executor OOM at 100 TB. The ≤1e-14
+    per-element truncation is the documented accuracy contract."""
     emb = load_table(spark, sf_dir, "embeddings")
     elems = emb.select(
         "label",
         F.posexplode("embedding").alias("pos", "raw"),
     ).select("label", "pos", F.col("raw").cast("double").alias("val"))
-    seq_sum = F.aggregate(
-        F.array_sort(F.collect_list("val")), F.lit(0.0), lambda acc, v: acc + v
-    )
     return elems.groupBy("label", "pos").agg(
-        (seq_sum / F.count("*")).alias("centroid_val"),
+        mean14(F.col("val")).alias("centroid_val"),
         F.count("*").alias("n_vecs"),
     )
 
@@ -299,13 +309,11 @@ def _ivf_train(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
                 .select("vec_id", "cell", "v")
             )
             elems = assigned.select("cell", F.posexplode("v").alias("pos", "val"))
-            seq_sum = F.aggregate(
-                F.array_sort(F.collect_list("val")),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
+            # order-independent scaled-integer mean (functions/vector.py):
+            # O(1) per-group state, deterministic under any partitioning —
+            # cells are corpus-sized groups, so no collect_list here
             means = elems.groupBy("cell", "pos").agg(
-                (seq_sum / F.count("*")).alias("m")
+                mean14(F.col("val")).alias("m")
             )
             centroids = iter_checkpoint(
                 means.groupBy("cell")
@@ -477,13 +485,10 @@ def pq_codebooks_and_codes(
         elems = assigned.select(
             "m", "code", F.posexplode("sv").alias("sub_pos", "val")
         )
-        seq_sum = F.aggregate(
-            F.array_sort(F.collect_list("val")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+        # scaled-integer mean: O(1) per-group state over corpus-sized
+        # (m, code, sub_pos) groups (see functions/vector.py mean14)
         means = elems.groupBy("m", "code", "sub_pos").agg(
-            (seq_sum / F.count("*")).alias("mv")
+            mean14(F.col("val")).alias("mv")
         )
         codebooks = iter_checkpoint(
             means.groupBy("m", "code").agg(
@@ -659,8 +664,8 @@ def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     Split of labor that scales: the *data-sized* work is one pass
     building the 64×64 second-moment matrix (posexplode² → the upper
     symmetric half of the cell grid, each cell an order-independent
-    scaled-integer sum, so cells partial-aggregate map-side with no
-    sorted-fold collect) plus the sorted-fold mean vector. The *eigensolve*
+    scaled-DECIMAL sum, so cells partial-aggregate map-side with O(1)
+    state) plus the same-machinery mean vector. The *eigensolve*
     then runs on 4096 driver-side numbers (fixed 500-round power
     iteration, deterministic float ops) — O(d²) metadata, the
     documented legitimate driver step, same category as broadcasting
@@ -686,29 +691,30 @@ def _pca_power_solve(
 ) -> tuple[int, int, list, list, float, float]:
     """Shared PCA kernel: distributed moment pass + driver-side
     fixed-round power iteration. Every float operation is written to be
-    reproducible verbatim in DuckDB (sequential left folds, math.sqrt,
-    identical association order), which is what lets
-    ``embedding_pca_loading_ppm`` hash-oracle the whole solve
-    cross-engine. Returns (d, n, mu, v, lam, trace)."""
+    reproducible verbatim in DuckDB (scaled-DECIMAL exact sums with the
+    sign/hi/lo double reconstruction, math.sqrt, identical association
+    order), which is what lets ``embedding_pca_loading_ppm``
+    hash-oracle the whole solve cross-engine. Both the mean pass and
+    the moment cells carry O(1) per-group aggregation state (no
+    collect_list over corpus-sized groups) and the DECIMAL(38,0) sums
+    hold exactly to ~10²⁴ terms — executor-memory- and overflow-safe at
+    100 TB. Returns (d, n, mu, v, lam, trace)."""
     import math
 
     emb = load_table(spark, sf_dir, "embeddings")
     elems = emb.select(
         "vec_id", F.posexplode("embedding").alias("pos", "raw")
     ).select("vec_id", "pos", F.col("raw").cast("double").alias("val"))
-    seq_sum = F.aggregate(
-        F.array_sort(F.collect_list("val")), F.lit(0.0), lambda acc, v: acc + v
-    )
     means_rows = (
         elems.groupBy("pos")
-        .agg((seq_sum / F.count("*")).alias("mu"), F.count("*").alias("n"))
+        .agg(sum14(F.col("val")).alias("s14"), F.count("*").alias("n"))
         .collect()
     )
     d = len(means_rows)
     n = means_rows[0]["n"]
     mu = [0.0] * d
     for r in means_rows:
-        mu[r["pos"]] = r["mu"]
+        mu[r["pos"]] = py_dec14(r["s14"]) / float(r["n"])
     # second-moment matrix S[i][j] = Σ x_i·x_j (sorted fold per cell);
     # covariance C = S/n − μμᵀ is formed driver-side from d² numbers
     pairs = (
@@ -722,19 +728,21 @@ def _pca_power_solve(
         )
     )
     # scaled-integer accumulation: each double product is truncated to
-    # 1e-14 units and summed as BIGINT — order-independent (so the
-    # cells partial-aggregate map-side; the shuffle carries d² cells,
-    # not n·d² terms) and exact in 64-bit (|Σ| ≤ n·10¹⁴ ≪ 2⁶³). The
-    # ≤0.5e-14 per-cell truncation is 8 orders below the 1e-6-relative
-    # eigen checks.
+    # 1e-14 units and summed as DECIMAL(38,0) — order-independent (so
+    # the cells partial-aggregate map-side; the shuffle carries d²
+    # cells, not n·d² terms) and exact to ~10²⁴ terms (a BIGINT cell
+    # would overflow int64 past n ≈ 9·10⁴ terms — not 100 TB-safe).
+    # The ≤1e-14 per-term truncation is 8 orders below the
+    # 1e-6-relative eigen checks; py_dec14 reconstructs the identical
+    # double both engines compute.
     cells = (
         pairs.groupBy("i", "j")
-        .agg(F.sum((F.col("xx") * 1e14).cast("long")).alias("s14"))
+        .agg(sum14(F.col("xx")).alias("s14"))
         .collect()
     )
     S = [[0.0] * d for _ in range(d)]
     for r in cells:
-        S[r["i"]][r["j"]] = r["s14"] / 1e14
+        S[r["i"]][r["j"]] = py_dec14(r["s14"])
         S[r["j"]][r["i"]] = S[r["i"]][r["j"]]
     C = [[S[i][j] / n - mu[i] * mu[j] for j in range(d)] for i in range(d)]
     # fixed-round power iteration (deterministic float ops, no RNG)
@@ -749,26 +757,27 @@ def _pca_power_solve(
     return d, n, mu, v, lam, trace
 
 
-# DuckDB twin of the ENTIRE PCA solve — the moment pass (exact BIGINT
-# cells, proven sorted-fold means) AND the 500-round power iteration,
-# run as a recursive CTE over a list-typed state vector with the same
-# sequential fold arithmetic as the Python loop. MATERIALIZED is
-# load-bearing: without it DuckDB re-evaluates the moment-matrix chain
-# on every one of the 500 recursive steps (measured 63 s → 0.9 s).
-_PCA_PPM_ORACLE = """
+# DuckDB twin of the ENTIRE PCA solve — the moment pass (exact
+# scaled-DECIMAL cells and means, sign/hi/lo double reconstruction)
+# AND the 500-round power iteration, run as a recursive CTE over a
+# list-typed state vector with the same sequential fold arithmetic as
+# the Python loop. MATERIALIZED is load-bearing: without it DuckDB
+# re-evaluates the moment-matrix chain on every one of the 500
+# recursive steps (measured 63 s → 0.9 s).
+_PCA_PPM_ORACLE = f"""
 WITH RECURSIVE elems AS MATERIALIZED (
     SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
            CAST(unnest(embedding) AS DOUBLE) AS val
     FROM embeddings
 ),
 mu AS MATERIALIZED (
-    SELECT pos, list_aggregate(list_sort(list(val)), 'sum') / COUNT(*) AS mu,
+    SELECT pos, {duck_mean14('val')} AS mu,
            COUNT(*) AS n
     FROM elems GROUP BY pos
 ),
 cells AS MATERIALIZED (
     SELECT a.pos AS i, b.pos AS j,
-           SUM(CAST(trunc(a.val * b.val * 1e14) AS BIGINT)) AS s14
+           {duck_sum14('a.val * b.val')} AS s14
     FROM elems a JOIN elems b USING (vec_id)
     WHERE b.pos >= a.pos
     GROUP BY a.pos, b.pos
@@ -777,7 +786,7 @@ mat AS MATERIALIZED (
     SELECT list(row ORDER BY i) AS m FROM (
         SELECT i, list(c ORDER BY j) AS row FROM (
             SELECT i, j,
-                   s14 / 1e14 / (SELECT ANY_VALUE(n) FROM mu)
+                   {duck_dec14_to_double('s14')} / (SELECT ANY_VALUE(n) FROM mu)
                      - (SELECT mu FROM mu WHERE pos = i)
                      * (SELECT mu FROM mu WHERE pos = j) AS c
             FROM (SELECT i, j, s14 FROM cells

@@ -32,7 +32,7 @@ def test_entry_smoke(spark):
 
     df = e.entry(spark)
     rows = df.collect()
-    assert len(rows) >= 0 and len(df.columns) > 0
+    assert len(rows) > 0 and len(df.columns) > 0
 
 
 def test_every_query_has_callable(spark):
