@@ -38,8 +38,9 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry.QUERIES[FLAGSHIP](spark, SMOKE_SF_DIR)
 
 
-def _driver_verified() -> dict[str, int]:
-    """Map query name → latest round with a green CORRECTNESS_r*.json row.
+def _driver_verified() -> tuple[dict[str, int], dict[str, int]]:
+    """(latest green round, latest HASH-green round) per query from the
+    accumulated CORRECTNESS_r*.json files.
 
     The external harness walks ``queries()`` in dict order under a
     per-round budget (~50 queries/round observed in rounds 1-2), so the
@@ -50,13 +51,16 @@ def _driver_verified() -> dict[str, int]:
     recorded — and periodically refreshed — verification even though no
     single round can cover all of them. A query counts as verified only
     if its row/schema/hash checks all passed (or it's a declared
-    rows-only query that returned rows).
+    rows-only query that returned rows); the hash-green map lets
+    queries() spot oracles added *after* a rows-only-era green, which
+    the driver has therefore never actually hash-checked.
     """
     import glob
     import json
     import re
 
     latest_green: dict[str, int] = {}
+    latest_hash: dict[str, int] = {}
     here = Path(__file__).resolve().parent
     for path in glob.glob(str(here / "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
@@ -68,12 +72,71 @@ def _driver_verified() -> dict[str, int]:
         for name, rec in rows.items():
             if not isinstance(rec, dict):
                 continue
-            green = rec.get("hash_match") is True or (
-                rec.get("err") == "no_oracle" and rec.get("spark_rows")
-            )
-            if green:
+            if rec.get("hash_match") is True:
                 latest_green[name] = max(latest_green.get(name, 0), rnd)
-    return latest_green
+                latest_hash[name] = max(latest_hash.get(name, 0), rnd)
+            elif rec.get("err") == "no_oracle" and rec.get("spark_rows"):
+                latest_green[name] = max(latest_green.get(name, 0), rnd)
+    return latest_green, latest_hash
+
+
+def _changed_since_green(verified: dict[str, int]) -> dict[str, bool]:
+    """True for queries whose defining source file has commits newer
+    than the round in which the query last went green — a refactored
+    module's queries jump the re-verification queue so regressions in
+    recently-touched code surface next round, not worst-case four
+    rounds later. Uses git ancestry: the file's last-touch commit must
+    be an ancestor of the commit that added that round's
+    CORRECTNESS_r*.json, else the file changed after the green."""
+    import subprocess
+
+    here = Path(__file__).resolve().parent
+
+    def git(*args: str) -> str | None:
+        try:
+            p = subprocess.run(
+                ["git", *args], cwd=here, capture_output=True, text=True, timeout=30
+            )
+        except (OSError, subprocess.TimeoutExpired):
+            return None
+        return p.stdout.strip() if p.returncode == 0 else None
+
+    round_commit: dict[int, str | None] = {}
+    for rnd in set(verified.values()):
+        round_commit[rnd] = git(
+            "log", "--diff-filter=A", "--format=%H", "-n", "1",
+            "--", f"CORRECTNESS_r{rnd:02d}.json",
+        ) or None
+
+    file_commit: dict[str, str | None] = {}
+    ancestry: dict[tuple[str, str], bool] = {}
+    changed: dict[str, bool] = {}
+    for name, rnd in verified.items():
+        fn = registry.QUERIES.get(name)
+        mod = getattr(fn, "__module__", None)
+        mod_file = sys.modules[mod].__file__ if mod in sys.modules else None
+        green_commit = round_commit.get(rnd)
+        if not mod_file or not green_commit:
+            changed[name] = False
+            continue
+        if mod_file not in file_commit:
+            file_commit[mod_file] = git("log", "--format=%H", "-n", "1", "--", mod_file)
+        fc = file_commit[mod_file]
+        if not fc:
+            changed[name] = False
+            continue
+        key = (fc, green_commit)
+        if key not in ancestry:
+            try:
+                p = subprocess.run(
+                    ["git", "merge-base", "--is-ancestor", fc, green_commit],
+                    cwd=here, capture_output=True, timeout=30,
+                )
+                ancestry[key] = p.returncode != 0  # not ancestor → changed after
+            except (OSError, subprocess.TimeoutExpired):
+                ancestry[key] = False
+        changed[name] = ancestry[key]
+    return changed
 
 
 def _cost_hint() -> dict[str, float]:
@@ -92,19 +155,31 @@ def _cost_hint() -> dict[str, float]:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Ordering (see _driver_verified): queries with no driver-side green
-    CORRECTNESS row yet come first (cheapest first, maximizing how many
-    fit a time-based budget); already-green queries follow ordered by
-    how stale their green is (oldest round first), so the driver's
-    ~50-query budget continuously re-verifies the least-recently-checked
-    part of the registry.
+    Ordering (see _driver_verified): queries whose current oracle has
+    never produced a driver-side hash green come first — both brand-new
+    queries and ones whose oracle was added after a rows-only-era green
+    (cheapest first, maximizing how many fit a time-based budget); then
+    greens whose defining source file changed since their green round
+    (_changed_since_green — refactors get re-checked first), stalest
+    first; then the remaining greens by staleness, so the driver's
+    ~50-query budget continuously re-verifies the most-at-risk part of
+    the registry.
     """
-    verified = _driver_verified()
+    latest_green, latest_hash = _driver_verified()
+    verified = {
+        n: (latest_hash[n] if n in registry.ORACLES else rnd)
+        for n, rnd in latest_green.items()
+        # an oracled query only counts as verified once the driver has
+        # hash-checked THIS oracle era, not just counted rows
+        if n not in registry.ORACLES or n in latest_hash
+    }
     cost = _cost_hint()
+    changed = _changed_since_green(verified)
     names = sorted(
         registry.QUERIES,
         key=lambda n: (
             n in verified,
+            not changed.get(n, False),
             verified.get(n, 0),
             cost.get(n, 0.0),
             n,

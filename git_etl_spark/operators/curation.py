@@ -704,11 +704,14 @@ def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     text_quality_score applies, so the curriculum consumes an existing
     audited signal rather than inventing a parallel notion of quality.
 
-    The global ROW_NUMBER is a range-partitioned sort on (band, md5) —
-    Spark's distributed TakeOrdered handles the LIMIT-ed prefix without
-    a single-partition window; at 100 TB you'd publish the full order
-    by writing the sorted table out with zipWithIndex-style partition
-    offsets instead of numbering a prefix."""
+    The global ROW_NUMBER over a partitionless window funnels the
+    ordered rows through one task for the final numbering (Spark 3.5+'s
+    InferWindowGroupLimit prunes rows past the LIMIT before that
+    exchange, but the numbering itself is single-partition) — bounded
+    here because only the LIMIT-ed prefix reaches it. At 100 TB you'd
+    publish the full order by writing the range-sorted table out with
+    zipWithIndex-style partition offsets instead of numbering a
+    prefix."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     stop_ratio = (

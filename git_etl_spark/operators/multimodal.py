@@ -158,18 +158,34 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_binaryfile_listing")  # rows-only: file metadata has no oracle view
+@query(
+    "multimodal_binaryfile_listing",
+    oracle="""
+    SELECT string_split(filename, '/')[-1] AS file_name,
+           CAST(size AS BIGINT) AS n_bytes,
+           md5(hex(content)) AS content_md5
+    FROM read_blob('/root/testdata/sf0.01/*.parquet')
+    """,
+)
 def multimodal_binaryfile_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5 ``binaryFile`` source: ingest opaque files (the sf dir's own
     parquet files as stand-ins for media blobs) as (path, length,
     content) rows — the entry point for a media corpus at 100 TB,
     where each row is one object-store blob. Returns deterministic
-    metadata (basename, byte length, md5 of content)."""
+    metadata (basename, byte length, content fingerprint).
+
+    Oracled since round 6 against DuckDB's independent filesystem view
+    (``read_blob``): every content byte participates via
+    md5(hex(content)) — DuckDB 1.0 has no BLOB md5, but hex() of a
+    blob is identical uppercase in both engines, so hashing the hex
+    string is an equivalent full-content witness. The oracle path is
+    literal because the harness registers table views, not the
+    directory; it runs at sf0.01 by contract."""
     files = spark.read.format("binaryFile").load(f"{sf_dir}/*.parquet")
     return files.select(
         F.element_at(F.split("path", "/"), -1).alias("file_name"),
         F.col("length").alias("n_bytes"),
-        F.md5("content").alias("content_md5"),
+        F.md5(F.hex("content")).alias("content_md5"),
     ).orderBy("file_name")
 
 

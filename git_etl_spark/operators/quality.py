@@ -670,12 +670,14 @@ def quality_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM labeled
     )
     SELECT n, tp, fp, fn, tn,
-           CAST(CAST(n AS DECIMAL(19,0)) * (tp + tn)
-                - (CAST(tp + fp AS DECIMAL(19,0)) * (tp + fn)
-                   + CAST(tn + fn AS DECIMAL(19,0)) * (tn + fp)) AS DOUBLE)
-               / CAST(CAST(n AS DECIMAL(19,0)) * n
-                      - (CAST(tp + fp AS DECIMAL(19,0)) * (tp + fn)
-                         + CAST(tn + fn AS DECIMAL(19,0)) * (tn + fp)) AS DOUBLE)
+           CAST(CAST(n AS DECIMAL(19,0)) * CAST(tp + tn AS DECIMAL(19,0))
+                - (CAST(tp + fp AS DECIMAL(19,0)) * CAST(tp + fn AS DECIMAL(19,0))
+                   + CAST(tn + fn AS DECIMAL(19,0)) * CAST(tn + fp AS DECIMAL(19,0)))
+               AS DOUBLE)
+               / CAST(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))
+                      - (CAST(tp + fp AS DECIMAL(19,0)) * CAST(tp + fn AS DECIMAL(19,0))
+                         + CAST(tn + fn AS DECIMAL(19,0)) * CAST(tn + fp AS DECIMAL(19,0)))
+                  AS DOUBLE)
                AS kappa
     FROM cm
     """,
@@ -715,10 +717,15 @@ def quality_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = F.col("n")
     tp, fp, fn, tn = F.col("tp"), F.col("fp"), F.col("fn"), F.col("tn")
-    # products in DECIMAL(38,0): n·(counts) passes 2^63 once cohorts
-    # cross ~3e9 rows — the scale this claims to run at
+    # both factors cast to DECIMAL(19,0) so the products land in
+    # DECIMAL(38,0) in BOTH engines (DuckDB multiplies operand
+    # precisions within its 38 cap): n·n stays exact past the ~3.1e9
+    # rows where a 19-digit product would overflow — and Spark's
+    # non-ANSI overflow-to-NULL vs DuckDB's raise never diverges
     dec = "decimal(19,0)"
-    pe_num = (tp + fp).cast(dec) * (tp + fn) + (tn + fn).cast(dec) * (tn + fp)
+    pe_num = (tp + fp).cast(dec) * (tp + fn).cast(dec) + (tn + fn).cast(dec) * (
+        tn + fp
+    ).cast(dec)
     return cm.select(
         "n",
         "tp",
@@ -726,7 +733,7 @@ def quality_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fn",
         "tn",
         (
-            (n.cast(dec) * (tp + tn) - pe_num).cast("double")
-            / (n.cast(dec) * n - pe_num).cast("double")
+            (n.cast(dec) * (tp + tn).cast(dec) - pe_num).cast("double")
+            / (n.cast(dec) * n.cast(dec) - pe_num).cast("double")
         ).alias("kappa"),
     )

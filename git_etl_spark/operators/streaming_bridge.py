@@ -26,8 +26,12 @@ from ..streaming.events_stream import hourly_counts, sessionized
 # replay source parquet per (session, sf_dir): written once, reused by
 # every streaming replay query in the session, deleted at interpreter
 # exit (the memo outlives any one query, so per-query cleanup would
-# defeat it — but the temp dirs must not accumulate across sessions)
+# defeat it — but the temp dirs must not accumulate across sessions).
+# _SINK_DIRS holds the per-run materialized sink outputs (the replay
+# result lives in executor-written parquet, never on the driver) and
+# is cleaned up the same way.
 _SRC_MEMO: dict[tuple[str, str, str], str] = {}
+_SINK_DIRS: list[str] = []
 
 
 def _cleanup_replay_sources() -> None:
@@ -36,6 +40,9 @@ def _cleanup_replay_sources() -> None:
     for path in _SRC_MEMO.values():
         shutil.rmtree(path, ignore_errors=True)
     _SRC_MEMO.clear()
+    for path in _SINK_DIRS:
+        shutil.rmtree(path, ignore_errors=True)
+    _SINK_DIRS.clear()
 
 
 import atexit  # noqa: E402  (registration belongs right next to the memo)
@@ -93,11 +100,16 @@ def _replay(
         q.awaitTermination(300)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    # materialize the sink contents so the temp table/dir can be dropped
-    result = spark.table(name).select(*out_cols)
-    rows = result.collect()
+    # materialize the sink contents to executor-written parquet so the
+    # temp view can be dropped — the replay result never round-trips
+    # the driver (streaming_attribution_replay output grows with user
+    # count, so a collect() here would be a 100×-scale bottleneck even
+    # though the windowed replays are aggregate-sized)
+    sink_dir = os.path.join(tempfile.gettempdir(), f"ges-sink-{run_id}")
+    spark.table(name).select(*out_cols).write.parquet(sink_dir)
+    _SINK_DIRS.append(sink_dir)
     spark.catalog.dropTempView(name)
-    return spark.createDataFrame(rows, result.schema)
+    return spark.read.parquet(sink_dir).select(*out_cols)
 
 
 @query(

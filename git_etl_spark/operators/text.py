@@ -715,7 +715,7 @@ _POS_BITS = 1 << 20  # pos packed into the low 20 bits of the select key
     kg AS (
         SELECT doc_id, u.pos,
                CAST('0x' || substring(u.k, 1, 10) AS BIGINT) * {_POS_BITS}
-                   + ({_POS_BITS - 1} - u.pos) AS key
+                   + greatest(0, {_POS_BITS - 1} - u.pos) AS key
         FROM (
             SELECT doc_id,
                    unnest([{{'pos': i,
@@ -764,7 +764,15 @@ def text_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     and fingerprints occurring in more than {CAP} docs are dropped as
     boilerplate first (the MOSS practice), so candidate volume is
     bounded by output density — never corpus². The window aggregate
-    partitions by doc_id: no global sort anywhere."""
+    partitions by doc_id: no global sort anywhere.
+
+    The reversed position is clamped at 0 (``greatest``), so documents
+    beyond ~1M tokens degrade gracefully — positions past the 20-bit
+    cap all tie (selection may then pick a leftmost-of-tied k-gram,
+    still a valid window minimum) instead of going negative, which
+    would corrupt the packed hash field and let Spark's truncating DIV
+    diverge from DuckDB's floor ``//``. The clamp is identical in both
+    engines."""
     docs = with_tokens(load_table(spark, sf_dir, "documents")).filter(
         F.size("toks") >= WIN_K + WIN_W - 1
     )
@@ -781,7 +789,7 @@ def text_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos0") + 1).alias("pos"),
         (
             F.conv(F.substring("kh", 1, 10), 16, 10).cast("long") * _POS_BITS
-            + (F.lit(_POS_BITS - 1) - F.col("pos0") - 1)
+            + F.greatest(F.lit(0), F.lit(_POS_BITS - 1) - F.col("pos0") - F.lit(1))
         ).alias("key"),
     )
     wdoc = Window.partitionBy("doc_id")
