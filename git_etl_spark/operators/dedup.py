@@ -172,9 +172,18 @@ def _distinct_set_groups(sets: DataFrame) -> DataFrame:
     generation and verification — the k² work reappears only in the
     final constant-cost expansion join."""
     w = Window.partitionBy("set_key")
-    return sets.withColumn(
-        "set_key", F.md5(F.concat_ws(" ", "toks"))
-    ).withColumn("rep", F.min("doc_id").over(w))
+    keyed = sets.withColumn("set_key", F.md5(F.concat_ws(" ", "toks")))
+    # explicit fixed-width hash repartition on the window key: AQE's
+    # coalescer treats the corpus as "small" here and would fold the
+    # window's shuffle to ONE partition, serializing the window compute
+    # and every downstream consumer (measured 1.7 s single-task at
+    # sf0.1). A user repartition with explicit N is exempt from AQE
+    # coalescing and satisfies the window's required distribution, so
+    # no second exchange is inserted.
+    keyed = keyed.repartition(
+        keyed.sparkSession.sparkContext.defaultParallelism, "set_key"
+    )
+    return keyed.withColumn("rep", F.min("doc_id").over(w))
 
 
 def _jaccard_pairs_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1150,7 +1159,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     directly with jaccard 1.0 (what every band would have produced),
     and banding/verification only see the collapsed corpus."""
     coeffs = _minhash_coefficients()
-    grouped = _distinct_set_groups(_token_sets(spark, sf_dir))
+    # grouped feeds four consumers (the rep sets upstream of signatures
+    # and verification, plus both sides of the member expansion and the
+    # within-clique join) — materialize once instead of recomputing the
+    # tokenize + set_key-window chain per consumer. At 100 TB this is
+    # the standard disk-backed tokenized-corpus intermediate; the
+    # alternative is four full corpus re-scans.
+    grouped = _distinct_set_groups(_token_sets(spark, sf_dir)).localCheckpoint()
     members = grouped.select("set_key", "doc_id")
     sets = grouped.filter(F.col("doc_id") == F.col("rep")).select(
         F.col("set_key"), "toks"
@@ -1164,7 +1179,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows): 32-bit md5 token hashes as an array, then for each (a, b)
     # coefficient the min of (a·h+b) mod p over that array. Per-row
     # cost is identical; cluster cost drops from a 640M-row shuffle to
-    # an embarrassingly parallel map.
+    # an embarrassingly parallel map. (A third shape — explode tokens
+    # once and run 128 codegen'd MIN aggregate columns — executes ~2.4×
+    # faster per row but pays ~2.5 s of Catalyst/codegen time per call
+    # for the 128-buffer plan, a net loss at any interactive cadence
+    # and pure overhead the fold shape never incurs.)
     rows_per_band = MINHASH_HASHES // MINHASH_BANDS
     ab = F.array(
         *[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in coeffs]
@@ -1206,9 +1225,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         # self-join: materialize so the ×128 signature stage runs once
         .localCheckpoint()
     )
+    # Broadcast gating: the rep token sets are materialized
+    # (localCheckpoint), so their true size is known for one cheap
+    # count — broadcast the rep-sized artifacts (bands = 8·reps rows,
+    # the rep token sets, and the verified pair list) only while they
+    # fit, the same decision AQE's runtime SMJ→BHJ rewrite would make
+    # from shuffle statistics. Past the cap the joins degrade to the
+    # canonical LSH shuffles on (band, band_key) / set_key with
+    # identical results.
+    bcast_cap = 2_000_000  # rows; well under driver/executor budgets
+    sets_m = sets.localCheckpoint()  # token arrays reused by both verify sides
+    reps_n = sets_m.count()
+    bands_small = reps_n * MINHASH_BANDS <= bcast_cap
+    sets_small = reps_n <= bcast_cap
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
-        a.join(
+        (F.broadcast(a) if bands_small else a)
+        .join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.band_key") == F.col("b.band_key"))
@@ -1217,9 +1250,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.set_key").alias("key_a"), F.col("b.set_key").alias("key_b"))
         .dropDuplicates(["key_a", "key_b"])
     )
-    sets_m = sets.localCheckpoint()  # token arrays reused by both verify sides
     sa = sets_m.select(F.col("set_key").alias("key_a"), F.col("toks").alias("toks_a"))
     sb = sets_m.select(F.col("set_key").alias("key_b"), F.col("toks").alias("toks_b"))
+    if sets_small:
+        sa, sb = F.broadcast(sa), F.broadcast(sb)
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
     union = F.size("toks_a") + F.size("toks_b") - inter
     rep_pairs = (
@@ -1230,8 +1264,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("key_a", "key_b", "jaccard")
     )
     ma, mb = members.alias("ma"), members.alias("mb")
+    # rep_pairs is verified-near-dup-pair-sized (∝ output density, never
+    # corpus²) — broadcast it into the member-expansion joins so the
+    # corpus-sized members table streams map-side instead of shuffling.
+    # Gated on the candidate artifact sizes above: on a corpus where
+    # reps no longer fit, the expansion falls back to set_key shuffles.
     cross = (
-        rep_pairs.join(ma, F.col("ma.set_key") == F.col("key_a"))
+        (F.broadcast(rep_pairs) if sets_small else rep_pairs)
+        .join(ma, F.col("ma.set_key") == F.col("key_a"))
         .join(mb, F.col("mb.set_key") == F.col("key_b"))
         .select(
             F.least("ma.doc_id", "mb.doc_id").alias("doc_a"),
