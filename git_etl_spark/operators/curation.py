@@ -787,3 +787,86 @@ def pipeline_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("oversample_docs"),
         )
     )
+
+
+ERASE_MOD = 97  # deterministic stand-in for the deletion-request list
+
+
+@query(
+    "pipeline_gdpr_erasure_audit",
+    oracle=f"""
+    WITH requests AS (
+        SELECT DISTINCT user_id FROM events WHERE user_id % {ERASE_MOD} = 0
+    ),
+    retained AS (
+        SELECT e.* FROM events e
+        WHERE NOT EXISTS (SELECT 1 FROM requests r WHERE r.user_id = e.user_id)
+    ),
+    per_type AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_total
+        FROM events GROUP BY event_type
+    ),
+    kept AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_retained
+        FROM retained GROUP BY event_type
+    ),
+    erased_users AS (
+        SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_erased
+        FROM events WHERE user_id % {ERASE_MOD} = 0 GROUP BY event_type
+    )
+    SELECT p.event_type, p.n_total,
+           COALESCE(k.n_retained, 0) AS n_retained,
+           p.n_total - COALESCE(k.n_retained, 0) AS n_erased,
+           COALESCE(u.n_users_erased, 0) AS n_users_erased
+    FROM per_type p
+    LEFT JOIN kept k USING (event_type)
+    LEFT JOIN erased_users u USING (event_type)
+    """,
+)
+def pipeline_gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure cascade audit: given a deletion-request list of
+    user ids (synthesized deterministically as user_id % MOD = 0 — in
+    production this is a small requests table), remove every event row
+    belonging to a requested user via LEFT ANTI join and report, per
+    event_type, total / retained / erased row counts and the distinct
+    users erased. This is the compliance evidence a data-deletion job
+    emits alongside the rewrite: counts must reconcile exactly
+    (total = retained + erased) before the old partitions are dropped.
+
+    Scale: the request list is always broadcast (deletion requests are
+    tiny vs the corpus); the anti join is therefore a map-side probe —
+    the corpus streams once, no shuffle for the cascade itself, and
+    the three audit aggregates are partial-aggregated per type."""
+    events = load_table(spark, sf_dir, "events")
+    requests = (
+        events.filter(F.col("user_id") % ERASE_MOD == 0)
+        .select("user_id")
+        .distinct()
+    )
+    retained = events.join(F.broadcast(requests), "user_id", "left_anti")
+    per_type = events.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_total")
+    )
+    kept = retained.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_retained")
+    )
+    erased_users = (
+        events.filter(F.col("user_id") % ERASE_MOD == 0)
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users_erased"))
+    )
+    return (
+        per_type.join(kept, "event_type", "left")
+        .join(erased_users, "event_type", "left")
+        .select(
+            "event_type",
+            "n_total",
+            F.coalesce("n_retained", F.lit(0)).cast("long").alias("n_retained"),
+            (F.col("n_total") - F.coalesce("n_retained", F.lit(0)))
+            .cast("long")
+            .alias("n_erased"),
+            F.coalesce("n_users_erased", F.lit(0))
+            .cast("long")
+            .alias("n_users_erased"),
+        )
+    )

@@ -432,3 +432,160 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(expand, schema=FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Audio: real RIFF/WAVE PCM via the stdlib `wave` reader
+# ---------------------------------------------------------------------------
+
+AUDIO_SCHEMA = (
+    "doc_id long, sample_rate int, n_samples long, duration_ms long,"
+    " mean_sample double, rms double, peak int, zero_crossings long"
+)
+
+
+def _le_bytes(c, n_bytes: int):
+    """Little-endian byte string of an integer column, built JVM-side:
+    big-endian hex, zero-padded, byte pairs re-concatenated in reverse
+    order, unhexed. Pure expression — reproducible by the oracle."""
+    hx = F.lpad(F.hex(c.cast("bigint")), n_bytes * 2, "0")
+    pairs = [
+        F.substring(hx, 2 * i + 1, 2) for i in reversed(range(n_bytes))
+    ]
+    return F.unhex(F.concat(*pairs))
+
+
+def encode_wav(doc_id_col, text_col):
+    """JVM-side canonical 44-byte RIFF/WAVE PCM container: 8-bit mono
+    with a doc-derived sample rate (8/12/16 kHz by doc_id mod 3) and
+    the UTF-8 text bytes as the sample stream — a REAL WAV file any
+    player or the stdlib ``wave`` reader accepts, with every header
+    field a pure function of the row so the DuckDB oracle can
+    reconstruct the decoded features independently."""
+    body = F.encode(text_col, "UTF-8")
+    n = F.octet_length(body)
+    rate = (F.col(doc_id_col) % 3 * 4000 + 8000).cast("int")
+    return F.concat(
+        F.lit(b"RIFF"),
+        _le_bytes(n + 36, 4),           # RIFF chunk size
+        F.lit(b"WAVEfmt "),
+        _le_bytes(F.lit(16), 4),        # fmt chunk size
+        _le_bytes(F.lit(1), 2),         # PCM
+        _le_bytes(F.lit(1), 2),         # mono
+        _le_bytes(rate, 4),             # sample rate
+        _le_bytes(rate, 4),             # byte rate (1 byte/sample mono)
+        _le_bytes(F.lit(1), 2),         # block align
+        _le_bytes(F.lit(8), 2),         # bits per sample
+        F.lit(b"data"),
+        _le_bytes(n, 4),                # data chunk size
+        body,
+    )
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Real WAV decode with only the stdlib ``wave`` reader: parses the
+    RIFF/WAVE container, checks the PCM format fields, reads the raw
+    8-bit sample frames, and derives the features an audio curation
+    pipeline filters on — duration, mean level, RMS energy, peak, and
+    midline (zero) crossings. Non-PCM / multi-channel / wider-sample
+    payloads raise loudly (honest-gap policy, same as the image side)."""
+    import io
+    import math
+    import wave
+
+    with wave.open(io.BytesIO(payload)) as w:
+        if w.getnchannels() != 1 or w.getsampwidth() != 1:
+            raise NotImplementedError(
+                "only 8-bit mono PCM decoded here; resampling/stereo mixdown"
+                " needs a real DSP dependency"
+            )
+        rate = w.getframerate()
+        n = w.getnframes()
+        samples = w.readframes(n)
+    mv = memoryview(samples)
+    total = sum(mv)
+    sumsq = sum((s - 128) * (s - 128) for s in mv)
+    zc = sum(1 for i in range(1, len(mv)) if (mv[i] >= 128) != (mv[i - 1] >= 128))
+    return {
+        "sample_rate": rate,
+        "n_samples": n,
+        "duration_ms": n * 1000 // rate,
+        "mean_sample": total / n if n else 0.0,
+        "rms": math.sqrt(sumsq / n) if n else 0.0,
+        "peak": max(mv) if n else 0,
+        "zero_crossings": zc,
+    }
+
+
+@query(
+    "multimodal_audio_features",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, hex(encode(text)) AS h,
+               octet_length(encode(text)) AS n,
+               CAST(doc_id % 3 * 4000 + 8000 AS INT) AS rate
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, rate, n,
+               list_transform(range(1, n + 1),
+                   i -> CAST('0x' || substr(h, 2*i - 1, 2) AS INT)) AS smp
+        FROM b
+    )
+    SELECT doc_id,
+           rate AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(n * 1000 // rate AS BIGINT) AS duration_ms,
+           list_aggregate(smp, 'sum') * 1.0 / n AS mean_sample,
+           sqrt(list_aggregate(list_transform(smp,
+                    x -> CAST((x - 128) * (x - 128) AS DOUBLE)), 'sum') / n)
+               AS rms,
+           CAST(list_aggregate(smp, 'max') AS INT) AS peak,
+           CAST(len(list_filter(range(2, n + 1),
+                    i -> (smp[i] >= 128) <> (smp[i-1] >= 128))) AS BIGINT)
+               AS zero_crossings
+    FROM s
+    """,
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 audio path made REAL: rows are wrapped JVM-side into genuine
+    RIFF/WAVE PCM containers (``encode_wav`` — a file any audio tool
+    opens), shipped as binary columns, and decoded executor-side by the
+    stdlib ``wave`` reader inside Arrow-batched ``mapInPandas``
+    (``decode_wav``). The features are what audio curation filters on
+    (duration, mean level, RMS energy, peak, midline crossings), and
+    the DuckDB oracle reconstructs every one independently from the
+    text column via hex-pair arithmetic — so the full
+    encode→ship→codec-parse→feature loop is value-verified
+    cross-engine. Exactness: sample sums and crossing counts are
+    integers; mean/RMS perform the identical double divisions and one
+    correctly-rounded sqrt in both engines.
+
+    This closes the RIFF half of the former honest gap: WAV PCM needs
+    no external codec. JPEG and RIFF/AVI *video* still raise loudly
+    (libjpeg/ffmpeg absent). At 100 TB the shape is unchanged: opaque
+    binary column + typed metadata, Arrow batches sized by
+    ``maxRecordsPerBatch``, decode parallelism ∝ partitions."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", encode_wav("doc_id", "text").alias("payload")
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_wav(p) for p in pdf["payload"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out[
+                [
+                    "doc_id",
+                    "sample_rate",
+                    "n_samples",
+                    "duration_ms",
+                    "mean_sample",
+                    "rms",
+                    "peak",
+                    "zero_crossings",
+                ]
+            ]
+
+    return docs.mapInPandas(extract, schema=AUDIO_SCHEMA)

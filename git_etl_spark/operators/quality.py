@@ -737,3 +737,134 @@ def quality_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (n.cast(dec) * n.cast(dec) - pe_num).cast("double")
         ).alias("kappa"),
     )
+
+
+K_ANON = 5  # minimum group size for a quasi-identifier combination
+LEN_BUCKET = 64  # n_chars bucket width joining the quasi-identifier
+
+
+@query(
+    "quality_k_anonymity",
+    oracle=f"""
+    SELECT lang, source, n_chars // {LEN_BUCKET} AS len_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           COUNT(*) >= {K_ANON} AS k_anonymous
+    FROM documents
+    GROUP BY lang, source, n_chars // {LEN_BUCKET}
+    """,
+)
+def quality_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier combination
+    (lang, source, length bucket): any combination observed in fewer
+    than K documents could single out an individual record when the
+    corpus is released or joined against outside data, so a privacy
+    review suppresses or generalizes those cells before publication.
+    This is the reporting pass that drives that decision — one grouped
+    count, each cell flagged against the k threshold.
+
+    Scale: a single partial-aggregated shuffle keyed on the
+    quasi-identifier tuple; output is cell-count-sized (bounded by the
+    identifier domain product, never the corpus). n_chars uses integer
+    floor-bucketing — nonnegative, so Spark DIV ≡ DuckDB ``//``."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(
+            "lang", "source", F.expr(f"n_chars div {LEN_BUCKET}").alias("len_bucket")
+        )
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .withColumn("k_anonymous", F.col("n_docs") >= K_ANON)
+    )
+
+
+@query(
+    "quality_chi2_independence",
+    oracle="""
+    WITH cells AS (
+        SELECT event_type, dayofweek(ts) AS dow,
+               CAST(COUNT(*) AS BIGINT) AS o
+        FROM events GROUP BY event_type, dayofweek(ts)
+    ),
+    rows_t AS (SELECT event_type, SUM(o) AS rt FROM cells GROUP BY event_type),
+    cols_t AS (SELECT dow, SUM(o) AS ct FROM cells GROUP BY dow),
+    tot AS (SELECT SUM(o) AS n FROM cells),
+    terms AS (
+        SELECT c.o,
+               CAST(r.rt AS DOUBLE) * CAST(c2.ct AS DOUBLE)
+                   / CAST(t.n AS DOUBLE) AS e
+        FROM cells c
+        JOIN rows_t r USING (event_type)
+        JOIN cols_t c2 USING (dow)
+        CROSS JOIN tot t
+    ),
+    acc AS (
+        SELECT SUM(CAST(trunc(((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e)
+                                / e) * 1e14) AS BIGINT)) AS s14,
+               CAST(COUNT(*) AS BIGINT) AS n_cells,
+               (SELECT COUNT(*) FROM rows_t) AS nr,
+               (SELECT COUNT(*) FROM cols_t) AS nc
+        FROM terms
+    )
+    SELECT CAST(floor((CASE WHEN s14 < 0 THEN -1.0 ELSE 1.0 END
+               * (CAST(abs(s14) // 1000000000000 AS DOUBLE) * 1e12
+                  + CAST(abs(s14) % 1000000000000 AS DOUBLE)) / 1e14)
+               * 1000000 + 0.5) AS BIGINT) AS chi2_ppm,
+           n_cells,
+           CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof
+    FROM acc
+    """,
+)
+def quality_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence statistic for event_type ×
+    weekday — the categorical drift companion to quality_drift_ks: a
+    pipeline asserting "behavior mix does not depend on day of week"
+    alarms when this statistic crosses the critical value for its
+    degrees of freedom. Expected counts come from the exact BIGINT
+    margins (E = rowTot·colTot/N in double, identical association
+    order both engines); the per-cell (O−E)²/E terms are folded with
+    the order-independent scaled-integer sum from functions/vector.py,
+    so the statistic is hash-stable and quantized to exact ppm.
+
+    Scale: one grouped count (the contingency table), two margin
+    aggregates over the |cells| rows, and a cells-sized join — nothing
+    after the first scan touches the corpus."""
+    from ..functions.vector import dec14_to_double, sum14
+
+    events = load_table(spark, sf_dir, "events")
+    cells = events.groupBy(
+        "event_type", F.dayofweek("ts").alias("dow")
+    ).agg(F.count("*").cast("long").alias("o"))
+    rows_t = cells.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    cols_t = cells.groupBy("dow").agg(F.sum("o").alias("ct"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    e = (
+        F.col("rt").cast("double")
+        * F.col("ct").cast("double")
+        / F.col("n").cast("double")
+    )
+    terms = (
+        cells.join(F.broadcast(rows_t), "event_type")
+        .join(F.broadcast(cols_t), "dow")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "o",
+            e.alias("e"),
+        )
+    )
+    od = F.col("o").cast("double")
+    acc = terms.agg(
+        sum14((od - F.col("e")) * (od - F.col("e")) / F.col("e")).alias("s14"),
+        F.count("*").cast("long").alias("n_cells"),
+    )
+    nr = rows_t.agg(F.count("*").alias("nr"))
+    nc = cols_t.agg(F.count("*").alias("nc"))
+    return (
+        acc.crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(nc))
+        .select(
+            F.floor(dec14_to_double(F.col("s14")) * 1e6 + F.lit(0.5))
+            .cast("long")
+            .alias("chi2_ppm"),
+            "n_cells",
+            ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("dof"),
+        )
+    )

@@ -911,3 +911,73 @@ def simsearch_range_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos_sim") >= RANGE_TAU)
     )
+
+
+@query(
+    "embedding_dim_median_ppm",
+    oracle="""
+    WITH elems AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS val
+        FROM embeddings
+    ),
+    ranked AS (
+        SELECT pos, val,
+               ROW_NUMBER() OVER (PARTITION BY pos ORDER BY val, vec_id) AS rn,
+               COUNT(*) OVER (PARTITION BY pos) AS n
+        FROM elems
+    )
+    SELECT pos, CAST(ANY_VALUE(n) AS BIGINT) AS n,
+           CAST(floor((MIN(CASE WHEN rn = (n + 1) // 2 THEN val END)
+                       + MIN(CASE WHEN rn = (n + 2) // 2 THEN val END)) / 2.0
+                      * 1000000000 + 0.5) AS BIGINT) AS median_ppb
+    FROM ranked
+    WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+    GROUP BY pos
+    """,
+)
+def embedding_dim_median_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed median per embedding dimension — the robust
+    center used for representation-drift monitoring and whitening
+    sanity checks where the mean is skew-fragile. Median is computed
+    as the mean of the two middle order statistics under a TOTAL order
+    (val, vec_id), so even-n ties resolve identically in both engines;
+    the average of two doubles and the ppb quantization are exact
+    cross-engine float ops.
+
+    Scale shape: one shuffle partitions the exploded elements by
+    dimension, each dimension sorts locally inside its partition (64
+    independent sorts, no global sort), and only the two middle rows
+    per dimension survive to the final 64-row aggregate. At 100 TB the
+    same query routes per-dimension data through the identical
+    partition-local sort — the canonical exact-quantile plan — with
+    approx sketches (agg_approx_sketches) as the cheap tier."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    elems = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "raw")
+    ).select("vec_id", "pos", F.col("raw").cast("double").alias("val"))
+    w = Window.partitionBy("pos").orderBy("val", "vec_id")
+    wn = Window.partitionBy("pos")
+    ranked = elems.select(
+        "pos",
+        "val",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    lo = F.expr("(n + 1) div 2")
+    hi = F.expr("(n + 2) div 2")
+    mid = ranked.filter((F.col("rn") == lo) | (F.col("rn") == hi))
+    return mid.groupBy("pos").agg(
+        F.any_value("n").cast("long").alias("n"),
+        F.floor(
+            (
+                F.min(F.when(F.col("rn") == lo, F.col("val")))
+                + F.min(F.when(F.col("rn") == hi, F.col("val")))
+            )
+            / F.lit(2.0)
+            * F.lit(1e9)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("median_ppb"),
+    )

@@ -245,3 +245,36 @@ def streaming_attribution_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["user_id", "purchase_id", "click_id", "purchase_ts", "click_ts"],
         output_mode="append",
     )
+
+
+@query(
+    "streaming_dedup_replay",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-bounded streaming dedup
+    (``dropDuplicatesWithinWatermark``, streaming/events_stream.py)
+    held to a key-coverage oracle: the distinct key set of the replayed
+    dedup output must equal the batch DISTINCT — proving the stateful
+    operator never LOSES a key (state evicted too early) and never
+    INVENTS one, across micro-batch boundaries. Exact row multiplicity
+    is intentionally not pinned: by contract the operator only
+    guarantees suppression of duplicates arriving within the watermark
+    horizon of each other, so keys recurring further apart may re-emit
+    depending on batch splits — the coverage projection is the
+    strongest batching-independent invariant, and the semantic pytest
+    (tests/test_streaming.py) separately bounds the emitted count.
+    State is (key → expiry) within the horizon — bounded, the 100 TB
+    reason this variant exists over plain dropDuplicates."""
+    from ..streaming.events_stream import dedup_within_watermark
+
+    out = _replay(
+        spark,
+        sf_dir,
+        dedup_within_watermark,
+        ["user_id", "event_type"],
+        output_mode="append",
+    )
+    return out.distinct()

@@ -1259,3 +1259,58 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "rank long, pair string, pair_cnt long"
     )
+
+
+@query(
+    "text_fertility_by_lang",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+           CAST(SUM(len(string_split(text, ' '))) * 1000000
+                // SUM(length(text)) AS BIGINT) AS tokens_per_mchar,
+           CAST(SUM(length(text)) * 1000000
+                // SUM(len(string_split(text, ' '))) AS BIGINT) AS chars_per_mtok
+    FROM documents GROUP BY lang
+    """,
+)
+def text_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility profile per language: token and character
+    totals plus both exact-ppm ratios (tokens per million chars, chars
+    per million tokens). Fertility is the budgeting number behind a
+    multilingual mixture — a language whose text fragments into more
+    tokens per character consumes proportionally more of a fixed token
+    budget, so mixture weights and per-language epoch quotas are set
+    from exactly this table. Pure integer arithmetic end to end
+    (counts, then BIGINT floor division — nonnegative, so Spark DIV ≡
+    DuckDB ``//``), hash-stable by construction.
+
+    Scale: one scan, one partial-aggregated shuffle keyed on lang;
+    output is |languages| rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "lang",
+            F.size(F.split("text", " ")).cast("long").alias("toks"),
+            F.length("text").cast("long").alias("chars"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("toks").cast("long").alias("n_tokens"),
+            F.sum("chars").cast("long").alias("n_chars"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+            F.expr("n_tokens * 1000000 div n_chars").cast("long").alias(
+                "tokens_per_mchar"
+            ),
+            F.expr("n_chars * 1000000 div n_tokens").cast("long").alias(
+                "chars_per_mtok"
+            ),
+        )
+    )

