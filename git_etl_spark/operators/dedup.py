@@ -688,10 +688,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~(1−t)·corpus shingle occurrences, and the verify join is keyed by
     candidate doc ids — both AQE-skew-splittable.
 
-    The corpus arrives as one small parquet file → one input split,
-    but the text_key window's hash shuffle already spreads documents
-    across all shuffle partitions before the CPU-heavy shingling runs —
-    no explicit repartition needed (one less full-corpus shuffle).
+    The corpus arrives as one small parquet file → one input split;
+    the explicit-N text_key hash repartition spreads documents across
+    every core before the CPU-heavy shingling runs AND satisfies the
+    dedup window's distribution (one shuffle total — and, unlike the
+    window's own exchange, exempt from AQE's byte-based coalescer,
+    which would fold this "small" corpus onto a handful of cores).
 
     Materialization strategy (each localCheckpoint is a barrier — keep
     them few and small): the per-doc shingle-ARRAY table (|docs| rows)
@@ -711,9 +713,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     clique alone would otherwise contribute ~30k of the candidate
     pairs through every stage of the pipeline."""
     docs = load_table(spark, sf_dir, "documents")
-    keyed = docs.withColumn("text_key", F.md5("text")).withColumn(
-        "rep", F.min("doc_id").over(Window.partitionBy("text_key"))
-    )
+    # explicit-N hash repartition on the window key: AQE's byte-based
+    # coalescer reads this corpus as "small" and would fold the window
+    # shuffle to a handful of partitions — serializing the CPU-heavy
+    # shingling that runs on the window's output (bytes are a poor
+    # proxy for shingling CPU). A user repartition with explicit N is
+    # exempt from coalescing and satisfies the window's required
+    # distribution, so no second exchange is inserted.
+    keyed = docs.withColumn("text_key", F.md5("text"))
+    keyed = keyed.repartition(
+        spark.sparkContext.defaultParallelism, "text_key"
+    ).withColumn("rep", F.min("doc_id").over(Window.partitionBy("text_key")))
     members = keyed.select(
         "text_key", "doc_id", "rep", F.length("text").alias("tlen")
     ).localCheckpoint()  # tiny; reused by both expansion branches
@@ -769,6 +779,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         occ_i.withColumn("pos", F.row_number().over(w))
         .filter(F.col("pos") <= prefix_len)
         .select("doc_id", "sid", "sz", "pos")
+        # candidate generation is map-side over this table (broadcast
+        # other side), so its partition count IS the join parallelism —
+        # pin it to the core count instead of the AQE-coalesced few
+        .repartition(spark.sparkContext.defaultParallelism)
         .localCheckpoint()  # consumed twice (both sides of the self-join)
     )
     a, b = prefix.alias("a"), F.broadcast(prefix.alias("b"))
