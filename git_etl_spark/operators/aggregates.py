@@ -511,7 +511,10 @@ def agg_frequent_itemset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..session import iter_checkpoint
 
     # three consumers (N-orders scalar, item counts, pair self-join) —
-    # materialize the basket projection once
+    # materialize the basket projection once (measured: an explicit-N
+    # repartition on l_orderkey does NOT pay here — the pair expansion
+    # is cheap enough that the extra shuffle outweighs the added
+    # parallelism, unlike the shingling/grouped-map cases)
     baskets = iter_checkpoint(
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")

@@ -954,19 +954,29 @@ def text_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = with_tokens(load_table(spark, sf_dir, "documents")).filter(
         F.size("toks") >= 3
     )
-    sh = (
-        docs.select(
+    # the corpus scan is one parquet split — spread the CPU-heavy
+    # shingling across every core, build each doc's DISTINCT shingle
+    # array once (array_distinct ≡ the former per-(doc, shingle)
+    # DISTINCT, without its shuffle), and checkpoint the compact
+    # |docs|-row form; the three consumers (sizes, df-cap, both join
+    # sides) re-explode from it instead of re-shingling — previously
+    # the shingle+distinct chain recomputed per consumer, including
+    # two serial single-task passes
+    sets = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select(
             "doc_id",
-            F.explode(
+            F.array_distinct(
                 F.expr(
                     "transform(sequence(1, size(toks) - 2),"
                     " i -> md5(concat_ws(' ', slice(toks, i, 3))))"
                 )
-            ).alias("sk"),
+            ).alias("shs"),
         )
-        .distinct()
+        .localCheckpoint()
     )
-    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sh = sets.select("doc_id", F.explode("shs").alias("sk"))
+    sz = sets.select("doc_id", F.size("shs").alias("n_sh"))
     keep = sh.groupBy("sk").agg(F.count("*").alias("d")).filter(
         F.col("d") <= CONT_DF_CAP
     )

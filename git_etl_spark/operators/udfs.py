@@ -81,6 +81,14 @@ def udf_grouped_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts", "value"
     )
+    # explicit-N hash repartition on the group key: AQE's byte-based
+    # coalescer folds the grouped-map shuffle to ~2 partitions on this
+    # corpus (bytes are a poor proxy for Python-boundary cost — the
+    # pandas workers then run nearly serial, measured 7.9 s of executor
+    # time on 2 tasks). A user repartition with explicit N is exempt
+    # from coalescing and satisfies applyInPandas's required
+    # distribution, so no second exchange is inserted.
+    ev = ev.repartition(spark.sparkContext.defaultParallelism, "user_id")
     return ev.groupBy("user_id").applyInPandas(
         running, schema="event_id long, user_id long, running_value double"
     )
