@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.vector import dec14_to_double, duck_dec14_to_double, sum14
 from ..io import dataset_fingerprint, load_table
 from ..registry import query
 from ..session import iter_checkpoint, loop_shuffle_partitions
@@ -45,9 +46,11 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair, both directions). Six synchronous rounds: contributions =
     rank/out-degree joined across edges, new rank = (1−d) + d·Σ.
 
-    Determinism: per-node contribution sums fold a *sorted* list
-    (see vector_centroid_per_label) so partial-merge order cannot
-    perturb doubles; two runs produce identical bits (asserted).
+    Determinism: per-node contribution sums use the order-independent
+    scaled-integer machinery (functions/vector.py sum14 — O(1)
+    aggregation state even for hub nodes, unlike a collected fold) so
+    partial-merge order cannot perturb doubles; two runs produce
+    identical bits (asserted).
 
     At 100 TB: the edge table is the only large operand — it is
     hash-partitioned by source once and every round reuses that
@@ -85,11 +88,13 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-runs) — at scale this halves the per-iteration shuffle work
     outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     edges_w = edges.join(outdeg, "src").localCheckpoint()
-    sorted_sum = F.aggregate(
-        F.array_sort(F.collect_list("contrib")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    # order-independent scaled-integer contribution sum (functions/
+    # vector.py): O(1) per-node aggregation state. The former sorted
+    # fold (array_sort ∘ collect_list) collected a hub's full
+    # in-neighborhood per node — state ∝ in-degree, which for hub nodes
+    # grows with the graph; the ≤1e-14 per-term truncation is 8 orders
+    # below the ppm quantization the oracle checks.
+    contrib_sum = dec14_to_double(sum14(F.col("contrib")))
     # size each round's shuffle to the materialized edge list — the
     # per-round fixed cost (tasks, AQE planning, checkpoint) dominates
     # small rounds, while the sorted-fold aggregation is CPU-heavy
@@ -104,14 +109,19 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             ranks = iter_checkpoint(
                 contribs.groupBy(F.col("dst").alias("src"))
-                .agg(((1 - DAMPING) + DAMPING * sorted_sum).alias("rank"))
+                .agg(((1 - DAMPING) + DAMPING * contrib_sum).alias("rank"))
             )
     result = ranks.select(F.col("src").alias("node"), "rank")
     _PAGERANK_MEMO[memo_key] = result
     return result
 
 
-_PAGERANK_PPM_ORACLE = """
+_PR_S14 = (
+    "list_aggregate(list_transform(al[i + 1],"
+    " j -> CAST(trunc((v[j + 1] / dl[j + 1]) * 1e14) AS BIGINT)), 'sum')"
+)
+
+_PAGERANK_PPM_ORACLE = f"""
 WITH RECURSIVE pairs AS MATERIALIZED (
     SELECT DISTINCT 'c' || o_custkey AS cust, 's' || l_suppkey AS supp
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -147,9 +157,7 @@ it AS (
     SELECT k + 1,
            list_transform(range(0, len(v)),
              i -> (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))
-                  + CAST(0.85 AS DOUBLE) * list_aggregate(list_sort(
-                        list_transform(al[i + 1], j -> v[j + 1] / dl[j + 1])),
-                        'sum'))
+                  + CAST(0.85 AS DOUBLE) * {duck_dec14_to_double(_PR_S14)})
     FROM it, adj, degs WHERE k < 6
 )
 SELECT n.node AS node,
@@ -163,8 +171,9 @@ def graph_pagerank_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-oracled surface of the PageRank fixpoint: the same six
     synchronous rounds, quantized to exact ppm integers. The DuckDB
     oracle reproduces the ENTIRE iteration — same damping arithmetic
-    ((1−d) and d as IEEE doubles), same per-node sorted-value fold of
-    contributions, same rank/out-degree division — as a recursive CTE
+    ((1−d) and d as IEEE doubles), same order-independent scaled-
+    integer contribution sum with the sign/hi/lo double
+    reconstruction, same rank/out-degree division — as a recursive CTE
     over an index-aligned adjacency-list state (the PCA-oracle
     technique, ``embedding_pca_loading_ppm``). Every node's rank after
     round 6 must agree cross-engine to the ppm; the unquantized
