@@ -589,3 +589,127 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
 
     return docs.mapInPandas(extract, schema=AUDIO_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hash (aHash) over decoded pixels
+# ---------------------------------------------------------------------------
+
+AHASH_SCHEMA = "doc_id long, width int, height int, n_pixels long, ahash string"
+
+
+def ahash_bits(body: bytes, width: int) -> tuple[int, int, str]:
+    """8×8 average-hash over a grayscale pixel grid: block-mean
+    downsample (floor bucket mapping, partial last row included),
+    bit = block mean ≥ global mean decided by exact integer
+    cross-multiplication (sum_b · N ≥ total · n_b — no division, no
+    float), empty blocks (width < 8 leaves unhit columns) emit 0.
+    Returns (height, n_pixels, 64-char bitstring row-major)."""
+    n = len(body)
+    h = (n + width - 1) // width
+    sums = [0] * 64
+    cnts = [0] * 64
+    total = 0
+    for p, val in enumerate(body):
+        r, c = p // width, p % width
+        idx = ((r * 8) // h) * 8 + (c * 8) // width
+        sums[idx] += val
+        cnts[idx] += 1
+        total += val
+    bits = "".join(
+        "1" if cnts[i] and sums[i] * n >= total * cnts[i] else "0"
+        for i in range(64)
+    )
+    return h, n, bits
+
+
+@query(
+    "multimodal_image_ahash",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS n,
+               CAST(doc_id % 13 + 4 AS INT) AS w
+        FROM documents
+    ),
+    g AS (SELECT *, CAST((n + w - 1) // w AS INT) AS h FROM b),
+    px AS (
+        SELECT doc_id, w, h, n, p,
+               CAST('0x' || substr(hx, 2*p + 1, 2) AS INT) AS val,
+               ((p // w) * 8) // h * 8 + ((p % w) * 8) // w AS idx
+        FROM g, unnest(range(0, n)) AS t(p)
+    ),
+    blocks AS (
+        SELECT doc_id, idx, SUM(val) AS s, COUNT(*) AS cnt
+        FROM px GROUP BY doc_id, idx
+    ),
+    tot AS (
+        SELECT doc_id, SUM(val) AS st, CAST(COUNT(*) AS BIGINT) AS nt
+        FROM px GROUP BY doc_id
+    ),
+    bits AS (
+        SELECT t.doc_id, r.i AS idx,
+               CASE WHEN bl.cnt IS NOT NULL AND bl.s * t.nt >= t.st * bl.cnt
+                    THEN '1' ELSE '0' END AS bit
+        FROM tot t
+        CROSS JOIN (SELECT unnest(range(0, 64)) AS i) r
+        LEFT JOIN blocks bl ON bl.doc_id = t.doc_id AND bl.idx = r.i
+    )
+    SELECT g.doc_id, g.w AS width, g.h AS height,
+           CAST(g.n AS BIGINT) AS n_pixels,
+           (SELECT array_to_string(list(bit ORDER BY idx), '')
+            FROM bits WHERE bits.doc_id = g.doc_id) AS ahash
+    FROM g
+    """,
+)
+def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image hashing (average hash) over REAL decoded
+    pixels: each SIMG container is struct-parsed executor-side
+    (``decode_image`` path) and its pixel grid block-mean-downsampled
+    to an 8×8 bit matrix — the standard cheap near-duplicate-image
+    key (two images whose aHashes are within a few Hamming bits are
+    usually crops/re-encodes of each other, so the hash is the bucket
+    key image dedup joins on; exact-duplicate payloads collide on all
+    64 bits by construction).
+
+    Exactness: every bit is decided by integer cross-multiplication
+    (block_sum·N ≥ total·block_count) — no float anywhere — so the
+    64-char bitstring is hash-stable cross-engine, and the DuckDB
+    oracle reconstructs the full decode→downsample→threshold chain
+    from the text column via hex-pair arithmetic. Empty blocks (the
+    width-<8 payloads leave unhit grid columns) are pinned to 0 in
+    both engines.
+
+    At 100 TB: one mapInPandas pass over the media column (Arrow
+    batches, parallelism ∝ partitions), output one 64-bit key per
+    image; the dedup join is then a plain shuffle on the hash — the
+    same X1 exact-dedup shape, applied to pixels instead of text."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", encode_simg("doc_id", "text").alias("payload")
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
+                if payload[:4] != SIMG_MAGIC:
+                    raise ValueError("ahash expects SIMG containers here")
+                width, _ = _struct.unpack(">HH", payload[4:8])
+                h, n, bits = ahash_bits(payload[8:], width)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": width,
+                        "height": h,
+                        "n_pixels": n,
+                        "ahash": bits,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "n_pixels", "ahash"]
+            )
+
+    return docs.mapInPandas(extract, schema=AHASH_SCHEMA)

@@ -594,3 +594,25 @@ def test_wav_roundtrip_stdlib_reader(spark):
         # stdlib wave parsed it → the header really is canonical RIFF/WAVE
         assert bytes(r["payload"])[:4] == b"RIFF"
         assert bytes(r["payload"])[8:12] == b"WAVE"
+
+
+def test_ahash_collision_and_locality():
+    """Exact-duplicate pixel grids collide on all 64 bits; a single
+    changed pixel flips at most a handful of block bits (the locality
+    that makes aHash a near-dup bucket key)."""
+    from git_etl_spark.operators.multimodal import ahash_bits
+
+    body = bytes(range(256)) * 4  # 1024 'pixels'
+    h1, n1, bits1 = ahash_bits(body, 16)
+    h2, n2, bits2 = ahash_bits(bytes(body), 16)
+    assert (h1, n1, bits1) == (h2, n2, bits2)
+    assert len(bits1) == 64 and set(bits1) <= {"0", "1"}
+    # perturb one pixel strongly: Hamming distance stays small
+    mutated = bytearray(body)
+    mutated[0] = 255
+    _, _, bits3 = ahash_bits(bytes(mutated), 16)
+    hamming = sum(a != b for a, b in zip(bits1, bits3))
+    assert hamming <= 4
+    # width < 8 leaves empty block columns, pinned to '0'
+    _, _, narrow = ahash_bits(b"\xff" * 12, 4)
+    assert len(narrow) == 64
