@@ -870,3 +870,74 @@ def pipeline_gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_users_erased"),
         )
     )
+
+
+@query(
+    "pipeline_length_bucket_padding",
+    oracle="""
+    WITH sized AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tok
+        FROM documents
+    ),
+    bucketed AS (
+        SELECT doc_id, n_tok,
+               CAST(length(bin(CAST(greatest(n_tok - 1, 1) AS BIGINT)))
+                    AS INT) AS bucket_bits
+        FROM sized
+    )
+    SELECT bucket_bits,
+           CAST(1 << bucket_bits AS BIGINT) AS bucket_cap,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS real_tokens,
+           CAST(COUNT(*) * (1 << bucket_bits) - SUM(n_tok) AS BIGINT)
+               AS padding_tokens,
+           CAST(SUM(n_tok) * 1000000 // (COUNT(*) * (1 << bucket_bits))
+                AS BIGINT) AS fill_ppm
+    FROM bucketed GROUP BY bucket_bits
+    """,
+)
+def pipeline_length_bucket_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching audit: documents are routed to
+    power-of-two token buckets (bucket cap = next power of two ≥
+    length, via integer bit-length — no runtime logarithm) and each
+    bucket reports real vs padded token volume and its exact-ppm fill
+    factor. This is the padding-efficiency table behind dynamic
+    batching in a training pipeline: batches drawn within one bucket
+    waste at most (1 − fill) of their compute, and the per-bucket
+    doc counts tell the batch scheduler which buckets can sustain
+    full batches. Pure integer arithmetic end to end (bit-length
+    bucketing, BIGINT sums, floor-div ppm) — hash-stable.
+
+    Scale: one scan, one partial-aggregated shuffle keyed on the
+    bucket id; ≤ ~40 output rows regardless of corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    )
+    bucket_bits = F.length(
+        F.bin(F.greatest(F.col("n_tok") - 1, F.lit(1)))
+    ).cast("int")
+    return (
+        sized.withColumn("bucket_bits", bucket_bits)
+        .groupBy("bucket_bits")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("real_tokens"),
+        )
+        .select(
+            "bucket_bits",
+            F.expr("CAST(shiftleft(1L, bucket_bits) AS BIGINT)").alias(
+                "bucket_cap"
+            ),
+            "n_docs",
+            "real_tokens",
+            F.expr(
+                "CAST(n_docs * shiftleft(1L, bucket_bits) - real_tokens"
+                " AS BIGINT)"
+            ).alias("padding_tokens"),
+            F.expr(
+                "CAST(real_tokens * 1000000"
+                " div (n_docs * shiftleft(1L, bucket_bits)) AS BIGINT)"
+            ).alias("fill_ppm"),
+        )
+    )

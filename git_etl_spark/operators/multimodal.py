@@ -713,3 +713,88 @@ def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(extract, schema=AHASH_SCHEMA)
+
+
+_AHASH_SQL = """
+    WITH b AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS n,
+               CAST(doc_id % 13 + 4 AS INT) AS w
+        FROM documents
+    ),
+    g AS (SELECT *, CAST((n + w - 1) // w AS INT) AS h FROM b),
+    px AS (
+        SELECT doc_id, w, h, n, p,
+               CAST('0x' || substr(hx, 2*p + 1, 2) AS INT) AS val,
+               ((p // w) * 8) // h * 8 + ((p % w) * 8) // w AS idx
+        FROM g, unnest(range(0, n)) AS t(p)
+    ),
+    blocks AS (
+        SELECT doc_id, idx, SUM(val) AS s, COUNT(*) AS cnt
+        FROM px GROUP BY doc_id, idx
+    ),
+    tot AS (
+        SELECT doc_id, SUM(val) AS st, CAST(COUNT(*) AS BIGINT) AS nt
+        FROM px GROUP BY doc_id
+    ),
+    bits AS (
+        SELECT t.doc_id, r.i AS idx,
+               CASE WHEN bl.cnt IS NOT NULL AND bl.s * t.nt >= t.st * bl.cnt
+                    THEN '1' ELSE '0' END AS bit
+        FROM tot t
+        CROSS JOIN (SELECT unnest(range(0, 64)) AS i) r
+        LEFT JOIN blocks bl ON bl.doc_id = t.doc_id AND bl.idx = r.i
+    ),
+    hashes AS (
+        SELECT g.doc_id,
+               (SELECT array_to_string(list(bit ORDER BY idx), '')
+                FROM bits WHERE bits.doc_id = g.doc_id) AS ahash
+        FROM g
+    )
+"""
+
+
+@query(
+    "multimodal_ahash_dup_candidates",
+    oracle=_AHASH_SQL
+    + """
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.ahash,
+           (SELECT md5(da.text) = md5(db.text)
+            FROM documents da, documents db
+            WHERE da.doc_id = a.doc_id AND db.doc_id = b.doc_id)
+               AS same_payload
+    FROM hashes a JOIN hashes b
+      ON a.ahash = b.ahash AND a.doc_id < b.doc_id
+    """,
+)
+def multimodal_ahash_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image-dedup join the aHash exists for: documents whose
+    decoded pixel grids produce the SAME 64-bit average hash are
+    near-duplicate-image candidates — one equi-join on the hash (the
+    X1 exact-dedup shape applied to pixels), never pixels², with
+    ``same_payload`` distinguishing true byte-identical duplicates
+    from perceptual-only collisions for the downstream keep/drop
+    policy. At 100 TB the hash table is 64 bits/image and the join
+    shuffles only hash+id — pixel data never moves after the decode
+    pass."""
+    hashes = multimodal_image_ahash(spark, sf_dir).select("doc_id", "ahash")
+    payload = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("pmd5")
+    )
+    a = hashes.join(payload, "doc_id").select(
+        F.col("doc_id").alias("doc_a"), "ahash", F.col("pmd5").alias("md5_a")
+    )
+    b = hashes.join(payload, "doc_id").select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("ahash").alias("ahash_b"),
+        F.col("pmd5").alias("md5_b"),
+    )
+    return (
+        a.join(b, (F.col("ahash") == F.col("ahash_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .select(
+            "doc_a",
+            "doc_b",
+            "ahash",
+            (F.col("md5_a") == F.col("md5_b")).alias("same_payload"),
+        )
+    )
