@@ -1460,3 +1460,85 @@ def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("latency_s").cast("long").alias("max_latency_s"),
         )
     )
+
+
+@query(
+    "events_weekly_audience_overlap",
+    oracle="""
+    WITH wk AS (
+        SELECT DISTINCT CAST(date_trunc('week', ts) AS DATE) AS week_start,
+               user_id
+        FROM events
+    ),
+    pairs AS (
+        SELECT a.week_start AS week_a, b.week_start AS week_b,
+               a.user_id AS ua, b.user_id AS ub
+        FROM wk a JOIN wk b
+          ON b.week_start = a.week_start + INTERVAL 7 DAY
+         AND a.user_id = b.user_id
+    ),
+    inter AS (
+        SELECT week_a, week_b, CAST(COUNT(*) AS BIGINT) AS n_both
+        FROM pairs GROUP BY week_a, week_b
+    ),
+    sizes AS (
+        SELECT week_start, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM wk GROUP BY week_start
+    )
+    SELECT i.week_a, i.week_b, sa.n_users AS users_a, sb.n_users AS users_b,
+           i.n_both,
+           CAST(i.n_both * 1000000
+                // (sa.n_users + sb.n_users - i.n_both) AS BIGINT)
+               AS jaccard_ppm
+    FROM inter i
+    JOIN sizes sa ON sa.week_start = i.week_a
+    JOIN sizes sb ON sb.week_start = i.week_b
+    """,
+)
+def events_weekly_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week audience overlap: the Jaccard similarity (exact
+    ppm) between consecutive weeks' active-user sets — the retention /
+    population-drift metric a pipeline alarms on when an ingestion
+    change silently swaps the user population (high volume, low
+    overlap). Active sets are DISTINCT (week, user) pairs; consecutive
+    weeks join on user within week+7d; all arithmetic is BIGINT counts
+    and one floor-division ppm — hash-stable by construction.
+
+    Scale: the distinct pass and the self-join are both keyed shuffles
+    on (week, user) / user; output is |weeks| rows. At 100 TB the same
+    question is usually answered from the HLL-sketch tier
+    (agg_hll_reaggregatable) — this is the exact twin."""
+    events = load_table(spark, sf_dir, "events")
+    wk = events.select(
+        F.date_trunc("week", "ts").cast("date").alias("week_start"), "user_id"
+    ).distinct()
+    a = wk.select(F.col("week_start").alias("week_a"), "user_id")
+    b = wk.select(F.col("week_start").alias("week_b"), "user_id")
+    inter = (
+        a.join(b, ["user_id"])
+        .filter(F.col("week_b") == F.date_add("week_a", 7))
+        .groupBy("week_a", "week_b")
+        .agg(F.count("*").cast("long").alias("n_both"))
+    )
+    sizes = wk.groupBy("week_start").agg(
+        F.count("*").cast("long").alias("n_users")
+    )
+    sa = sizes.select(
+        F.col("week_start").alias("week_a"), F.col("n_users").alias("users_a")
+    )
+    sb = sizes.select(
+        F.col("week_start").alias("week_b"), F.col("n_users").alias("users_b")
+    )
+    return (
+        inter.join(sa, "week_a")
+        .join(sb, "week_b")
+        .select(
+            "week_a",
+            "week_b",
+            "users_a",
+            "users_b",
+            "n_both",
+            F.expr("CAST(n_both * 1000000 div (users_a + users_b - n_both) AS BIGINT)")
+            .alias("jaccard_ppm"),
+        )
+    )

@@ -1324,3 +1324,126 @@ def text_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+XLING_N = 8  # cross-lingual contamination shingle width (tokens)
+
+
+@query(
+    "text_crosslingual_contamination",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, lang,
+               unnest(list_distinct(list_transform(
+                   range(1, len(t) - {XLING_N - 2}),
+                   i -> array_to_string(t[i:i+{XLING_N - 1}], ' ')))) AS g
+        FROM toks WHERE len(t) >= {XLING_N}
+    )
+    SELECT a.lang AS lang_a, b.lang AS lang_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_shingles,
+           CAST(COUNT(DISTINCT a.doc_id) AS BIGINT) AS n_docs_a,
+           CAST(COUNT(DISTINCT b.doc_id) AS BIGINT) AS n_docs_b
+    FROM sh a JOIN sh b ON a.g = b.g AND a.lang < b.lang
+    GROUP BY a.lang, b.lang
+    """,
+)
+def text_crosslingual_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-lingual contamination probe: token-8-gram shingles shared
+    between documents of DIFFERENT language labels — the detector for
+    mislabeled language, copy-paste leakage, and untranslated
+    boilerplate crossing language shards (any of which corrupts
+    per-language mixture accounting and evaluation splits). Output is
+    one row per language pair with the shared-shingle volume and how
+    many documents on each side participate.
+
+    Scale: the inverted-index join shape — shingles join shingles on
+    content, candidates ∝ shared content, never corpus²; the lang_a <
+    lang_b constraint halves the pair space and the aggregation is
+    one shuffle keyed by the language pair."""
+    docs = with_tokens(load_table(spark, sf_dir, "documents")).filter(
+        F.size("toks") >= XLING_N
+    )
+    sh = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {XLING_N - 1}),"
+                    f" i -> concat_ws(' ', slice(toks, i, {XLING_N})))"
+                )
+            )
+        ).alias("g"),
+    )
+    a = sh.select(F.col("doc_id").alias("da"), F.col("lang").alias("lang_a"), "g")
+    b = sh.select(F.col("doc_id").alias("db"), F.col("lang").alias("lang_b"), "g")
+    return (
+        a.join(b, ["g"])
+        .filter(F.col("lang_a") < F.col("lang_b"))
+        .groupBy("lang_a", "lang_b")
+        .agg(
+            F.count("*").cast("long").alias("n_shared_shingles"),
+            F.countDistinct("da").cast("long").alias("n_docs_a"),
+            F.countDistinct("db").cast("long").alias("n_docs_b"),
+        )
+    )
+
+
+VOCAB_BUCKET = 2  # docs per vocabulary-growth checkpoint (the synthetic
+# corpus draws from a ~31-type vocabulary that saturates within a dozen
+# docs; production block sizes are thousands of docs — same plan)
+
+
+@query(
+    "text_vocab_growth_curve",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents
+    ),
+    first_seen AS (
+        SELECT tok, MIN(doc_id) AS first_doc FROM toks GROUP BY tok
+    ),
+    buckets AS (
+        SELECT first_doc // {VOCAB_BUCKET} AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS new_types
+        FROM first_seen GROUP BY first_doc // {VOCAB_BUCKET}
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST((bucket + 1) * {VOCAB_BUCKET} AS BIGINT) AS docs_seen,
+           new_types,
+           CAST(SUM(new_types) OVER (ORDER BY bucket
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size
+    FROM buckets
+    """,
+)
+def text_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth (Heaps'-law) curve: distinct token types seen
+    after each block of {B} documents in deterministic doc_id order —
+    the corpus-analysis curve behind tokenizer sizing ("is the
+    vocabulary saturating or still growing?") and dedup health (a
+    too-flat curve means the tail adds no new content). Computed
+    without any quadratic prefix work: each type contributes exactly
+    once at its FIRST document (min(doc_id) per type — one shuffle),
+    new-type counts bucket by block, and one window cumsum over the
+    |blocks| rows yields the running vocabulary size.
+
+    Scale: corpus-sized work is the distinct-types aggregation (one
+    shuffle on token); the growth curve itself is |corpus|/{B} rows —
+    the window runs over block summaries, never raw tokens."""
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.explode(F.array_distinct("toks")).alias("tok"))
+    first_seen = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    buckets = first_seen.groupBy(
+        F.expr(f"first_doc div {VOCAB_BUCKET}").alias("bucket")
+    ).agg(F.count("*").cast("long").alias("new_types"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return buckets.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        ((F.col("bucket") + 1) * VOCAB_BUCKET).cast("long").alias("docs_seen"),
+        "new_types",
+        F.sum("new_types").over(w).cast("long").alias("vocab_size"),
+    )

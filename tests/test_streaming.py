@@ -310,3 +310,26 @@ def test_foreachbatch_partitioned_upsert(spark, events_dir, tmp_path):
         )
     )
     assert once == batch
+
+
+def test_transform_with_state_env_gap():
+    """Spark 4's transformWithStateInPandas (the successor stateful API
+    to applyInPandasWithState) requires google.protobuf for its state
+    server protocol; this environment ships no protobuf, so the API
+    crashes at driver-worker init (verified: STREAMING_PYTHON_RUNNER_
+    INITIALIZATION_FAILURE → ImportError google.protobuf.descriptor).
+    The custom-stateful family is therefore represented by
+    applyInPandasWithState (streaming_stateful_counts_replay). This
+    test documents the gap executably: it will start failing — i.e.
+    demand a real transformWithState operator — the moment the
+    environment gains protobuf."""
+    import pytest
+
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        pytest.skip("protobuf absent: transformWithStateInPandas unavailable")
+    pytest.fail(
+        "protobuf now available — implement a transformWithStateInPandas "
+        "operator and replay (see streaming/events_stream.py)"
+    )
