@@ -71,6 +71,7 @@ def load_all() -> None:
         curation,
         events,
         file_formats,
+        layout,
         quality,
         udfs,
         similarity,
