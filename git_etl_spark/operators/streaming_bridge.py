@@ -50,6 +50,26 @@ import atexit  # noqa: E402  (registration belongs right next to the memo)
 atexit.register(_cleanup_replay_sources)
 
 
+def _replay_source(spark: SparkSession, sf_dir: str, events: DataFrame) -> str:
+    """The replay source parquet is identical for every streaming query
+    over the same (session, sf_dir) — write it once and reuse."""
+    import uuid as _uuid
+
+    memo_key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        dataset_fingerprint(sf_dir, "events"),
+    )
+    src_dir = _SRC_MEMO.get(memo_key)
+    if src_dir is None:
+        src_dir = os.path.join(
+            tempfile.gettempdir(), f"ges-stream-{_uuid.uuid4().hex[:8]}"
+        )
+        events.repartition(4).write.parquet(src_dir)
+        _SRC_MEMO[memo_key] = src_dir
+    return src_dir
+
+
 def _replay(
     spark: SparkSession,
     sf_dir: str,
@@ -71,19 +91,7 @@ def _replay(
     batch default."""
     events = load_table(spark, sf_dir, "events")
     run_id = uuid.uuid4().hex[:8]
-    # the replay source is identical for every streaming query over the
-    # same (session, sf_dir) — write it once and reuse
-    memo_key = (
-        spark.sparkContext.applicationId,
-        sf_dir,
-        dataset_fingerprint(sf_dir, "events"),
-    )
-    src_dir = _SRC_MEMO.get(memo_key)
-    if src_dir is None:
-        src_dir = os.path.join(tempfile.gettempdir(), f"ges-stream-{run_id}")
-        events.repartition(4).write.parquet(src_dir)
-        _SRC_MEMO[memo_key] = src_dir
-
+    src_dir = _replay_source(spark, sf_dir, events)
     stream = spark.readStream.schema(events.schema).parquet(src_dir)
     name = f"stream_replay_{run_id}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -278,3 +286,49 @@ def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="append",
     )
     return out.distinct()
+
+
+@query(
+    "streaming_foreachbatch_upsert_replay",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value FROM events
+    """,
+)
+def streaming_foreachbatch_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuous-ingestion lake sink held to a table-equality
+    oracle: events replay through ``foreachBatch`` into a parquet
+    table via the same natural-key merge the batch loads use
+    (streaming/events_stream.stream_upsert_to_parquet →
+    sinks/upsert.upsert_parquet), and the FINAL TABLE must equal the
+    source row-for-row — which pins the production property the sink
+    exists for: at-least-once delivery + key-merge = effective
+    exactly-once at the table level, across micro-batch boundaries
+    and redeliveries (idempotence under full re-replay is separately
+    pytest-asserted). Every column passes through unaggregated, so
+    the hash compare is over raw values — any dropped, duplicated, or
+    mutated row anywhere in the stream → merge → publish chain
+    mismatches.
+
+    At 100 TB the identical pipeline runs partition-scoped
+    (upsert_parquet_partitioned): a micro-batch rewrites only the
+    date/tenant partitions it touches. The replay pins the stateless
+    shuffle to 4 partitions like the other replays."""
+    from ..streaming.events_stream import stream_upsert_to_parquet
+
+    events = load_table(spark, sf_dir, "events")
+    run_id = uuid.uuid4().hex[:8]
+    src_dir = _replay_source(spark, sf_dir, events)
+    stream = spark.readStream.schema(events.schema).parquet(src_dir)
+    target = os.path.join(tempfile.gettempdir(), f"ges-upsert-{run_id}")
+    ckpt = os.path.join(tempfile.gettempdir(), f"ges-upsert-cp-{run_id}")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = stream_upsert_to_parquet(spark, stream, target, ckpt)
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    _SINK_DIRS.extend([target, ckpt])
+    return spark.read.parquet(target).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
