@@ -228,6 +228,11 @@ def large_star_small_star(spark: SparkSession, edges: DataFrame) -> DataFrame:
         for _ in range(30):  # O(log n) expected; backstop bound
             if converged:
                 break
+            # the dropDuplicates is semantically optional (the min
+            # aggregation is duplicate-insensitive and ls dedups its
+            # own output) but measured FASTER kept: the dedup both
+            # shrinks the sym⋈mins join input and pre-partitions sym on
+            # the aggregation key
             sym = cur.unionByName(
                 cur.select(F.col("b").alias("a"), F.col("a").alias("b"))
             ).dropDuplicates(["a", "b"])
