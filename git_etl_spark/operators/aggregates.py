@@ -673,3 +673,70 @@ def agg_log2_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("c").cast("long").alias("bucket_max_cents"),
         )
     )
+
+
+@query(
+    "agg_weighted_median_price",
+    oracle="""
+    WITH w AS (
+        SELECT l_returnflag, l_extendedprice AS price,
+               CAST(l_quantity AS BIGINT) AS wt,
+               l_orderkey, l_linenumber
+        FROM lineitem
+    ),
+    cum AS (
+        SELECT l_returnflag, price, wt,
+               SUM(wt) OVER (PARTITION BY l_returnflag
+                             ORDER BY price, l_orderkey, l_linenumber
+                             ROWS UNBOUNDED PRECEDING) AS cw,
+               SUM(wt) OVER (PARTITION BY l_returnflag) AS tw
+        FROM w
+    )
+    SELECT l_returnflag,
+           CAST(MIN(price) AS DOUBLE) AS weighted_median_price,
+           CAST(ANY_VALUE(tw) AS BIGINT) AS total_weight
+    FROM cum WHERE 2 * cw >= tw
+    GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median (lower median): per return flag, the
+    smallest price whose cumulative quantity weight reaches half the
+    group's total — the robust price-level statistic where each line
+    counts by its quantity, not once (plain medians misstate any
+    volume-skewed distribution). The boundary test is pure integer
+    arithmetic (2·cumweight ≥ totalweight under a TOTAL order on
+    (price, orderkey, linenumber)), and the selected value is a raw
+    column passthrough — nothing float-derived, hash-stable.
+
+    Scale: one partitioned window cumsum (the per-group sort is
+    partition-local — no global sort) and a boundary-filtered MIN;
+    at 100 TB the same question routes through the sketch tier first
+    and this exact plan confirms on the slices that matter."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").cast("long").alias("wt"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("l_returnflag")
+    cum = li.select(
+        "l_returnflag",
+        "price",
+        F.sum("wt").over(wcum).alias("cw"),
+        F.sum("wt").over(wtot).alias("tw"),
+    )
+    return (
+        cum.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("price").cast("double").alias("weighted_median_price"),
+            F.any_value("tw").cast("long").alias("total_weight"),
+        )
+    )

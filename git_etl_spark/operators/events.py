@@ -1542,3 +1542,69 @@ def events_weekly_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFram
             .alias("jaccard_ppm"),
         )
     )
+
+
+BOT_GAP_SEC = 2  # interarrival threshold for "superhuman" cadence
+BOT_FAST_PPM_MIN = 500_000  # flag users with ≥50% fast interarrivals
+
+
+@query(
+    "events_bot_rate_heuristic",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, ts,
+               epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id)) AS gap_s
+        FROM events
+    ),
+    per_user AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(gap_s) AS BIGINT) AS n_gaps,
+               CAST(SUM(CASE WHEN gap_s < {BOT_GAP_SEC} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_fast
+        FROM seq GROUP BY user_id
+    )
+    SELECT user_id, n_events, n_fast,
+           CAST(n_fast * 1000000 // n_gaps AS BIGINT) AS fast_ppm,
+           n_fast * 1000000 >= {BOT_FAST_PPM_MIN} * n_gaps AS bot_suspect
+    FROM per_user WHERE n_gaps > 0
+    """,
+)
+def events_bot_rate_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot/automation detection by interarrival cadence: per user, the
+    share of consecutive-event gaps under {G} seconds (total order
+    (ts, event_id) so ties are deterministic); users whose fast-gap
+    share crosses the threshold are flagged. This is the behavioral
+    data-cleaning gate run before training on engagement data —
+    automated traffic otherwise dominates frequency features. The
+    threshold compare is the exact integer cross-multiplication
+    (n_fast·1e6 ≥ min_ppm·n_gaps) — no float boundary.
+
+    Scale: one window pass partitioned by user (the sessionize
+    shuffle, reused shape) and a per-user aggregate; output is
+    |users| rows."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id",
+        (
+            epoch_sec(F.col("ts"))
+            - epoch_sec(F.lag("ts").over(w))
+        ).alias("gap_s"),
+    )
+    per_user = seq.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.count("gap_s").cast("long").alias("n_gaps"),
+        F.sum(F.when(F.col("gap_s") < BOT_GAP_SEC, 1).otherwise(0))
+        .cast("long")
+        .alias("n_fast"),
+    )
+    return per_user.filter(F.col("n_gaps") > 0).select(
+        "user_id",
+        "n_events",
+        "n_fast",
+        F.expr("CAST(n_fast * 1000000 div n_gaps AS BIGINT)").alias("fast_ppm"),
+        (F.col("n_fast") * 1_000_000 >= F.lit(BOT_FAST_PPM_MIN) * F.col("n_gaps"))
+        .alias("bot_suspect"),
+    )
