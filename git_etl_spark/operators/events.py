@@ -1608,3 +1608,103 @@ def events_bot_rate_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_fast") * 1_000_000 >= F.lit(BOT_FAST_PPM_MIN) * F.col("n_gaps"))
         .alias("bot_suspect"),
     )
+
+
+HOT_HOUR_MIN = 20  # events/hour making an "incident-hot" hour (~p90)
+SESSION_GAP_MIN = 10
+
+
+@query(
+    "join_interval_overlap_hot_hours",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         >= INTERVAL {SESSION_GAP_MIN} MINUTE
+                         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                            IS NULL
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM seq
+    ),
+    sessions AS (
+        SELECT user_id, sid, MIN(ts) AS first_ts, MAX(ts) AS last_ts
+        FROM numbered GROUP BY user_id, sid
+    ),
+    hot AS (
+        SELECT date_trunc('hour', ts) AS hour_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1 HAVING COUNT(*) >= {HOT_HOUR_MIN}
+    )
+    SELECT h.hour_bucket, h.n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions_overlapping,
+           CAST(COUNT(DISTINCT s.user_id) AS BIGINT) AS n_users_overlapping
+    FROM hot h JOIN sessions s
+      ON s.first_ts < h.hour_bucket + INTERVAL 1 HOUR
+     AND s.last_ts >= h.hour_bucket
+    GROUP BY h.hour_bucket, h.n_events
+    """,
+)
+def join_interval_overlap_hot_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join, bucketized: user sessions (10-minute
+    gaps-and-islands) joined against "hot" hours (≥ {N} events) they
+    overlap — who was active during each incident window. The naive
+    plan is a theta join (two inequalities — a broadcast nested loop
+    that dies at |sessions|·|hours|); the scale-correct plan built
+    here EXPLODES each session into the hour buckets it covers
+    (bounded fan-out: sessions are minutes long) and equi-joins on the
+    bucket — candidates ∝ session-hours, never the cross product. The
+    DuckDB oracle is the naive interval definition, proving the
+    bucketization is lossless every driver round.
+
+    At 100 TB this is the standard time-interval-join rewrite (same
+    family as the as-of and range joins): both sides shuffle on the
+    hour bucket, skew (a mega-hot hour) splits via AQE."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_break = (
+        epoch_sec(F.col("ts")) - F.lag(epoch_sec(F.col("ts"))).over(w)
+        >= SESSION_GAP_MIN * 60
+    )
+    numbered = events.select(
+        "user_id",
+        "ts",
+        F.sum(
+            F.when(gap_break | F.lag("ts").over(w).isNull(), 1).otherwise(0)
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("sid"),
+    )
+    sessions = numbered.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    hot = (
+        events.groupBy(F.date_trunc("hour", "ts").alias("hour_bucket"))
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .filter(F.col("n_events") >= HOT_HOUR_MIN)
+    )
+    # bucketize: one row per covered hour per session (bounded fan-out)
+    buckets = sessions.select(
+        "user_id",
+        "sid",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "first_ts"),
+                F.date_trunc("hour", "last_ts"),
+                F.expr("interval 1 hour"),
+            )
+        ).alias("hour_bucket"),
+    )
+    return (
+        buckets.join(hot, "hour_bucket")
+        .groupBy("hour_bucket", "n_events")
+        .agg(
+            F.count("*").cast("long").alias("n_sessions_overlapping"),
+            F.countDistinct("user_id").cast("long").alias("n_users_overlapping"),
+        )
+    )
