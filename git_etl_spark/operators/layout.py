@@ -14,6 +14,8 @@ layout is a pure physical optimization.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -43,6 +45,18 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     if memoized is not None:
         return memoized
     li_name, o_name = f"li_bucketed_{fp}", f"o_bucketed_{fp}"
+    # the session catalog is in-memory but the warehouse directory is
+    # durable: a previous PROCESS may have left the table location on
+    # disk with no catalog entry, which makes saveAsTable fail with
+    # LOCATION_ALREADY_EXISTS even in overwrite mode — drop both the
+    # (possibly absent) catalog entry and the stale location first
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for name in (li_name, o_name):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
     load_table(spark, sf_dir, "lineitem").write.bucketBy(
         N_BUCKETS, "l_orderkey"
     ).sortBy("l_orderkey").mode("overwrite").saveAsTable(li_name)
