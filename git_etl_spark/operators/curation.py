@@ -941,3 +941,55 @@ def pipeline_length_bucket_padding(spark: SparkSession, sf_dir: str) -> DataFram
             ).alias("fill_ppm"),
         )
     )
+
+
+DOMAIN_CAP = 80  # max documents kept per source
+
+
+@query(
+    "pipeline_domain_cap",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id, source, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id) AS rnk
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN rnk <= {DOMAIN_CAP} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rnk > {DOMAIN_CAP} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN rnk <= {DOMAIN_CAP} THEN n_chars ELSE 0 END)
+                AS BIGINT) AS kept_chars
+    FROM ranked GROUP BY source
+    """,
+)
+def pipeline_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (the C4/RefinedWeb anti-spam rule): no
+    source may contribute more than {CAP} documents, keeping the
+    longest first under a deterministic total order (n_chars DESC,
+    doc_id) — without a cap, SEO farms and boilerplate-heavy domains
+    dominate a crawl-derived mixture. Output is the enforcement audit
+    per source: total/kept/dropped and the surviving character volume
+    (what actually enters the token budget).
+
+    Scale: one window rank partitioned by source (partition-local
+    sort) and one aggregate — the same shape at any corpus size; a
+    pathologically hot source is exactly the case the cap exists for,
+    and its rank window parallelizes by source-partition."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    ranked = docs.select(
+        "source", "n_chars", F.row_number().over(w).alias("rnk")
+    )
+    kept = F.when(F.col("rnk") <= DOMAIN_CAP, 1).otherwise(0)
+    return ranked.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.sum(kept).cast("long").alias("n_kept"),
+        F.sum(1 - kept).cast("long").alias("n_dropped"),
+        F.sum(F.when(F.col("rnk") <= DOMAIN_CAP, F.col("n_chars")).otherwise(0))
+        .cast("long")
+        .alias("kept_chars"),
+    )

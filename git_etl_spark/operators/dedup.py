@@ -1756,3 +1756,135 @@ def dedup_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("v").alias("doc_id"), F.col("lbl").alias("cluster_id")
     )
+
+
+MINHASH_AUDIT_DOCS = 16  # probe set: all pairs among doc_id < 16
+
+
+def _minhash_audit_oracle() -> str:
+    coeff_rows = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(_minhash_coefficients())
+    )
+    return f"""
+    WITH coeffs(i, ca, cb) AS (VALUES {coeff_rows}),
+    sets AS (
+        SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS toks
+        FROM documents WHERE doc_id < {MINHASH_AUDIT_DOCS}
+    ),
+    th AS (
+        SELECT doc_id, CAST('0x' || substr(md5(t.tok), 1, 8) AS BIGINT) AS h
+        FROM sets, unnest(toks) AS t(tok)
+    ),
+    minh AS (
+        SELECT th.doc_id, c.i,
+               MIN((c.ca * th.h + c.cb) % {MINHASH_PRIME}) AS m
+        FROM th CROSS JOIN coeffs c
+        GROUP BY th.doc_id, c.i
+    ),
+    est AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(SUM(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_match
+        FROM minh a JOIN minh b ON a.i = b.i AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    ex AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               len(list_filter(a.toks, t -> list_contains(b.toks, t)))
+                   AS n_inter,
+               len(a.toks) + len(b.toks)
+                   - len(list_filter(a.toks, t -> list_contains(b.toks, t)))
+                   AS n_union
+        FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+    )
+    SELECT e.doc_a, e.doc_b,
+           CAST(e.n_match * 1000000 // {MINHASH_HASHES} AS BIGINT)
+               AS est_jaccard_ppm,
+           CAST(x.n_inter * 1000000 // x.n_union AS BIGINT)
+               AS exact_jaccard_ppm,
+           CAST(abs(e.n_match * 1000000 // {MINHASH_HASHES}
+                    - x.n_inter * 1000000 // x.n_union) AS BIGINT)
+               AS abs_err_ppm
+    FROM est e JOIN ex x ON e.doc_a = x.doc_a AND e.doc_b = x.doc_b
+    """
+
+
+@query("dedup_minhash_estimate_audit", oracle=_minhash_audit_oracle())
+def dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-estimator quality audit: for every pair in a fixed probe
+    set, the MinHash similarity ESTIMATE (matching components / 128,
+    exact ppm) side by side with the TRUE token-set Jaccard and the
+    absolute error — the calibration table an operator reads before
+    trusting banded-LSH thresholds on a new corpus (the estimator's
+    error must sit inside the band design's margin; E[err] ≈
+    √(j(1−j)/128) ≈ 4% worst-case). Every number is integer-derived
+    (hash component equality counts, intersection sizes, floor-div
+    ppm), so the audit itself is hash-gated cross-engine — including
+    all 128·|probe| minhash components implicitly: one wrong component
+    in either engine shifts a ppm.
+
+    Scale: the audit runs on a bounded probe sample by construction
+    (estimator error is a property of the SKETCH, not the corpus);
+    signatures reuse the shuffle-free fold from dedup_minhash_lsh."""
+    coeffs = _minhash_coefficients()
+    sets = (
+        _token_sets(spark, sf_dir)
+        .filter(F.col("doc_id") < MINHASH_AUDIT_DOCS)
+        .localCheckpoint()
+    )
+    ab = F.array(
+        *[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in coeffs]
+    )
+    th = F.transform(
+        F.col("toks"),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+    )
+    sig = F.aggregate(
+        F.col("th"),
+        F.array_repeat(F.lit(MINHASH_PRIME).cast("long"), MINHASH_HASHES),
+        lambda acc, h: F.zip_with(
+            acc, ab, lambda m, c: F.least(m, (c["a"] * h + c["b"]) % MINHASH_PRIME)
+        ),
+    )
+    sigs = sets.withColumn("th", th).select("doc_id", "toks", sig.alias("sig"))
+    a = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("toks").alias("toks_a"),
+        F.col("sig").alias("sig_a"),
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("toks").alias("toks_b"),
+        F.col("sig").alias("sig_b"),
+    )
+    n_match = F.aggregate(
+        F.zip_with(
+            "sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ).cast("long")
+    inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("long")
+    union = (
+        F.size("toks_a").cast("long") + F.size("toks_b").cast("long") - inter
+    )
+    est_ppm = F.expr(f"CAST(n_match * 1000000 div {MINHASH_HASHES} AS BIGINT)")
+    ex_ppm = F.expr("CAST(n_inter * 1000000 div n_union AS BIGINT)")
+    return (
+        F.broadcast(a)
+        .join(b, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            n_match.alias("n_match"),
+            inter.alias("n_inter"),
+            union.alias("n_union"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            est_ppm.alias("est_jaccard_ppm"),
+            ex_ppm.alias("exact_jaccard_ppm"),
+            F.abs(est_ppm - ex_ppm).cast("long").alias("abs_err_ppm"),
+        )
+    )
