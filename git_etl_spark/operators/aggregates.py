@@ -740,3 +740,46 @@ def agg_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.any_value("tw").cast("long").alias("total_weight"),
         )
     )
+
+
+@query(
+    "agg_hhi_concentration",
+    oracle="""
+    WITH s AS (
+        SELECT o_orderpriority, o_custkey, CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders GROUP BY o_orderpriority, o_custkey
+    ),
+    t AS (SELECT o_orderpriority, SUM(n) AS tn, SUM(n * n) AS sq
+          FROM s GROUP BY o_orderpriority)
+    SELECT o_orderpriority,
+           CAST(tn AS BIGINT) AS n_orders,
+           CAST(sq * 1000000 // (tn * tn) AS BIGINT) AS hhi_ppm
+    FROM t
+    """,
+)
+def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration per order priority: Σ shareᵢ²
+    over customers, computed WITHOUT ever forming a float share —
+    Σnᵢ²·10⁶ div (Σnᵢ)² is the identical quantity in pure integer
+    arithmetic (DECIMAL-safe: n² sums stay within BIGINT far past this
+    corpus; widen to DECIMAL(38,0) beyond ~3e9 rows per cell as in
+    quality_cohen_kappa). The standard "is this segment dominated by a
+    few customers" number next to the Gini twin
+    (agg_gini_concentration), which needs a sorted sweep; HHI is one
+    unsorted double aggregation — the cheaper sketch-free
+    concentration metric at 100 TB.
+
+    Scale: two partial-aggregated shuffles (per-customer counts, then
+    per-priority moments); nothing ∝ corpus after the first."""
+    orders = load_table(spark, sf_dir, "orders")
+    s = orders.groupBy("o_orderpriority", "o_custkey").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    t = s.groupBy("o_orderpriority").agg(
+        F.sum("n").alias("tn"), F.sum(F.col("n") * F.col("n")).alias("sq")
+    )
+    return t.select(
+        "o_orderpriority",
+        F.col("tn").cast("long").alias("n_orders"),
+        F.expr("CAST(sq * 1000000 div (tn * tn) AS BIGINT)").alias("hhi_ppm"),
+    )

@@ -1447,3 +1447,72 @@ def text_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_types",
         F.sum("new_types").over(w).cast("long").alias("vocab_size"),
     )
+
+
+LANG_PROFILE_TOP = 12  # trigrams kept per language profile
+
+
+@query(
+    "text_lang_trigram_profile",
+    oracle=f"""
+    WITH tg AS (
+        SELECT lang,
+               unnest(list_transform(range(1, length(text) - 1),
+                                     i -> substring(text, i, 3))) AS g
+        FROM documents WHERE length(text) >= 3
+    ),
+    counts AS (
+        SELECT lang, g, CAST(COUNT(*) AS BIGINT) AS n
+        FROM tg GROUP BY lang, g
+    ),
+    tot AS (SELECT lang, SUM(n) AS tn FROM counts GROUP BY lang),
+    ranked AS (
+        SELECT c.lang, c.g, c.n,
+               CAST(c.n * 1000000 // t.tn AS BIGINT) AS freq_ppm,
+               ROW_NUMBER() OVER (PARTITION BY c.lang
+                                  ORDER BY c.n DESC, c.g) AS rnk
+        FROM counts c JOIN tot t ON c.lang = t.lang
+    )
+    SELECT lang, g AS trigram, n, freq_ppm, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= {LANG_PROFILE_TOP}
+    """,
+)
+def text_lang_trigram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language character-trigram profiles — the actual basis of
+    n-gram language identification (Cavnar–Trenkle): the top trigrams
+    by frequency per language label, with exact-ppm frequencies. A
+    langid model is "rank unknown text's trigrams, compare profile
+    distance"; this query builds the reference profiles from labeled
+    data, and drift in these tables is how a labeling pipeline notices
+    corpus composition shifts. Counts and floor-div ppm only —
+    hash-stable; ties broken by trigram for a deterministic top-k.
+
+    Scale: the trigram explode is an array lambda off the scan (no
+    shuffle), one count shuffle on (lang, trigram), and the rank
+    window partitions by language — |langs|·top rows out."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 3)
+    tg = docs.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 2),"
+                " i -> substring(text, i, 3))"
+            )
+        ).alias("g"),
+    )
+    counts = tg.groupBy("lang", "g").agg(F.count("*").cast("long").alias("n"))
+    tot = counts.groupBy("lang").agg(F.sum("n").alias("tn"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("g"))
+    return (
+        counts.join(F.broadcast(tot), "lang")
+        .select(
+            "lang",
+            F.col("g").alias("trigram"),
+            "n",
+            F.expr("CAST(n * 1000000 div tn AS BIGINT)").alias("freq_ppm"),
+        )
+        .withColumn("rnk", F.row_number().over(
+            Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("trigram"))
+        ))
+        .filter(F.col("rnk") <= LANG_PROFILE_TOP)
+    )
