@@ -1708,3 +1708,67 @@ def join_interval_overlap_hot_hours(spark: SparkSession, sf_dir: str) -> DataFra
             F.countDistinct("user_id").cast("long").alias("n_users_overlapping"),
         )
     )
+
+
+@query(
+    "events_cusum_uniformity_drift",
+    oracle="""
+    WITH h AS (
+        SELECT date_trunc('hour', ts) AS hour_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ),
+    c AS (
+        SELECT hour_bucket, n,
+               SUM(n) OVER (ORDER BY hour_bucket
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               ROW_NUMBER() OVER (ORDER BY hour_bucket) AS k,
+               SUM(n) OVER () AS t,
+               COUNT(*) OVER () AS nh
+        FROM h
+    )
+    SELECT hour_bucket, n,
+           CAST(cum * 1000000 // t AS BIGINT) AS cum_share_ppm,
+           CAST(k * 1000000 // nh AS BIGINT) AS uniform_share_ppm,
+           CAST(cum * 1000000 // t - k * 1000000 // nh AS BIGINT)
+               AS dev_ppm
+    FROM c
+    """,
+)
+def events_cusum_uniformity_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM-style volume-drift curve: per hour, the cumulative share
+    of all events against the uniform-time share, and their signed
+    deviation — the running statistic a monitoring pipeline tracks to
+    catch ingestion gaps or bursts (a flat-zero deviation means volume
+    arrives uniformly; a ramp means a rate change at the ramp's start;
+    the max |dev| is the Kolmogorov-style distance from uniformity).
+    All integer arithmetic (counts, floor-div ppm) — hash-stable.
+
+    Scale: the corpus-sized work is one hourly count; the cumulative
+    window then runs over |hours| AGGREGATE rows (bounded by the time
+    span, never by volume), so the single-partition ordered window is
+    a metadata-scale step — same posture as the date-spine and
+    growth-curve queries."""
+    events = load_table(spark, sf_dir, "events")
+    h = events.groupBy(trunc_hour_ntz("ts").alias("hour_bucket")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    wc = Window.orderBy("hour_bucket").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    c = h.select(
+        "hour_bucket",
+        "n",
+        F.sum("n").over(wc).alias("cum"),
+        F.row_number().over(Window.orderBy("hour_bucket")).alias("k"),
+        F.sum("n").over(wall).alias("t"),
+        F.count("*").over(wall).alias("nh"),
+    )
+    return c.select(
+        "hour_bucket",
+        "n",
+        F.expr("CAST(cum * 1000000 div t AS BIGINT)").alias("cum_share_ppm"),
+        F.expr("CAST(k * 1000000 div nh AS BIGINT)").alias("uniform_share_ppm"),
+        F.expr(
+            "CAST(cum * 1000000 div t - k * 1000000 div nh AS BIGINT)"
+        ).alias("dev_ppm"),
+    )
