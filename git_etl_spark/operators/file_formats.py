@@ -210,3 +210,81 @@ def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(path)
     )
     return _roundtrip_projection(back)
+
+
+CORRUPT_MOD = 17  # every doc_id % 17 == 0 line is deterministically broken
+
+
+@query(
+    "source_jsonl_malformed_quarantine",
+    oracle=f"""
+    SELECT lang,
+           CAST(SUM(CASE WHEN doc_id % {CORRUPT_MOD} <> 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_parsed,
+           CAST(SUM(CASE WHEN doc_id % {CORRUPT_MOD} = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_corrupt
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def source_jsonl_malformed_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input quarantine at the SOURCE level (the reference's
+    F1 malformed-line filters lifted to parse failures): a JSONL copy
+    of documents is written with every {M}-th line deterministically
+    truncated mid-record, then read back in PERMISSIVE mode with a
+    ``_corrupt_record`` column — Spark parses what it can and lands
+    the broken raw lines in the quarantine column instead of failing
+    the job (the production posture for crawl/vendor feeds; FAILFAST
+    is for curated inputs, DROPMALFORMED silently loses evidence).
+    Corrupt lines carry their raw text, so the audit recovers each
+    broken record's lang by regex from the wreckage and reports, per
+    lang, parsed vs quarantined counts — which the oracle reproduces
+    from the corruption rule alone.
+
+    Scale: one line-delimited (splittable) scan; quarantine is a
+    per-row projection, no extra pass."""
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        "json-corrupt",
+        dataset_fingerprint(sf_dir, "documents"),
+    )
+    path = _FMT_MEMO.get(key)
+    if path is None:
+        path = os.path.join(
+            tempfile.gettempdir(), f"ges-fmt-corrupt-{uuid.uuid4().hex[:8]}"
+        )
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        )
+        line = F.to_json(F.struct("doc_id", "lang", "source", "n_chars", "text"))
+        broken = F.when(
+            F.col("doc_id") % CORRUPT_MOD == 0,
+            # truncate mid-record: undeniably invalid JSON, lang field
+            # still present in the wreckage for the audit regex
+            F.substring(line, 1, 40),
+        ).otherwise(line)
+        docs.select(broken.alias("value")).write.mode("overwrite").text(path)
+        _FMT_MEMO[key] = path
+    schema = (
+        "doc_id LONG, lang STRING, source STRING, n_chars LONG, text STRING,"
+        " _corrupt_record STRING"
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    lang_of = F.coalesce(
+        F.col("lang"),
+        F.regexp_extract(F.col("_corrupt_record"), '"lang":"([a-z]+)"', 1),
+    )
+    return back.groupBy(lang_of.alias("lang")).agg(
+        F.sum(F.when(F.col("_corrupt_record").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_parsed"),
+        F.sum(F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_corrupt"),
+    )
