@@ -1772,3 +1772,96 @@ def events_cusum_uniformity_drift(spark: SparkSession, sf_dir: str) -> DataFrame
             "CAST(cum * 1000000 div t - k * 1000000 div nh AS BIGINT)"
         ).alias("dev_ppm"),
     )
+
+
+PATTERN_GAP_MIN = 10  # session gap for pattern matching (minutes)
+
+
+@query(
+    "events_session_pattern_match",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                         >= INTERVAL {PATTERN_GAP_MIN} MINUTE
+                         OR LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+    ),
+    numbered AS (
+        SELECT user_id, ts, event_id, event_type,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM seq
+    ),
+    paths AS (
+        SELECT user_id, sid,
+               array_to_string(list(substring(event_type, 1, 1)
+                                    ORDER BY ts, event_id), '') AS path
+        FROM numbered GROUP BY user_id, sid
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN regexp_matches(path, 'v.*c.*p')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_funnel_sessions,
+           CAST(SUM(CASE WHEN regexp_matches(path, 'vcp')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_strict_sessions
+    FROM paths GROUP BY user_id
+    """,
+)
+def events_session_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence pattern detection inside
+    sessions: each session's ordered event-type sequence (total order
+    (ts, event_id)) is folded to a symbol string and matched against
+    two patterns — the gapped funnel ``view …→ click …→ purchase``
+    (v.*c.*p) and the STRICT consecutive form (vcp, no intervening
+    events) that funnel aggregates can't express. Per user: sessions,
+    gapped matches, strict matches. This is the sequential-pattern
+    primitive (Spark has no MATCH_RECOGNIZE; symbol-string + regex
+    over session groups is its standard lake substitute).
+
+    Scale: the symbol string is one character per event grouped by
+    SESSION — state bounded by session length (minutes of activity),
+    never user history; one shuffle keyed (user, sid) and the regex
+    runs once per session row."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_break = (
+        epoch_sec(F.col("ts")) - F.lag(epoch_sec(F.col("ts"))).over(w)
+        >= PATTERN_GAP_MIN * 60
+    )
+    numbered = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum(
+            F.when(gap_break | F.lag("ts").over(w).isNull(), 1).otherwise(0)
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("sid"),
+    )
+    paths = numbered.groupBy("user_id", "sid").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("c"))
+                    )
+                ),
+                lambda s: s.getField("c"),
+            ),
+        ).alias("path")
+    )
+    return paths.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.sum(F.when(F.col("path").rlike("v.*c.*p"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_funnel_sessions"),
+        F.sum(F.when(F.col("path").rlike("vcp"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_strict_sessions"),
+    )
