@@ -1865,3 +1865,73 @@ def events_session_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_strict_sessions"),
     )
+
+
+@query(
+    "events_dau_wau_stickiness",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('week', ts) AS DATE) AS week_start,
+               CAST(ts AS DATE) AS d, user_id
+        FROM events GROUP BY 1, 2, 3
+    ),
+    dau AS (
+        SELECT week_start, d, CAST(COUNT(*) AS BIGINT) AS n_dau
+        FROM daily GROUP BY week_start, d
+    ),
+    wk AS (
+        SELECT week_start,
+               CAST(SUM(n_dau) AS BIGINT) AS sum_dau,
+               CAST(COUNT(*) AS BIGINT) AS n_days
+        FROM dau GROUP BY week_start
+    ),
+    wau AS (
+        SELECT week_start, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_wau
+        FROM daily GROUP BY week_start
+    )
+    SELECT w.week_start, w.sum_dau, w.n_days, u.n_wau,
+           CAST(w.sum_dau * 1000000 // (w.n_days * u.n_wau) AS BIGINT)
+               AS stickiness_ppm
+    FROM wk w JOIN wau u USING (week_start)
+    """,
+)
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per week — mean daily actives over weekly
+    actives, the standard engagement-depth ratio (1.0 = every weekly
+    user active every observed day). Computed entirely in integers:
+    Σdau·10⁶ div (days·wau), so the ratio is exact ppm and
+    hash-stable; the day/user dedup is one DISTINCT pass feeding both
+    the daily counts and the weekly distinct.
+
+    Scale: shuffles keyed (week, day, user) then aggregates shrinking
+    to |weeks| rows; the weekly distinct is the only unbounded-key
+    aggregation and is exactly what the HLL sketch family
+    (agg_hll_reaggregatable) approximates at the 100 TB tier."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.select(
+        F.date_trunc("week", "ts").cast("date").alias("week_start"),
+        F.col("ts").cast("date").alias("d"),
+        "user_id",
+    ).distinct()
+    dau = daily.groupBy("week_start", "d").agg(
+        F.count("*").cast("long").alias("n_dau")
+    )
+    wk = dau.groupBy("week_start").agg(
+        F.sum("n_dau").cast("long").alias("sum_dau"),
+        F.count("*").cast("long").alias("n_days"),
+    )
+    wau = daily.groupBy("week_start").agg(
+        F.countDistinct("user_id").cast("long").alias("n_wau")
+    )
+    return (
+        wk.join(wau, "week_start")
+        .select(
+            "week_start",
+            "sum_dau",
+            "n_days",
+            "n_wau",
+            F.expr(
+                "CAST(sum_dau * 1000000 div (n_days * n_wau) AS BIGINT)"
+            ).alias("stickiness_ppm"),
+        )
+    )

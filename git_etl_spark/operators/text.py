@@ -1516,3 +1516,42 @@ def text_lang_trigram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ))
         .filter(F.col("rnk") <= LANG_PROFILE_TOP)
     )
+
+
+PREFIX_LEN = 32  # boilerplate signature width (chars)
+
+
+@query(
+    "text_boilerplate_prefix_clusters",
+    oracle=f"""
+    SELECT substring(text, 1, {PREFIX_LEN}) AS prefix,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           MIN(doc_id) AS first_doc
+    FROM documents
+    GROUP BY substring(text, 1, {PREFIX_LEN})
+    HAVING COUNT(*) > 1
+    """,
+)
+def text_boilerplate_prefix_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-header detection: documents sharing an exact
+    {P}-char prefix — the cheap first-pass that catches templated
+    headers, cookie banners, and licence preambles BEFORE expensive
+    shingle dedup runs (a prefix cluster spanning many sources is
+    near-certain boilerplate; one source, near-certain template).
+    Output is one row per repeated prefix with its document count,
+    source spread, and earliest exemplar.
+
+    Scale: one partial-aggregated shuffle keyed on the fixed-width
+    prefix — the prefix IS the dedup key, so this is the X1 exact
+    shape at O(P) bytes per row regardless of document length."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.substring("text", 1, PREFIX_LEN).alias("prefix"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
