@@ -25,7 +25,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
@@ -796,5 +796,108 @@ def multimodal_ahash_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFra
             "doc_b",
             "ahash",
             (F.col("md5_a") == F.col("md5_b")).alias("same_payload"),
+        )
+    )
+
+
+SILENCE_TAU = 24  # |sample − 128| ≤ τ counts as silence (8-bit PCM midline)
+
+
+@query(
+    "multimodal_audio_silence_segments",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS n
+        FROM documents
+    ),
+    px AS (
+        SELECT doc_id, n, p,
+               abs(CAST('0x' || substr(hx, 2*p + 1, 2) AS INT) - 128)
+                   <= {SILENCE_TAU} AS silent
+        FROM b, unnest(range(0, n)) AS t(p)
+    ),
+    isl AS (
+        SELECT doc_id, n, p,
+               p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        FROM px WHERE silent
+    ),
+    runs AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS run_len
+        FROM isl GROUP BY doc_id, grp
+    )
+    SELECT b.doc_id,
+           CAST(b.n AS BIGINT) AS n_samples,
+           COALESCE(CAST((SELECT SUM(run_len) FROM runs r
+                          WHERE r.doc_id = b.doc_id) AS BIGINT), 0)
+               AS n_silent,
+           COALESCE(CAST((SELECT COUNT(*) FROM runs r
+                          WHERE r.doc_id = b.doc_id) AS BIGINT), 0)
+               AS n_segments,
+           COALESCE(CAST((SELECT MAX(run_len) FROM runs r
+                          WHERE r.doc_id = b.doc_id) AS BIGINT), 0)
+               AS max_run,
+           COALESCE(CAST((SELECT SUM(run_len) FROM runs r
+                          WHERE r.doc_id = b.doc_id) AS BIGINT), 0)
+               * 1000000 // b.n AS silent_ppm
+    FROM b
+    """,
+)
+def multimodal_audio_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence segmentation over the 8-bit PCM sample stream (the VAD
+    primitive behind audio trimming and speech-segment extraction):
+    samples within τ of the midline are 'silent', consecutive silent
+    samples form segments via the gaps-and-islands rewrite
+    (position − rank), and each clip reports segment count, total and
+    longest silence, and the exact-ppm silent fraction — the features
+    an audio curation pipeline thresholds to drop dead air or split
+    long recordings. All integer arithmetic over actual sample bytes;
+    the oracle recomputes the full segmentation from hex pairs.
+
+    Scale: the explode is n rows per clip with a per-clip window
+    (partition-local, keyed by doc) — parallelism ∝ clips, state ∝
+    one clip's samples, the same bound as any per-item decode."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.select(
+        "doc_id",
+        F.hex(F.encode("text", "UTF-8")).alias("hx"),
+        F.octet_length(F.encode("text", "UTF-8")).alias("n"),
+    )
+    px = b.select(
+        "doc_id",
+        "n",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, n - 1),"
+                " p -> abs(conv(substring(hx, 2*p + 1, 2), 16, 10)"
+                f"          - 128) <= {SILENCE_TAU})"
+            )
+        ).alias("p", "silent"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("p")
+    isl = px.filter("silent").select(
+        "doc_id", "n", (F.col("p") - F.row_number().over(w)).alias("grp")
+    )
+    runs = isl.groupBy("doc_id", "grp").agg(
+        F.count("*").cast("long").alias("run_len"),
+        F.any_value("n").alias("n"),
+    )
+    per_doc = runs.groupBy("doc_id").agg(
+        F.sum("run_len").cast("long").alias("n_silent"),
+        F.count("*").cast("long").alias("n_segments"),
+        F.max("run_len").cast("long").alias("max_run"),
+    )
+    return (
+        b.select("doc_id", F.col("n").cast("long").alias("n_samples"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_samples",
+            F.coalesce("n_silent", F.lit(0)).cast("long").alias("n_silent"),
+            F.coalesce("n_segments", F.lit(0)).cast("long").alias("n_segments"),
+            F.coalesce("max_run", F.lit(0)).cast("long").alias("max_run"),
+            F.expr(
+                "CAST(coalesce(n_silent, 0) * 1000000 div n_samples AS BIGINT)"
+            ).alias("silent_ppm"),
         )
     )
