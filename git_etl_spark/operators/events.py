@@ -1935,3 +1935,118 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("stickiness_ppm"),
         )
     )
+
+
+@query(
+    "events_growth_accounting",
+    oracle="""
+    WITH wk AS (
+        SELECT DISTINCT CAST(date_trunc('week', ts) AS DATE) AS w, user_id
+        FROM events
+    ),
+    first_wk AS (
+        SELECT user_id, MIN(w) AS fw FROM wk GROUP BY user_id
+    ),
+    cur AS (
+        SELECT wk.w, wk.user_id, f.fw,
+               EXISTS (SELECT 1 FROM wk p
+                       WHERE p.user_id = wk.user_id
+                         AND p.w = wk.w - INTERVAL 7 DAY) AS was_active
+        FROM wk JOIN first_wk f USING (user_id)
+    ),
+    churn AS (
+        SELECT wk.w + INTERVAL 7 DAY AS w,
+               CAST(COUNT(*) AS BIGINT) AS n_churned
+        FROM wk
+        WHERE NOT EXISTS (SELECT 1 FROM wk n
+                          WHERE n.user_id = wk.user_id
+                            AND n.w = wk.w + INTERVAL 7 DAY)
+        GROUP BY wk.w + INTERVAL 7 DAY
+    ),
+    states AS (
+        SELECT w,
+               CAST(SUM(CASE WHEN fw = w THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+               CAST(SUM(CASE WHEN fw < w AND was_active THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_retained,
+               CAST(SUM(CASE WHEN fw < w AND NOT was_active THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_resurrected,
+               CAST(COUNT(*) AS BIGINT) AS n_active
+        FROM cur GROUP BY w
+    )
+    SELECT CAST(s.w AS DATE) AS week_start, s.n_active, s.n_new, s.n_retained,
+           s.n_resurrected, COALESCE(c.n_churned, 0) AS n_churned
+    FROM states s LEFT JOIN churn c ON CAST(c.w AS DATE) = s.w
+    """,
+)
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting — the new / retained / resurrected /
+    churned decomposition every growth team closes its books with
+    (active(w) = new + retained + resurrected; churned(w) = active in
+    w−1 but not w). States derive from two artifacts: each user's
+    first-ever week (one aggregate) and week-over-week presence (a
+    self-join of the distinct week/user set shifted by 7 days) — all
+    counts exact BIGINTs.
+
+    Scale: the distinct (week, user) pass is the only corpus-sized
+    shuffle; the presence self-join and first-week join are keyed on
+    (user, week) with |weeks| output rows. The same decomposition at
+    100 TB usually runs on the sketch tier first; this is the exact
+    ledger."""
+    events = load_table(spark, sf_dir, "events")
+    wk = events.select(
+        F.date_trunc("week", "ts").cast("date").alias("w"), "user_id"
+    ).distinct()
+    first_wk = wk.groupBy("user_id").agg(F.min("w").alias("fw"))
+    prev = wk.select(F.date_add("w", 7).alias("w"), F.col("user_id").alias("pu"))
+    cur = (
+        wk.join(first_wk, "user_id")
+        .join(
+            prev.withColumnRenamed("pu", "user_id").withColumn(
+                "was_active", F.lit(True)
+            ),
+            ["w", "user_id"],
+            "left",
+        )
+        .withColumn("was_active", F.coalesce("was_active", F.lit(False)))
+    )
+    states = cur.groupBy("w").agg(
+        F.sum(F.when(F.col("fw") == F.col("w"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_new"),
+        F.sum(
+            F.when((F.col("fw") < F.col("w")) & F.col("was_active"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_retained"),
+        F.sum(
+            F.when((F.col("fw") < F.col("w")) & ~F.col("was_active"), 1).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("n_resurrected"),
+        F.count("*").cast("long").alias("n_active"),
+    )
+    nxt = wk.select("w", "user_id")
+    churn = (
+        wk.alias("a")
+        .join(
+            nxt.alias("b"),
+            (F.col("b.user_id") == F.col("a.user_id"))
+            & (F.col("b.w") == F.date_add(F.col("a.w"), 7)),
+            "left_anti",
+        )
+        .groupBy(F.date_add("w", 7).alias("w"))
+        .agg(F.count("*").cast("long").alias("n_churned"))
+    )
+    return (
+        states.join(churn, "w", "left")
+        .select(
+            F.col("w").alias("week_start"),
+            "n_active",
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            F.coalesce("n_churned", F.lit(0)).cast("long").alias("n_churned"),
+        )
+    )
