@@ -782,3 +782,121 @@ def agg_group_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("slope_cents_per_day"),
         ((sy - slope * sx) / n).alias("intercept_cents"),
     )
+
+
+@query(
+    "join_asof_nearest_click",
+    oracle="""
+    WITH purchases AS (
+        SELECT user_id, event_id AS purchase_id, ts AS pts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+        SELECT user_id, event_id AS click_id, ts AS cts
+        FROM events WHERE event_type = 'click'
+    ),
+    back AS (
+        SELECT p.purchase_id, p.user_id, p.pts, c.click_id, c.cts,
+               ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                                  ORDER BY c.cts DESC, c.click_id DESC) AS rn
+        FROM purchases p JOIN clicks c
+          ON c.user_id = p.user_id AND c.cts <= p.pts
+    ),
+    fwd AS (
+        SELECT p.purchase_id, p.user_id, p.pts, c.click_id, c.cts,
+               ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                                  ORDER BY c.cts ASC, c.click_id ASC) AS rn
+        FROM purchases p JOIN clicks c
+          ON c.user_id = p.user_id AND c.cts > p.pts
+    ),
+    cand AS (
+        SELECT purchase_id, user_id, pts, click_id, cts, 0 AS side
+        FROM back WHERE rn = 1
+        UNION ALL
+        SELECT purchase_id, user_id, pts, click_id, cts, 1 AS side
+        FROM fwd WHERE rn = 1
+    )
+    SELECT purchase_id, user_id, click_id,
+           CAST(abs(epoch_us(cts) - epoch_us(pts)) AS BIGINT) AS delta_us,
+           side = 0 AS matched_backward
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY purchase_id
+                   ORDER BY abs(epoch_us(cts) - epoch_us(pts)), side) AS rnk
+        FROM cand
+    ) WHERE rnk = 1
+    """,
+)
+def join_asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-direction as-of join: each purchase pairs with the same
+    user's closest click in EITHER direction (ties prefer the earlier,
+    backward click) — attribution when the causal direction is unknown
+    (prefetch clicks land after their purchase event in some loggers).
+    Plain backward as-of (join_asof_last_signup) can't express this;
+    nearest = best-of(last-before, first-after), which is exactly how
+    it's computed: one backward representative and one forward
+    representative per purchase (each a per-user rank over its side),
+    then an arg-min on absolute distance with a deterministic side
+    tie-break. Distances compare as exact integer MICROseconds
+    (epoch_us both engines — fractional-second doubles would disagree
+    in the last bit).
+
+    Scale: both representative picks are per-user-keyed windows over
+    the interleaved event stream (the standard sorted-merge as-of
+    shape, no pair explosion beyond per-user click×purchase, pruned to
+    rank 1 before the union); the final arg-min touches ≤2 rows per
+    purchase."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("cts")
+    )
+    joined = purchases.join(clicks, "user_id")
+    back = (
+        joined.filter(F.col("cts") <= F.col("pts"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("purchase_id").orderBy(
+                    F.desc("cts"), F.desc("click_id")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .withColumn("side", F.lit(0))
+    )
+    fwd = (
+        joined.filter(F.col("cts") > F.col("pts"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("purchase_id").orderBy(
+                    F.asc("cts"), F.asc("click_id")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .withColumn("side", F.lit(1))
+    )
+    cand = back.unionByName(fwd).withColumn(
+        "delta_us",
+        F.abs(F.timestamp_diff("MICROSECOND", F.col("pts"), F.col("cts"))).cast(
+            "long"
+        ),
+    )
+    w = Window.partitionBy("purchase_id").orderBy("delta_us", "side")
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            "click_id",
+            "delta_us",
+            (F.col("side") == 0).alias("matched_backward"),
+        )
+    )
