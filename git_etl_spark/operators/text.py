@@ -1555,3 +1555,67 @@ def text_boilerplate_prefix_clusters(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+@query(
+    "text_vocab_overlap_langs",
+    oracle="""
+    WITH v AS (
+        SELECT DISTINCT lang, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    sizes AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY lang),
+    inter AS (
+        SELECT a.lang AS lang_a, b.lang AS lang_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM v a JOIN v b ON a.tok = b.tok AND a.lang < b.lang
+        GROUP BY a.lang, b.lang
+    )
+    SELECT i.lang_a, i.lang_b, sa.n AS vocab_a, sb.n AS vocab_b, i.n_shared,
+           CAST(i.n_shared * 1000000 // (sa.n + sb.n - i.n_shared) AS BIGINT)
+               AS jaccard_ppm
+    FROM inter i
+    JOIN sizes sa ON sa.lang = i.lang_a
+    JOIN sizes sb ON sb.lang = i.lang_b
+    """,
+)
+def text_vocab_overlap_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-language vocabulary overlap: exact-ppm Jaccard between
+    each language pair's distinct token vocabularies — the script/
+    loanword-sharing matrix a multilingual tokenizer design reads
+    (high overlap → shared subword space pays; near-zero → per-script
+    vocabulary budgets), and a labeling sanity check (two 'different'
+    languages with ~identical vocabularies are one mislabeled
+    corpus). Pure counts and floor-div ppm.
+
+    Scale: the distinct (lang, token) pass is the only corpus-sized
+    shuffle; the overlap self-join is keyed on token with |langs|²
+    output rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    v = docs.select("lang", F.explode(F.split("text", " ")).alias("tok")).distinct()
+    sizes = v.groupBy("lang").agg(F.count("*").cast("long").alias("n"))
+    a = v.select(F.col("lang").alias("lang_a"), "tok")
+    b = v.select(F.col("lang").alias("lang_b"), "tok")
+    inter = (
+        a.join(b, ["tok"])
+        .filter(F.col("lang_a") < F.col("lang_b"))
+        .groupBy("lang_a", "lang_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("lang").alias("lang_a"), F.col("n").alias("vocab_a"))
+    sb = sizes.select(F.col("lang").alias("lang_b"), F.col("n").alias("vocab_b"))
+    return (
+        inter.join(F.broadcast(sa), "lang_a")
+        .join(F.broadcast(sb), "lang_b")
+        .select(
+            "lang_a",
+            "lang_b",
+            "vocab_a",
+            "vocab_b",
+            "n_shared",
+            F.expr(
+                "CAST(n_shared * 1000000 div (vocab_a + vocab_b - n_shared)"
+                " AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )
