@@ -1888,3 +1888,64 @@ def dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(est_ppm - ex_ppm).cast("long").alias("abs_err_ppm"),
         )
     )
+
+
+@query(
+    "dedup_cross_source_duplicates",
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id, source,
+               md5(array_to_string(list_sort(list_distinct(
+                   string_split(text, ' '))), ' ')) AS fingerprint
+        FROM documents
+    ),
+    multi AS (
+        SELECT fingerprint
+        FROM fp GROUP BY fingerprint
+        HAVING COUNT(DISTINCT source) > 1
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(DISTINCT a.fingerprint) AS BIGINT) AS n_shared_docs
+    FROM fp a
+    JOIN fp b ON a.fingerprint = b.fingerprint AND a.source < b.source
+    JOIN multi m ON m.fingerprint = a.fingerprint
+    GROUP BY a.source, b.source
+    """,
+)
+def dedup_cross_source_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Syndication detection: canonical documents (bag-of-words
+    fingerprint) appearing under MORE THAN ONE source, aggregated to
+    the source-pair level — the matrix that tells a curation pipeline
+    which sources republish each other (keep one copy, credit one
+    source, and deduct the rest from both sources' mixture weights).
+    Within-source duplicates are deliberately excluded (that's
+    ordinary dedup); only cross-boundary sharing survives the
+    DISTINCT-source HAVING gate.
+
+    Scale: one fingerprint shuffle, the multi-source gate is a
+    fingerprint-keyed aggregate, and the pair join only touches
+    fingerprints already known to span sources — candidates ∝
+    syndicated content, never corpus²."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(F.split("text", " "))))
+        ).alias("fingerprint"),
+    )
+    multi = (
+        fp.groupBy("fingerprint")
+        .agg(F.countDistinct("source").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .select("fingerprint")
+    )
+    fpm = fp.join(F.broadcast(multi), "fingerprint")
+    a = fpm.select("fingerprint", F.col("source").alias("source_a"))
+    b = fpm.select("fingerprint", F.col("source").alias("source_b"))
+    return (
+        a.join(b, ["fingerprint"])
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.countDistinct("fingerprint").cast("long").alias("n_shared_docs"))
+    )

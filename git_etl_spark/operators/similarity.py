@@ -981,3 +981,74 @@ def embedding_dim_median_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("median_ppb"),
     )
+
+
+NORM_LO = 0.9  # healthy unit-norm band (embeddings are ~unit length)
+NORM_HI = 1.1
+
+
+@query(
+    "embedding_norm_health",
+    oracle=f"""
+    WITH n AS (
+        SELECT vec_id, label,
+               sqrt(list_aggregate(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS norm,
+               list_aggregate(list_transform(embedding,
+                    x -> CASE WHEN CAST(x AS DOUBLE) = 0 THEN 1 ELSE 0 END),
+                    'sum') AS nz
+        FROM embeddings
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CASE WHEN norm < {NORM_LO} OR norm > {NORM_HI}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_out_of_band,
+           CAST(SUM(CASE WHEN nz > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_with_zero_dims,
+           MIN(norm) AS min_norm,
+           MAX(norm) AS max_norm
+    FROM n GROUP BY label
+    """,
+)
+def embedding_norm_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-health screen, per label cohort: how many vectors fall
+    outside the healthy unit-norm band or carry exact-zero components
+    (the two cheap signatures of a broken embedding job — truncated
+    writes, failed normalization, dead dimensions — that silently
+    poison cosine similarity downstream), plus the cohort's min/max
+    norm. Zero everywhere and a tight norm band IS the desired
+    production answer; the summary stays non-empty either way so the
+    gate always has values to hash. Norms are the bitwise-reproducible
+    double fold shared with the cosine kernels (min/max select raw
+    fold outputs — no arithmetic over them), counts are exact.
+
+    Scale: scan-level projection + one |labels|-row aggregate — the
+    screen runs inline with embedding ingestion at any corpus size."""
+    from ..functions.vector import norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_zero = F.aggregate(
+        F.transform(
+            "embedding",
+            lambda x: F.when(x.cast("double") == 0.0, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    checked = emb.select(
+        "label",
+        norm(F.col("embedding")).alias("norm"),
+        n_zero.alias("nz"),
+    )
+    out_of_band = (F.col("norm") < NORM_LO) | (F.col("norm") > NORM_HI)
+    return checked.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.sum(F.when(out_of_band, 1).otherwise(0))
+        .cast("long")
+        .alias("n_out_of_band"),
+        F.sum(F.when(F.col("nz") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_with_zero_dims"),
+        F.min("norm").alias("min_norm"),
+        F.max("norm").alias("max_norm"),
+    )
