@@ -993,3 +993,42 @@ def pipeline_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("kept_chars"),
     )
+
+
+@query(
+    "pipeline_release_manifest",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS n_bytes,
+           CAST(bit_xor(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT))
+                AS BIGINT) AS content_sig
+    FROM documents
+    GROUP BY source
+    """,
+)
+def pipeline_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-release manifest: per shard (source), the row count,
+    token and byte volume, and an ORDER-INDEPENDENT content signature
+    (XOR of a 60-bit md5 prefix per document) — the ledger published
+    alongside a training-data release so a consumer can verify their
+    copy shard-by-shard without re-hashing a canonical ordering (XOR
+    commutes, so the signature is stable under any partitioning,
+    re-shuffle, or parallel re-download; any added, dropped, or
+    mutated document flips it). This is the reproducibility receipt
+    the curation pipeline signs after every rebuild.
+
+    Scale: one scan, one partial-aggregated shuffle keyed on shard —
+    the XOR partial-aggregates map-side exactly like a sum, O(1)
+    state per group."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = F.expr("bit_xor(CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT))")
+    return docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+        F.sum(F.octet_length(F.encode("text", "UTF-8"))).cast("long").alias(
+            "n_bytes"
+        ),
+        sig.cast("long").alias("content_sig"),
+    )
