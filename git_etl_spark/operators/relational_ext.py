@@ -900,3 +900,60 @@ def join_asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("side") == 0).alias("matched_backward"),
         )
     )
+
+
+@query(
+    "join_fulfillment_latency_histogram",
+    oracle="""
+    WITH lat AS (
+        SELECT o.o_orderpriority,
+               datediff('day', CAST(o.o_orderdate AS DATE),
+                        CAST(l.l_shipdate AS DATE)) AS lat_days
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(CASE WHEN lat_days < 30 THEN lat_days // 7
+                     ELSE 4 END AS INT) AS bucket_weeks,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(MIN(lat_days) AS INT) AS min_days,
+           CAST(MAX(lat_days) AS INT) AS max_days
+    FROM lat
+    GROUP BY o_orderpriority,
+             CASE WHEN lat_days < 30 THEN lat_days // 7 ELSE 4 END
+    """,
+)
+def join_fulfillment_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution per priority: day latency
+    from the fact-fact join bucketed into weeks (30+ days pooled into
+    the tail bucket) with exact min/max — the fulfillment-SLA
+    histogram an ops review reads per priority class. Integer date
+    arithmetic only; the synthetic corpus draws order and ship dates
+    independently, so 'latency' spans negatives here (and the bucket
+    rule stays engine-identical: INTEGER division truncates toward
+    zero in BOTH Spark DIV and DuckDB ``//`` — verified −17//7 = −2
+    in each; it is float ``//`` that floors in DuckDB). Buckets are
+    closed-form, so the histogram partial-aggregates map-side.
+
+    Scale: one equi-join shuffle on the order key (or zero with the
+    bucketed layout — join_bucketed_colocated) and one grouped count;
+    output ≤ |priorities|·5 rows."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lat = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("lat_days"),
+    )
+    bucket = (
+        F.when(F.col("lat_days") < 30, F.expr("lat_days div 7"))
+        .otherwise(F.lit(4))
+        .cast("int")
+    )
+    return lat.groupBy("o_orderpriority", bucket.alias("bucket_weeks")).agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.min("lat_days").cast("int").alias("min_days"),
+        F.max("lat_days").cast("int").alias("max_days"),
+    )

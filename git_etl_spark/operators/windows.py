@@ -720,3 +720,74 @@ def agg_bitmap_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("both_direct"))
     )
     return from_bitmap.crossJoin(F.broadcast(exact))
+
+
+RANK_TOP_N = 15  # leaderboard depth for movement tracking
+
+
+@query(
+    "window_rank_movement_weekly",
+    oracle=f"""
+    WITH wk AS (
+        SELECT CAST(date_trunc('week', ts) AS DATE) AS w, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT w, event_type, n,
+               ROW_NUMBER() OVER (PARTITION BY w
+                                  ORDER BY n DESC, event_type) AS rnk
+        FROM wk
+    ),
+    top AS (SELECT * FROM ranked WHERE rnk <= {RANK_TOP_N})
+    SELECT c.w AS week_start, c.event_type,
+           CAST(c.rnk AS INT) AS rnk, c.n,
+           CAST(p.rnk AS INT) AS prev_rnk,
+           CAST(COALESCE(p.rnk - c.rnk, 0) AS INT) AS rank_delta,
+           p.rnk IS NULL AS is_new_entry
+    FROM top c
+    LEFT JOIN ranked p
+      ON p.event_type = c.event_type AND p.w = c.w - INTERVAL 7 DAY
+    """,
+)
+def window_rank_movement_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leaderboard rank movement: each week's top-N event types with
+    their previous-week rank, signed movement (positive = climbed),
+    and a new-entry flag — the trending/movers view every ranking
+    surface ships, expressed as rank windows joined across a 7-day
+    shift (never by recomputing history per week). Deterministic ties
+    (count DESC, name) and pure integer ranks.
+
+    Scale: one grouped count, one rank window per week partition, and
+    a keyed self-join on (entity, week−7) — all bounded by
+    |weeks|·|entities| aggregate rows, corpus touched once."""
+    events = load_table(spark, sf_dir, "events")
+    wk = events.groupBy(
+        F.date_trunc("week", "ts").cast("date").alias("w"), "event_type"
+    ).agg(F.count("*").cast("long").alias("n"))
+    w_rank = Window.partitionBy("w").orderBy(F.desc("n"), F.asc("event_type"))
+    ranked = wk.withColumn("rnk", F.row_number().over(w_rank))
+    top = ranked.filter(F.col("rnk") <= RANK_TOP_N)
+    prev = ranked.select(
+        F.col("event_type").alias("pe"),
+        F.date_add("w", 7).alias("pw"),
+        F.col("rnk").alias("prev_rnk"),
+    )
+    return (
+        top.join(
+            prev,
+            (F.col("pe") == F.col("event_type")) & (F.col("pw") == F.col("w")),
+            "left",
+        )
+        .select(
+            F.col("w").alias("week_start"),
+            "event_type",
+            F.col("rnk").cast("int").alias("rnk"),
+            "n",
+            F.col("prev_rnk").cast("int").alias("prev_rnk"),
+            F.coalesce(F.col("prev_rnk") - F.col("rnk"), F.lit(0))
+            .cast("int")
+            .alias("rank_delta"),
+            F.col("prev_rnk").isNull().alias("is_new_entry"),
+        )
+    )
