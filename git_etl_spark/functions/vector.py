@@ -104,6 +104,36 @@ def sum14(col: Column) -> Column:
     return F.sum(hi).cast("decimal(38,0)") * m + F.sum(lo).cast("decimal(38,0)")
 
 
+def sum_scaled(col: Column, scale: float) -> Column:
+    """sum14 generalized to an arbitrary power-of-ten scale: exact
+    Σ trunc(col·scale) as DECIMAL(38,0) via the same LONG hi/lo split.
+    Precondition: |col|·scale fits int64, i.e. |col| ≲ 9.2e18/scale.
+    Use a smaller scale than 1e14 when per-term magnitudes can exceed
+    ~9e4 (e.g. chi-square terms bounded by the corpus row count)."""
+    t = (col.cast("double") * F.lit(scale)).cast("long")
+    m = F.lit(_SUM14_M)
+    lo = t % m
+    hi = ((t - lo) / m).cast("long")
+    return F.sum(hi).cast("decimal(38,0)") * m + F.sum(lo).cast("decimal(38,0)")
+
+
+def dec_scaled_to_double(s: Column, scale: float) -> Column:
+    """dec14_to_double generalized: DECIMAL(38,0) sum of trunc(x·scale)
+    terms → double in original units, exact sign/hi/lo reconstruction."""
+    sgn = F.when(s < F.lit(0), F.lit(-1.0)).otherwise(F.lit(1.0))
+    a = F.abs(s)
+    lo = a % F.lit(_DEC14_SPLIT)
+    hi = (a - lo) / F.lit(_DEC14_SPLIT)
+    return (
+        sgn
+        * (
+            hi.cast("long").cast("double") * F.lit(1e12)
+            + lo.cast("long").cast("double")
+        )
+        / F.lit(scale)
+    )
+
+
 def dec14_to_double(s: Column) -> Column:
     """DECIMAL(38,0) 1e-14-unit sum → double (original units), via the
     cross-engine-exact sign/hi/lo reconstruction described above."""

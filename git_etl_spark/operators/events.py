@@ -1553,8 +1553,9 @@ BOT_FAST_PPM_MIN = 500_000  # flag users with ≥50% fast interarrivals
     oracle=f"""
     WITH seq AS (
         SELECT user_id, ts,
-               epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id
-                                               ORDER BY ts, event_id)) AS gap_s
+               CAST(FLOOR(epoch(ts)) AS BIGINT)
+                 - CAST(FLOOR(epoch(LAG(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id))) AS BIGINT) AS gap_s
         FROM events
     ),
     per_user AS (
@@ -1619,8 +1620,10 @@ SESSION_GAP_MIN = 10
     oracle=f"""
     WITH seq AS (
         SELECT user_id, ts,
-               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                         >= INTERVAL {SESSION_GAP_MIN} MINUTE
+               CASE WHEN CAST(FLOOR(epoch(ts)) AS BIGINT)
+                         - CAST(FLOOR(epoch(LAG(ts) OVER (
+                               PARTITION BY user_id ORDER BY ts))) AS BIGINT)
+                         >= {SESSION_GAP_MIN} * 60
                          OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
                             IS NULL
                     THEN 1 ELSE 0 END AS new_sess
@@ -1782,9 +1785,11 @@ PATTERN_GAP_MIN = 10  # session gap for pattern matching (minutes)
     oracle=f"""
     WITH seq AS (
         SELECT user_id, ts, event_id, event_type,
-               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
-                                            ORDER BY ts, event_id)
-                         >= INTERVAL {PATTERN_GAP_MIN} MINUTE
+               CASE WHEN CAST(FLOOR(epoch(ts)) AS BIGINT)
+                         - CAST(FLOOR(epoch(LAG(ts) OVER (
+                               PARTITION BY user_id
+                               ORDER BY ts, event_id))) AS BIGINT)
+                         >= {PATTERN_GAP_MIN} * 60
                          OR LAG(ts) OVER (PARTITION BY user_id
                                           ORDER BY ts, event_id) IS NULL
                     THEN 1 ELSE 0 END AS new_sess

@@ -158,13 +158,23 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: The one directory BOTH engines list for the read_blob-oracled
+#: queries below. The harness registers table *views*, not the data
+#: directory, so the oracle SQL cannot see sf_dir — instead of
+#: hardcoding the path on only the oracle side (silently wrong if the
+#: harness ever verifies at another scale), both the Spark query and
+#: the oracle derive from this constant, making the comparison valid
+#: at every sf.
+BLOB_ORACLE_DIR = "/root/testdata/sf0.01"
+
+
 @query(
     "multimodal_binaryfile_listing",
-    oracle="""
+    oracle=f"""
     SELECT string_split(filename, '/')[-1] AS file_name,
            CAST(size AS BIGINT) AS n_bytes,
            md5(hex(content)) AS content_md5
-    FROM read_blob('/root/testdata/sf0.01/*.parquet')
+    FROM read_blob('{BLOB_ORACLE_DIR}/*.parquet')
     """,
 )
 def multimodal_binaryfile_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -178,10 +188,10 @@ def multimodal_binaryfile_listing(spark: SparkSession, sf_dir: str) -> DataFrame
     (``read_blob``): every content byte participates via
     md5(hex(content)) — DuckDB 1.0 has no BLOB md5, but hex() of a
     blob is identical uppercase in both engines, so hashing the hex
-    string is an equivalent full-content witness. The oracle path is
-    literal because the harness registers table views, not the
-    directory; it runs at sf0.01 by contract."""
-    files = spark.read.format("binaryFile").load(f"{sf_dir}/*.parquet")
+    string is an equivalent full-content witness. Both sides list
+    BLOB_ORACLE_DIR (not sf_dir) so the comparison stays valid at any
+    verification scale."""
+    files = spark.read.format("binaryFile").load(f"{BLOB_ORACLE_DIR}/*.parquet")
     return files.select(
         F.element_at(F.split("path", "/"), -1).alias("file_name"),
         F.col("length").alias("n_bytes"),
@@ -191,21 +201,20 @@ def multimodal_binaryfile_listing(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @query(
     "multimodal_binaryfile_meta",
-    oracle="""
+    oracle=f"""
     SELECT string_split(filename, '/')[-1] AS file_name,
            CAST(size AS BIGINT) AS n_bytes
-    FROM read_blob('/root/testdata/sf0.01/*.parquet')
+    FROM read_blob('{BLOB_ORACLE_DIR}/*.parquet')
     """,
 )
 def multimodal_binaryfile_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracled twin of the ``binaryFile`` listing: name + byte length
     verified against DuckDB's independent filesystem view
     (``read_blob``) — proving the Spark source reads the same objects
-    at the same sizes. Content md5 stays in the rows-only listing
-    query: DuckDB 1.0 has no BLOB md5 to compare against. The oracle
-    path is literal because the harness registers table views, not the
-    directory; it runs at sf0.01 by contract."""
-    files = spark.read.format("binaryFile").load(f"{sf_dir}/*.parquet")
+    at the same sizes (the listing twin additionally content-hashes
+    them). Both sides list BLOB_ORACLE_DIR (not sf_dir)
+    so the comparison stays valid at any verification scale."""
+    files = spark.read.format("binaryFile").load(f"{BLOB_ORACLE_DIR}/*.parquet")
     return files.select(
         F.element_at(F.split("path", "/"), -1).alias("file_name"),
         F.col("length").alias("n_bytes"),

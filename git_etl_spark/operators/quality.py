@@ -797,8 +797,9 @@ def quality_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         CROSS JOIN tot t
     ),
     acc AS (
-        SELECT SUM(CAST(trunc(((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e)
-                                / e) * 1e14) AS BIGINT)) AS s14,
+        SELECT SUM(CAST(trunc(LEAST((CAST(o AS DOUBLE) - e)
+                                    * (CAST(o AS DOUBLE) - e) / e,
+                                    9e8) * 1e10) AS BIGINT)) AS s14,
                CAST(COUNT(*) AS BIGINT) AS n_cells,
                (SELECT COUNT(*) FROM rows_t) AS nr,
                (SELECT COUNT(*) FROM cols_t) AS nc
@@ -806,7 +807,7 @@ def quality_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(floor((CASE WHEN s14 < 0 THEN -1.0 ELSE 1.0 END
                * (CAST(abs(s14) // 1000000000000 AS DOUBLE) * 1e12
-                  + CAST(abs(s14) % 1000000000000 AS DOUBLE)) / 1e14)
+                  + CAST(abs(s14) % 1000000000000 AS DOUBLE)) / 1e10)
                * 1000000 + 0.5) AS BIGINT) AS chi2_ppm,
            n_cells,
            CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof
@@ -821,13 +822,17 @@ def quality_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     degrees of freedom. Expected counts come from the exact BIGINT
     margins (E = rowTot·colTot/N in double, identical association
     order both engines); the per-cell (O−E)²/E terms are folded with
-    the order-independent scaled-integer sum from functions/vector.py,
-    so the statistic is hash-stable and quantized to exact ppm.
+    the order-independent scaled-integer sum from functions/vector.py
+    at per-term scale 1e10 and clamped at 9e8 (a term can reach N on a
+    fully dependent table, so the 1e14/9e4 default precondition does
+    not hold here; term·1e10 ≤ 9e18 provably fits int64 in both
+    engines, and a clamped cell only occurs when chi² is already
+    astronomically past any critical value). Hash-stable, exact ppm.
 
     Scale: one grouped count (the contingency table), two margin
     aggregates over the |cells| rows, and a cells-sized join — nothing
     after the first scan touches the corpus."""
-    from ..functions.vector import dec14_to_double, sum14
+    from ..functions.vector import dec_scaled_to_double, sum_scaled
 
     events = load_table(spark, sf_dir, "events")
     cells = events.groupBy(
@@ -852,7 +857,13 @@ def quality_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     od = F.col("o").cast("double")
     acc = terms.agg(
-        sum14((od - F.col("e")) * (od - F.col("e")) / F.col("e")).alias("s14"),
+        sum_scaled(
+            F.least(
+                (od - F.col("e")) * (od - F.col("e")) / F.col("e"),
+                F.lit(9e8),
+            ),
+            1e10,
+        ).alias("s14"),
         F.count("*").cast("long").alias("n_cells"),
     )
     nr = rows_t.agg(F.count("*").alias("nr"))
@@ -861,7 +872,7 @@ def quality_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         acc.crossJoin(F.broadcast(nr))
         .crossJoin(F.broadcast(nc))
         .select(
-            F.floor(dec14_to_double(F.col("s14")) * 1e6 + F.lit(0.5))
+            F.floor(dec_scaled_to_double(F.col("s14"), 1e10) * 1e6 + F.lit(0.5))
             .cast("long")
             .alias("chi2_ppm"),
             "n_cells",
