@@ -1457,11 +1457,13 @@ def _min_label_components(
 ) -> DataFrame:
     """Min-label propagation to a fixpoint: ``sym`` is the materialized
     symmetric edge list (a, b); ``nodes`` the initial labels (v, lbl).
-    Per round: min label across edges, elementwise least, eager
-    ``localCheckpoint`` so lineage and planning stay O(1) (the
-    GraphFrames trick); terminates when no label changes (≤ diameter
-    rounds). Rounds run under a shuffle-partition count sized to the
-    edge list (`loop_shuffle_partitions`). At 100 TB swap for
+    Per round: min label across edges, elementwise least, then a *lazy*
+    ``localCheckpoint`` whose materializing action is the changed-label
+    count itself — one job per round (checkpoint + convergence probe
+    merged), lineage and planning O(1) (the GraphFrames trick);
+    terminates when no label changes (≤ diameter rounds). Rounds run
+    under a shuffle-partition count sized to the edge list
+    (`loop_shuffle_partitions`). At 100 TB swap for
     large-star/small-star — same per-round join shape, provably
     O(log n) rounds — and checkpoint to reliable storage.
 
@@ -1491,9 +1493,15 @@ def _min_label_components(
                     (F.coalesce("nlbl", F.col("lbl")) < F.col("lbl")).alias("chg"),
                 )
             )
-            stepped = iter_checkpoint(stepped)
+            # lazy: the n_chg aggregate is the action that materializes
+            # this round's checkpoint — one job instead of checkpoint
+            # job + probe job
+            stepped = iter_checkpoint(stepped, eager=False)
             labels = stepped.select("v", "lbl")
-            if stepped.filter("chg").limit(1).count() == 0:
+            n_chg = stepped.agg(
+                F.sum(F.col("chg").cast("long")).alias("c")
+            ).collect()[0]["c"]
+            if not n_chg:
                 stable = True
                 break
     if not stable:

@@ -1264,7 +1264,12 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
         col = F.aggregate(F.split("spelled", " "), F.lit(""), step)
-        vocab = iter_checkpoint(vocab.select("cnt", col.alias("spelled")))
+        # lazy: next round's argmax collect materializes this rewrite
+        # (one job per round, and the final round's rewrite — which no
+        # one reads — is never computed at all)
+        vocab = iter_checkpoint(
+            vocab.select("cnt", col.alias("spelled")), eager=False
+        )
     _BPE_MERGES_MEMO[memo_key] = merges
     return spark.createDataFrame(
         merges, "rank long, pair string, pair_cnt long"

@@ -71,7 +71,7 @@ def get_spark(
     return builder.getOrCreate()
 
 
-def iter_checkpoint(df):
+def iter_checkpoint(df, eager: bool = True):
     """Per-round lineage cut for iterative operators.
 
     ``localCheckpoint`` stores blocks on executors — fast, but lost
@@ -84,11 +84,17 @@ def iter_checkpoint(df):
     All iterative operators (min-label / Large-Star–Small-Star
     components, PageRank, IVF Lloyd rounds) route their round
     materialization through here, so one ``setCheckpointDir`` call
-    flips the whole engine — see DEPLOYMENT.md."""
+    flips the whole engine — see DEPLOYMENT.md.
+
+    ``eager=False`` defers materialization to the caller's next action
+    — loops that immediately run a convergence-signature aggregate
+    over the round output pass False so checkpoint + signature are ONE
+    job per round instead of two (the driver-planning/job-overhead tax
+    measured on the iterative families)."""
     spark = df.sparkSession
     if spark.sparkContext.getCheckpointDir() is not None:
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
 
 
 @_contextmanager
