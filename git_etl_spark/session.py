@@ -65,6 +65,17 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "10m")
+        # Every distinct query compiles fresh whole-stage-codegen
+        # classes; a multi-hundred-query session fills the JVM's
+        # default ~240 MB reserved code cache (116 MB profiled-nmethod
+        # heap), and the JIT's code-cache sweeping then flushes warm
+        # methods — measured: tpch_q18 best-of-2 degraded 1.47 s →
+        # 1.87 s after 100 prior queries under the default, and
+        # recovered exactly with this raise (PERFORMANCE.md round 7).
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
