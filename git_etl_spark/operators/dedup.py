@@ -696,14 +696,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     which would fold this "small" corpus onto a handful of cores).
 
     Materialization strategy (each localCheckpoint is a barrier — keep
-    them few and small): the per-doc shingle-ARRAY table (|docs| rows)
-    is checkpointed, not its 200×-larger exploded occurrence form —
-    the two occurrence consumers re-explode from the checkpointed
-    arrays, which is a cheap scan; group membership (tiny) is
-    checkpointed once and reused by both expansion branches; the
-    per-doc bitset table (|docs| × ⌈|V|/64⌉ longs) is broadcast on
-    BOTH sides of the verify join, making verification map-only over
-    candidates instead of two shuffle joins.
+    them few and small, and keep everything per-DOC, never
+    per-occurrence): the occurrence stream exists only transiently
+    inside the document-frequency aggregate and the one keyed shuffle
+    that builds per-doc *sorted sid arrays*; prefix rows, bitsets, and
+    set sizes all derive map-side from those arrays (sid is df-rank,
+    so a sorted array IS the rarest-first PPJoin order — no
+    per-occurrence rank window, no materialized occurrence table).
+    Group membership (tiny) is checkpointed once and reused by both
+    expansion branches; the per-doc bitset table (|docs| × ⌈|V|/64⌉
+    longs) is broadcast on BOTH sides of the verify join, making
+    verification map-only over candidates instead of two shuffle
+    joins.
 
     **Exact-duplicate collapse first**: identical texts have identical
     shingle sets, so the whole PPJoin runs over one representative per
@@ -753,36 +757,50 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # form of the occurrence table; consumers re-explode from here so
     # the expensive shingling runs once but no 200×-larger exploded
     # table is ever written
-    occ = sets.select(
-        "doc_id", F.size("sh").alias("sz"), F.explode("sh").alias("s")
-    )
+    occ = sets.select("doc_id", F.explode("sh").alias("s"))
     docfreq = occ.groupBy("s").agg(F.count("*").alias("df"))
     # dictionary-encode shingles ONCE, up front: every downstream stage
     # (prefix ranking, candidate self-join, bitset build) then works on
     # int ids instead of 5-char strings — cheaper hashing/shuffles, and
     # the bitset build no longer needs its own vocab join. sid is
-    # assigned in shingle sort order, so ordering by (df, sid) is the
-    # same total order as (df, s).
+    # assigned in (df, s) rank order, so SORTING a doc's sid array IS
+    # the rarest-first PPJoin order — no per-occurrence window needed.
     n_vocab = docfreq.count()
     n_words = (n_vocab + 63) // 64
     vocab = docfreq.select(
-        "s", "df", (F.row_number().over(Window.orderBy("s")) - 1).alias("sid")
+        "s",
+        (F.row_number().over(Window.orderBy(F.asc("df"), F.asc("s"))) - 1).alias(
+            "sid"
+        ),
     )
-    occ_i = (
+    # ONE keyed shuffle turns the occurrence stream into per-doc sorted
+    # sid arrays; prefix rows AND bitsets then derive map-side from the
+    # arrays. This replaced a materialized occurrence table + a
+    # per-occurrence rank window + a two-level bit_or aggregation —
+    # measured 5.3 → 3.9 s end-to-end at sf0.1, bit-identical output.
+    # Per-group state is one doc's shingle set (bounded by document
+    # length, never corpus size).
+    sets_i = (
         occ.join(F.broadcast(vocab), "s")
-        .select("doc_id", "sz", "sid", "df")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("sid")).alias("sids"))
+        .withColumn("sz", F.size("sids"))
+        # spread the per-doc rows over every core: downstream candidate
+        # generation is map-side over this table's partitions, and the
+        # explicit N is exempt from AQE's byte-based coalescer
+        .repartition(spark.sparkContext.defaultParallelism)
         .localCheckpoint()
     )
-    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("sid"))
     prefix_len = F.col("sz") - F.floor((9 * F.col("sz") + 9) / 10) + 1
     prefix = (
-        occ_i.withColumn("pos", F.row_number().over(w))
-        .filter(F.col("pos") <= prefix_len)
-        .select("doc_id", "sid", "sz", "pos")
-        # candidate generation is map-side over this table (broadcast
-        # other side), so its partition count IS the join parallelism —
-        # pin it to the core count instead of the AQE-coalesced few
-        .repartition(spark.sparkContext.defaultParallelism)
+        sets_i.select(
+            "doc_id",
+            "sz",
+            F.posexplode(F.slice("sids", 1, prefix_len.cast("int"))).alias(
+                "p0", "sid"
+            ),
+        )
+        .select("doc_id", "sid", "sz", (F.col("p0") + 1).alias("pos"))
         .localCheckpoint()  # consumed twice (both sides of the self-join)
     )
     a, b = prefix.alias("a"), F.broadcast(prefix.alias("b"))
@@ -811,30 +829,25 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .dropDuplicates(["doc_a", "doc_b"])
+        # NO dedup here: a pair matching on k prefix shingles flows k
+        # times into verification, but the verify kernel is map-side
+        # AND+popcount over broadcast bitsets — re-verifying a few
+        # hundred thousand duplicate candidates is cheaper than the
+        # shuffle a dropDuplicates would insert at exactly this point.
+        # Survivors (a few hundred rows) dedup after the filter.
     )
-    # bitset verify: pack per-doc bitsets from the dictionary-coded
-    # occurrence table
-    words = (
-        occ_i.groupBy("doc_id", (F.col("sid") / 64).cast("int").alias("bkt"))
-        .agg(F.expr("bit_or(shiftleft(1L, CAST(sid % 64 AS INT)))").alias("word"))
+    # bitset verify: pack per-doc bitsets map-side from the sorted sid
+    # arrays (no shuffle — O(sz·n_words) per doc, fine while the
+    # vocabulary fits bitset width; see the vocabulary-adaptive note)
+    bs_expr = F.expr(
+        f"aggregate(sids, array_repeat(0L, {n_words}),"
+        " (acc, s) -> transform(acc, (w, i) ->"
+        "   CASE WHEN i = CAST(s / 64 AS INT)"
+        "        THEN w | shiftleft(1L, CAST(s % 64 AS INT)) ELSE w END))"
     )
-    bitsets = (
-        words.groupBy("doc_id")
-        .agg(
-            F.map_from_entries(F.collect_list(F.struct("bkt", "word"))).alias("m")
-        )
-        .select(
-            "doc_id",
-            F.expr(
-                f"transform(sequence(0, {n_words - 1}), i -> coalesce(m[i], 0L))"
-            ).alias("bs"),
-            F.expr(
-                "aggregate(map_values(m), 0, (acc, w) -> acc + bit_count(w))"
-            ).alias("set_sz"),
-        )
-        .localCheckpoint()  # tiny (docs × ⌈|V|/64⌉ longs); reused by both sides
-    )
+    bitsets = sets_i.select(
+        "doc_id", bs_expr.alias("bs"), F.col("sz").alias("set_sz")
+    ).localCheckpoint()  # tiny (docs × ⌈|V|/64⌉ longs); reused by both sides
     ba = bitsets.select(
         F.col("doc_id").alias("doc_a"),
         F.col("bs").alias("bs_a"),
@@ -860,6 +873,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= NGRAM_JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
+        .dropDuplicates(["doc_a", "doc_b"])  # candidate multiplicity
+        # (see above) — jaccard is identical per pair, so any survivor
     )
     # expand verified representative pairs over both groups' members;
     # within-group pairs are exact duplicates (J = 1.0) — guarded to
