@@ -13,10 +13,13 @@ JVM-side and *parsed* back in the Python workers (``decode_image``),
 so the mapInPandas path exercises an actual per-payload decode whose
 every feature the DuckDB oracle reconstructs independently. PNG is
 decoded for real with only the stdlib (``decode_png``: chunk walk,
-zlib inflate, all five scanline prediction filters). Codec formats
-that genuinely need external libraries (JPEG/RIFF) still raise
-NotImplementedError: libjpeg/ffmpeg are not in this environment, and
-a silent fake decode of real media would be worse than a loud gap.
+zlib inflate, all five scanline prediction filters), and so are
+RIFF/WAVE PCM audio (stdlib ``wave``) and — since round 7 — baseline
+sequential JPEG (``jpeg_codec``: segment walk, canonical Huffman
+DC+AC entropy decode, dequantize, de-zigzag, IDCT). The loud
+NotImplementedError list is down to what genuinely needs an external
+codec: progressive/chroma JPEG and RIFF video (ffmpeg) — a silent
+fake decode of real media would be worse than a loud gap.
 """
 
 from __future__ import annotations
@@ -40,10 +43,13 @@ FEATURE_SCHEMA = (
 # 4-byte magic, 2-byte big-endian width, 2-byte big-endian height, body
 SIMG_MAGIC = b"SIMG"
 PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
-# formats whose decode genuinely needs an external codec (libjpeg /
-# ffmpeg — not in this environment); PNG is NOT here: its container is
-# zlib + byte-prediction filters, both fully decodable with the stdlib
-REAL_CODEC_MAGICS = (b"\xff\xd8\xff\xe0", b"RIFF")
+# formats whose decode genuinely needs an external codec (ffmpeg — not
+# in this environment); PNG is NOT here (stdlib zlib + prediction
+# filters) and since round 7 neither is baseline JPEG (pure-stdlib
+# huffman + IDCT, operators/jpeg_codec.py) — only RIFF audio/video
+# remains, and its WAVE-PCM case decodes via the stdlib ``wave``
+REAL_CODEC_MAGICS = (b"RIFF",)
+JPEG_MAGIC = b"\xff\xd8\xff"
 
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
@@ -240,15 +246,29 @@ def decode_image(payload: bytes) -> dict:
     """Pure-Python deterministic decode inside the Arrow-batched
     ``mapInPandas`` plumbing: SIMG containers are struct-parsed, PNGs
     are decoded for real via ``decode_png`` (stdlib zlib + filter
-    reversal), JPEG/RIFF raise loudly (libjpeg/ffmpeg absent), and any
-    other payload falls back to raw byte statistics so the pipeline
-    stays total."""
+    reversal), baseline JPEGs for real via ``jpeg_codec`` (stdlib
+    huffman + IDCT; progressive still raises inside), RIFF video
+    raises loudly (ffmpeg absent), and any other payload falls back to
+    raw byte statistics so the pipeline stays total."""
     import struct
 
     if payload[:4] in REAL_CODEC_MAGICS:
         raise NotImplementedError(
-            "real media decode requires libjpeg/ffmpeg; not present in this env"
+            "real media decode requires ffmpeg; not present in this env"
         )
+    if payload[:3] == JPEG_MAGIC:
+        from .jpeg_codec import decode_jpeg_gray
+
+        d = decode_jpeg_gray(payload)
+        px = memoryview(d["pixels"])
+        return {
+            "n_bytes": len(px),
+            "magic": "JPEG",
+            "width": d["width"],
+            "height": d["height"],
+            "mean_byte": sum(px) / len(px) if px else 0.0,
+            "max_byte": max(px) if px else 0,
+        }
     if payload[:8] == PNG_SIGNATURE:
         return decode_png(payload)
     if payload[:4] == SIMG_MAGIC:
@@ -918,3 +938,154 @@ def multimodal_audio_silence_segments(spark: SparkSession, sf_dir: str) -> DataF
             ).alias("silent_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Real baseline JPEG decode (pure stdlib — operators/jpeg_codec.py)
+# ---------------------------------------------------------------------------
+
+JPEG_SCHEMA = (
+    "doc_id long, width int, height int, n_blocks int, mean_px double,"
+    " min_px int, max_px int, pixel_sum long, blk_weighted long"
+)
+
+
+def encode_jpeg_payload(doc_id: int, body: bytes) -> bytes:
+    """Deterministic grayscale baseline JPEG for one row: a
+    (doc_id%4+2) × (doc_id%3+2) grid of 8×8 blocks, block k constant at
+    byte k of the payload (padded past the end by (doc_id + 13·k) mod
+    256). Each flat block quantizes to a single DC coefficient; with
+    the DC quantization step pinned to 8 (exactly the IDCT's 1/8 DC
+    gain, `jpeg_codec.QTAB_ZZ`) the lossy transform is bit-exact for
+    this corpus — which is what lets the DuckDB oracle predict every
+    decoded pixel from hex-pair arithmetic while the DECODER stays a
+    fully general baseline implementation."""
+    from .jpeg_codec import encode_jpeg_gray_coeffs
+
+    wb = doc_id % 4 + 2
+    hb = doc_id % 3 + 2
+    vals = [
+        body[k] if k < len(body) else (doc_id + 13 * k) % 256
+        for k in range(wb * hb)
+    ]
+    blocks = [[v - 128] + [0] * 63 for v in vals]
+    return encode_jpeg_gray_coeffs(blocks, wb * 8, hb * 8)
+
+
+def jpeg_features(payload: bytes) -> dict:
+    """Decode a baseline JPEG (`jpeg_codec.decode_jpeg_gray`) and
+    derive the features an image-curation pass filters on, all from
+    the actual reconstructed pixels: dimensions, block count, mean /
+    min / max pixel, the full pixel sum (a witness that EVERY pixel
+    decoded, not one per block), and a position-weighted sum over the
+    blocks' top-left pixels (a witness of block scan ORDER)."""
+    from .jpeg_codec import decode_jpeg_gray
+
+    d = decode_jpeg_gray(payload)
+    w, h, px = d["width"], d["height"], memoryview(d["pixels"])
+    wb, hb = w // 8, h // 8
+    blk_weighted = sum(
+        (k + 1) * px[(k // wb) * 8 * w + (k % wb) * 8] for k in range(wb * hb)
+    )
+    total = sum(px)
+    return {
+        "width": w,
+        "height": h,
+        "n_blocks": wb * hb,
+        "mean_px": total / (w * h),
+        "min_px": min(px),
+        "max_px": max(px),
+        "pixel_sum": total,
+        "blk_weighted": blk_weighted,
+    }
+
+
+@query(
+    "multimodal_jpeg_features",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, hex(encode(text)) AS h,
+               octet_length(encode(text)) AS n,
+               CAST(doc_id % 4 + 2 AS INT) AS wb,
+               CAST(doc_id % 3 + 2 AS INT) AS hb
+        FROM documents
+    ),
+    v AS (
+        SELECT doc_id, wb, hb, wb * hb AS nb,
+               list_transform(range(0, wb * hb),
+                   k -> CASE WHEN k < n
+                             THEN CAST('0x' || substr(h, 2*k + 1, 2) AS INT)
+                             ELSE CAST((doc_id + 13 * k) % 256 AS INT) END)
+                   AS vals
+        FROM b
+    )
+    SELECT doc_id,
+           CAST(wb * 8 AS INT) AS width,
+           CAST(hb * 8 AS INT) AS height,
+           CAST(nb AS INT) AS n_blocks,
+           list_aggregate(vals, 'sum') * 1.0 / nb AS mean_px,
+           CAST(list_aggregate(vals, 'min') AS INT) AS min_px,
+           CAST(list_aggregate(vals, 'max') AS INT) AS max_px,
+           CAST(list_aggregate(vals, 'sum') * 64 AS BIGINT) AS pixel_sum,
+           CAST(list_aggregate(list_transform(range(1, nb + 1),
+                    k -> k * vals[k]), 'sum') AS BIGINT) AS blk_weighted
+    FROM v
+    """,
+)
+def multimodal_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 JPEG path made REAL with only the stdlib: rows are encoded
+    into genuine baseline-sequential grayscale JPEGs (SOI / JFIF APP0 /
+    DQT / SOF0 / DHT / SOS / EOI, canonical-Huffman entropy data with
+    byte stuffing — `jpeg_codec.encode_jpeg_gray_coeffs`), shipped as a
+    binary column across an Arrow batch boundary, then parsed back by
+    the fully general baseline decoder (`jpeg_codec.decode_jpeg_gray`:
+    segment walk, table reconstruction from the stream, Huffman DC+AC
+    decode, dequantize, de-zigzag, float IDCT, clamp). Two separate
+    ``mapInPandas`` stages — encode and decode never share Python
+    state; every table the decoder uses it read from the payload.
+
+    Exactness contract: the corpus images are blockwise-constant with
+    the DC quantization step pinned at 8, so the normally-lossy
+    DCT roundtrip is bit-exact here and the DuckDB oracle reconstructs
+    all eight features from hex-pair arithmetic (`encode_jpeg_payload`
+    for the layout). The decoder's general AC/ZRL/stuffing paths are
+    exercised by pytest against an independent NumPy cosine-matrix
+    IDCT. Progressive JPEG (SOF2), arithmetic coding, and chroma
+    sampling still raise loudly — with this query the honest-gap list
+    shrinks to those and RIFF video.
+
+    Scale: identical shape to the other decode queries — opaque binary
+    column + typed metadata, per-item CPU inside Arrow-batched
+    ``mapInPandas``, parallelism ∝ partitions, no shuffle at all."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.encode("text", "UTF-8").alias("body"))
+        # the corpus is one small parquet file → one input split; the
+        # per-item codec CPU is the cost here, so spread the rows over
+        # every core before the Python stages (explicit N — exempt
+        # from AQE's byte-based coalescer; measured 10.5 → ~1 s)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": [
+                        encode_jpeg_payload(int(i), bytes(b))
+                        for i, b in zip(pdf["doc_id"], pdf["body"])
+                    ],
+                }
+            )
+
+    jpegs = docs.mapInPandas(enc, schema="doc_id long, payload binary")
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [jpeg_features(p) for p in pdf["payload"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    return jpegs.mapInPandas(dec, schema=JPEG_SCHEMA)

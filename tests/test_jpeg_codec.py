@@ -1,0 +1,154 @@
+"""Pure-stdlib baseline JPEG codec (operators/jpeg_codec.py).
+
+The oracled query only exercises DC-only flat blocks (that is what
+makes the lossy transform SQL-predictable); these tests cover the
+GENERAL decoder paths — AC run/size Huffman coding, ZRL runs, byte
+stuffing, multi-block DC prediction — against an independent NumPy
+cosine-matrix IDCT, plus the honest-refusal errors.
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+
+from git_etl_spark.operators.jpeg_codec import (
+    QTAB_ZZ,
+    ZIGZAG,
+    decode_jpeg_gray,
+    encode_jpeg_gray_coeffs,
+)
+from git_etl_spark.operators.multimodal import encode_jpeg_payload, jpeg_features
+
+# independent reference IDCT: cosine basis matrix multiply (not the
+# codec's separable loop), T.81 A.3.3 convention
+_C = np.array(
+    [[np.cos((2 * x + 1) * u * np.pi / 16) for u in range(8)] for x in range(8)]
+) * np.array([1 / np.sqrt(2)] + [1.0] * 7)
+
+
+def _np_idct(coef_natural: list[int]) -> np.ndarray:
+    F_ = np.array(coef_natural, dtype=float).reshape(8, 8)
+    s = _C @ F_ @ _C.T / 4 + 128
+    return np.clip(np.floor(s + 0.5), 0, 255).astype(int)
+
+
+def _dequant_natural(blk_natural: list[int]) -> list[int]:
+    deq = [0] * 64
+    for k in range(64):
+        deq[ZIGZAG[k]] = blk_natural[ZIGZAG[k]] * QTAB_ZZ[k]
+    return deq
+
+
+def test_flat_block_roundtrip_lossless():
+    """DC quantization step 8 == the IDCT's 1/8 DC gain: blockwise-
+    constant images survive the full encode→decode bit-exactly."""
+    rng = random.Random(7)
+    for _ in range(25):
+        doc_id = rng.randrange(10**6)
+        body = bytes(rng.randrange(256) for _ in range(rng.randrange(40)))
+        f = jpeg_features(encode_jpeg_payload(doc_id, body))
+        wb, hb = doc_id % 4 + 2, doc_id % 3 + 2
+        vals = [
+            body[k] if k < len(body) else (doc_id + 13 * k) % 256
+            for k in range(wb * hb)
+        ]
+        assert f["width"] == wb * 8 and f["height"] == hb * 8
+        assert f["n_blocks"] == wb * hb
+        assert f["pixel_sum"] == 64 * sum(vals)
+        assert f["min_px"] == min(vals) and f["max_px"] == max(vals)
+        assert f["blk_weighted"] == sum((k + 1) * v for k, v in enumerate(vals))
+
+
+def test_general_coefficients_match_numpy_idct():
+    """Random sparse AC coefficients through the real entropy layer:
+    decoded pixels must equal the independent NumPy IDCT of the same
+    dequantized blocks."""
+    rng = random.Random(11)
+    for _ in range(30):
+        wb = rng.randrange(1, 7)
+        blocks = []
+        for _ in range(wb):
+            blk = [0] * 64
+            for _ in range(rng.randrange(1, 20)):
+                blk[rng.randrange(64)] = rng.randrange(-40, 41)
+            blocks.append(blk)
+        d = decode_jpeg_gray(encode_jpeg_gray_coeffs(blocks, wb * 8, 8))
+        px = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(8, wb * 8)
+        for bi, blk in enumerate(blocks):
+            ref = _np_idct(_dequant_natural(blk))
+            assert (px[:, bi * 8 : (bi + 1) * 8] == ref).all()
+
+
+def test_zrl_and_high_zigzag_positions():
+    """A lone coefficient at zigzag position 63 forces ZRL (16-zero
+    run) codes through both encoder and decoder."""
+    blk = [0] * 64
+    blk[ZIGZAG[63]] = 30
+    d = decode_jpeg_gray(encode_jpeg_gray_coeffs([blk], 8, 8))
+    ref = _np_idct(_dequant_natural(blk))
+    px = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(8, 8)
+    assert (px == ref).all()
+
+
+def test_byte_stuffing_roundtrip():
+    """Dense high-amplitude blocks reliably produce 0xFF entropy bytes;
+    the stuffed stream must still decode exactly."""
+    rng = random.Random(3)
+    blocks = []
+    for _ in range(16):
+        blocks.append([rng.randrange(-100, 101) for _ in range(64)])
+    payload = encode_jpeg_gray_coeffs(blocks, 32, 32)
+    assert b"\xff\x00" in payload.split(b"\xff\xda")[1]  # stuffing occurred
+    d = decode_jpeg_gray(payload)
+    px = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(32, 32)
+    for bi, blk in enumerate(blocks):
+        by, bx = divmod(bi, 4)
+        ref = _np_idct(_dequant_natural(blk))
+        assert (px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] == ref).all()
+
+
+def test_dc_prediction_across_blocks():
+    """DC DIFF coding: monotonically varying flat blocks (every DIFF
+    size category 0-8) reconstruct exactly."""
+    vals = [0, 255, 0, 128, 127, 129, 1, 254, 64]
+    blocks = [[v - 128] + [0] * 63 for v in vals]
+    d = decode_jpeg_gray(encode_jpeg_gray_coeffs(blocks, 8 * len(vals), 8))
+    px = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(8, 8 * len(vals))
+    for k, v in enumerate(vals):
+        assert (px[:, k * 8 : (k + 1) * 8] == v).all()
+
+
+def test_progressive_refused():
+    p = bytearray(encode_jpeg_payload(5, b"hello"))
+    i = p.find(b"\xff\xc0")
+    p[i + 1] = 0xC2  # SOF0 -> SOF2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg_gray(bytes(p))
+
+
+def test_malformed_rejected():
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(b"\x89PNG not a jpeg")
+    p = encode_jpeg_payload(5, b"hello")
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(p[:-2])  # EOI stripped
+
+
+def test_decode_image_routes_jpeg():
+    """The generic decode_image dispatcher now really decodes JPEG
+    payloads instead of refusing."""
+    from git_etl_spark.operators.multimodal import decode_image
+
+    doc_id, body = 9, b"abcdef"
+    f = decode_image(encode_jpeg_payload(doc_id, body))
+    wb, hb = doc_id % 4 + 2, doc_id % 3 + 2
+    vals = [
+        body[k] if k < len(body) else (doc_id + 13 * k) % 256
+        for k in range(wb * hb)
+    ]
+    assert f["magic"] == "JPEG"
+    assert f["width"] == wb * 8 and f["height"] == hb * 8
+    assert f["max_byte"] == max(vals)
