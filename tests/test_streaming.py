@@ -319,17 +319,24 @@ def test_transform_with_state_env_gap():
     crashes at driver-worker init (verified: STREAMING_PYTHON_RUNNER_
     INITIALIZATION_FAILURE → ImportError google.protobuf.descriptor).
     The custom-stateful family is therefore represented by
-    applyInPandasWithState (streaming_stateful_counts_replay). This
-    test documents the gap executably: it will start failing — i.e.
-    demand a real transformWithState operator — the moment the
-    environment gains protobuf."""
+    applyInPandasWithState (streaming_stateful_counts_replay), and
+    transformWithStateInPandas is explicitly OUT of claimed coverage
+    (COVERAGE.md "environment constraints"). This test documents the
+    gap executably — it PASSES while the constraint holds and will
+    start failing (i.e. demand a real transformWithState operator)
+    the moment the environment gains protobuf."""
+    import importlib.util
+
     import pytest
 
     try:
-        import google.protobuf  # noqa: F401
-    except ImportError:
-        pytest.skip("protobuf absent: transformWithStateInPandas unavailable")
-    pytest.fail(
-        "protobuf now available — implement a transformWithStateInPandas "
-        "operator and replay (see streaming/events_stream.py)"
-    )
+        # find_spec itself raises if even the parent "google" namespace
+        # package is absent — equally proof of the constraint
+        present = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        present = False
+    if present:
+        pytest.fail(
+            "protobuf now available — implement a transformWithStateInPandas "
+            "operator and replay (see streaming/events_stream.py)"
+        )
