@@ -161,7 +161,11 @@ def test_decode_rejects_real_formats_and_parses_simg():
     from git_etl_spark.operators.multimodal import decode_image
 
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0....")  # JPEG/JFIF needs libjpeg
+        decode_image(b"RIFF....")  # RIFF video needs ffmpeg
+    # JPEG is REAL since round 7 (jpeg_codec) — a malformed stream must
+    # fail loudly as a bad container, not be refused as an env gap
+    with pytest.raises(ValueError):
+        decode_image(b"\xff\xd8\xff\xe0....")
     # raw fallback for unknown payloads
     out = decode_image("plain text payload".encode())
     assert out["n_bytes"] == 18 and out["magic"] == "plai"
