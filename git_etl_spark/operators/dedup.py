@@ -725,12 +725,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exempt from coalescing and satisfies the window's required
     # distribution, so no second exchange is inserted.
     keyed = docs.withColumn("text_key", F.md5("text"))
-    keyed = keyed.repartition(
-        spark.sparkContext.defaultParallelism, "text_key"
-    ).withColumn("rep", F.min("doc_id").over(Window.partitionBy("text_key")))
+    keyed = (
+        keyed.repartition(spark.sparkContext.defaultParallelism, "text_key")
+        .withColumn("rep", F.min("doc_id").over(Window.partitionBy("text_key")))
+        .localCheckpoint()  # ONE corpus pass: members, reps, and the
+        # within-group branch all read this — previously the md5 +
+        # window shuffle re-ran for each consumer
+    )
     members = keyed.select(
         "text_key", "doc_id", "rep", F.length("text").alias("tlen")
-    ).localCheckpoint()  # tiny; reused by both expansion branches
+    )
     reps = keyed.filter(F.col("doc_id") == F.col("rep")).select("doc_id", "text")
     # Chunked shingling: substring(text, i, 5) is O(i) on UTF8String
     # (char offsets are found by scanning), so the naive per-position
@@ -758,7 +762,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the expensive shingling runs once but no 200×-larger exploded
     # table is ever written
     occ = sets.select("doc_id", F.explode("sh").alias("s"))
-    docfreq = occ.groupBy("s").agg(F.count("*").alias("df"))
+    # |V|-row table (2041 at sf0.1) — checkpointed so the n_vocab
+    # count and the sid-assignment join don't each re-run the full
+    # occurrence aggregation
+    docfreq = occ.groupBy("s").agg(F.count("*").alias("df")).localCheckpoint()
     # dictionary-encode shingles ONCE, up front: every downstream stage
     # (prefix ranking, candidate self-join, bitset build) then works on
     # int ids instead of 5-char strings — cheaper hashing/shuffles, and
