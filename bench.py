@@ -12,7 +12,7 @@ collect — measuring the engine, not result transfer). One warm-up run
 of the flagship query absorbs JVM/codegen warm-up so per-query numbers
 reflect steady state.
 
-Timing is best-of-``$SPARK_GRAFT_BENCH_REPS`` (default 2) per query:
+Timing is best-of-``$SPARK_GRAFT_BENCH_REPS`` (default 3) per query:
 single-shot numbers on a shared box swing with GC pauses and run-to-run
 noise (observed ±8% on the total), so the headline is the per-query
 minimum — the reproducible steady-state cost. The first-pass sum is
@@ -95,7 +95,12 @@ def main() -> None:
     # JVM warm-up — absorb it here, not in whichever query runs first
     run("join_broadcast_lookup")
 
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+    # 3 reps (was 2): the host shows seconds-long contention bursts
+    # that quintuple even constant-work canaries (PERFORMANCE.md round
+    # 7 addendum); with P(burst) per rep empirically ~0.1-0.3 in bad
+    # windows, min-of-3 cuts the chance a query's HEADLINE number is
+    # burst-inflated from ~9% to ~3% at ~+40% bench wall time
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     cold: dict[str, float] = {}
     timings: dict[str, float] = {}
     spread: dict[str, dict[str, float]] = {}
