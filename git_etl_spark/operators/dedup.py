@@ -41,6 +41,12 @@ JACCARD_THRESHOLD = 0.95
 # vs background < 0.3 — 0.9 isolates true near-dups with wide margin.
 # Kept as a ratio (9/10) so the prefix length is exact integer math.
 NGRAM_JACCARD_THRESHOLD = 0.9
+# PPJoin verify-kernel switch: dense bitsets (AND+popcount) up to this
+# many distinct shingles; sorted dictionary-int arrays past it. 4096 →
+# 64-word bitsets — per-pair cost comparable to the typical set size,
+# past which width-independent array intersection wins (measured on a
+# 10× substituted corpus, PERFORMANCE.md round 7).
+BITSET_VOCAB_MAX = 4096
 COSINE_DUP_THRESHOLD = 0.35
 SIMHASH_BITS = 48  # md5-derived; 48 bits keeps conv() inside BIGINT range
 
@@ -836,41 +842,58 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        # NO dedup here: a pair matching on k prefix shingles flows k
-        # times into verification, but the verify kernel is map-side
-        # AND+popcount over broadcast bitsets — re-verifying a few
-        # hundred thousand duplicate candidates is cheaper than the
-        # shuffle a dropDuplicates would insert at exactly this point.
-        # Survivors (a few hundred rows) dedup after the filter.
+        # NO dedup here at SMALL vocab: a pair matching on k prefix
+        # shingles flows k times into verification, and re-verifying
+        # duplicate candidates with a narrow bitset is cheaper than a
+        # dropDuplicates shuffle. At WIDE vocab the per-pair verify is
+        # itself O(|V|/64), so duplicates are deduped first (below) and
+        # survivors dedup after the filter either way.
     )
-    # bitset verify: pack per-doc bitsets map-side from the sorted sid
-    # arrays (no shuffle — O(sz·n_words) per doc, fine while the
-    # vocabulary fits bitset width; see the vocabulary-adaptive note)
-    bs_expr = F.expr(
-        f"aggregate(sids, array_repeat(0L, {n_words}),"
-        " (acc, s) -> transform(acc, (w, i) ->"
-        "   CASE WHEN i = CAST(s / 64 AS INT)"
-        "        THEN w | shiftleft(1L, CAST(s % 64 AS INT)) ELSE w END))"
-    )
-    bitsets = sets_i.select(
-        "doc_id", bs_expr.alias("bs"), F.col("sz").alias("set_sz")
-    ).localCheckpoint()  # tiny (docs × ⌈|V|/64⌉ longs); reused by both sides
-    ba = bitsets.select(
+    # Vocabulary-adaptive verify kernel — measured at sf0.1 (|V|=2041)
+    # and on a 10× substituted corpus (|V|=20410, PERFORMANCE.md):
+    #  - dense-bitset AND+popcount wins while the vocabulary is narrow
+    #    (n_words small): the bitset build is map-side O(sz·n_words)
+    #    and each pair costs n_words word-ANDs;
+    #  - past the width cutoff both the build and the per-pair cost
+    #    scale with |V| while the real work (set overlap) does not —
+    #    switch to sorted dictionary-int arrays: O(sz) per doc to
+    #    build (already materialized!) and O(sz_a + sz_b) per pair,
+    #    independent of vocabulary width. Candidates dedup BEFORE this
+    #    kernel (multiplicity × a wide kernel is the 10× regression
+    #    this switch removed: 33 s → 21 s at 10× corpus).
+    if n_vocab <= BITSET_VOCAB_MAX:
+        bs_expr = F.expr(
+            f"aggregate(sids, array_repeat(0L, {n_words}),"
+            " (acc, s) -> transform(acc, (w, i) ->"
+            "   CASE WHEN i = CAST(s / 64 AS INT)"
+            "        THEN w | shiftleft(1L, CAST(s % 64 AS INT)) ELSE w END))"
+        )
+        sides = sets_i.select(
+            "doc_id", bs_expr.alias("bs"), F.col("sz").alias("set_sz")
+        ).localCheckpoint()  # docs × ⌈|V|/64⌉ longs; reused by both sides
+        inter = F.expr(
+            "aggregate(zip_with(bs_a, bs_b, (x, y) -> bit_count(x & y)),"
+            " 0, (acc, v) -> acc + v)"
+        )
+        verify_in = cand
+    else:
+        sides = sets_i.select(
+            "doc_id", F.col("sids").alias("bs"), F.col("sz").alias("set_sz")
+        )
+        inter = F.size(F.array_intersect("bs_a", "bs_b"))
+        verify_in = cand.dropDuplicates(["doc_a", "doc_b"])
+    ba = sides.select(
         F.col("doc_id").alias("doc_a"),
         F.col("bs").alias("bs_a"),
         F.col("set_sz").alias("sz_a"),
     )
-    bb = bitsets.select(
+    bb = sides.select(
         F.col("doc_id").alias("doc_b"),
         F.col("bs").alias("bs_b"),
         F.col("set_sz").alias("sz_b"),
     )
-    inter = F.expr(
-        "aggregate(zip_with(bs_a, bs_b, (x, y) -> bit_count(x & y)),"
-        " 0, (acc, v) -> acc + v)"
-    )
     rep_pairs = (
-        cand.join(F.broadcast(ba), "doc_a")
+        verify_in.join(F.broadcast(ba), "doc_a")
         .join(F.broadcast(bb), "doc_b")
         .withColumn("inter", inter)
         .withColumn(
