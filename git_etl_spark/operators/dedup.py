@@ -656,7 +656,11 @@ def _blocked_candidates(
           >= {NGRAM_JACCARD_THRESHOLD}
     """,
 )
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_ngram_jaccard(
+    spark: SparkSession,
+    sf_dir: str,
+    bitset_vocab_max: int = BITSET_VOCAB_MAX,
+) -> DataFrame:
     """X2 char-5-gram Jaccard near-dup pairs at t ≥ 0.9 via
     **prefix filtering** (Bayardo All-Pairs / PPJoin): order every
     doc's shingles rarest-first (global document frequency); if
@@ -861,7 +865,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     #    independent of vocabulary width. Candidates dedup BEFORE this
     #    kernel (multiplicity × a wide kernel is the 10× regression
     #    this switch removed: 33 s → 21 s at 10× corpus).
-    if n_vocab <= BITSET_VOCAB_MAX:
+    if n_vocab <= bitset_vocab_max:
         bs_expr = F.expr(
             f"aggregate(sids, array_repeat(0L, {n_words}),"
             " (acc, s) -> transform(acc, (w, i) ->"

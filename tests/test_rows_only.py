@@ -620,3 +620,26 @@ def test_ahash_collision_and_locality():
     # width < 8 leaves empty block columns, pinned to '0'
     _, _, narrow = ahash_bits(b"\xff" * 12, 4)
     assert len(narrow) == 64
+
+
+def test_ngram_verify_kernels_equal(spark):
+    """The vocabulary-adaptive PPJoin verify switch: the wide-vocab
+    sorted-array kernel (forced via bitset_vocab_max=0) must produce
+    exactly the pairs of the default dense-bitset kernel — the switch
+    changes the physical kernel, never the verified set. (At test
+    scale the vocabulary is below the cutoff, so without the forcing
+    knob the array branch would never execute.)"""
+    from git_etl_spark.operators.dedup import dedup_ngram_jaccard
+
+    dense = sorted(
+        map(tuple, dedup_ngram_jaccard(spark, SF_CORRECTNESS).collect())
+    )
+    wide = sorted(
+        map(
+            tuple,
+            dedup_ngram_jaccard(
+                spark, SF_CORRECTNESS, bitset_vocab_max=0
+            ).collect(),
+        )
+    )
+    assert dense == wide and len(dense) > 0
