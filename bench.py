@@ -95,6 +95,23 @@ def main() -> None:
     # JVM warm-up — absorb it here, not in whichever query runs first
     run("join_broadcast_lookup")
 
+    def canary() -> float:
+        """Constant pure-JVM work (no data, no Python): a tenancy
+        probe. On a quiet host this runs ~0.3 s on 32 cores; host
+        contention bursts were measured quintupling it with identical
+        code (PERFORMANCE.md round 7 addendum). Recorded before and
+        after the sweep so a reader can tell a noisy window from a
+        regression without re-running anything."""
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        t0 = time.perf_counter()
+        spark.range(0, 500_000_000, 1, 32).select(
+            F.bit_xor(F.xxhash64("id")).alias("s")
+        ).collect()
+        return round(time.perf_counter() - t0, 4)
+
+    canary_before = min(canary(), canary(), canary())
+
     # 3 reps (was 2): the host shows seconds-long contention bursts
     # that quintuple even constant-work canaries (PERFORMANCE.md round
     # 7 addendum); with P(burst) per rep empirically ~0.1-0.3 in bad
@@ -113,6 +130,8 @@ def main() -> None:
         # regression (min itself moved) without re-running the bench
         spread[name] = {"min": round(min(times), 4), "max": round(max(times), 4)}
 
+    canary_after = min(canary(), canary(), canary())
+
     total = round(sum(timings.values()), 4)
     full = json.dumps(
         {
@@ -124,6 +143,7 @@ def main() -> None:
             "n_queries": len(timings),
             "reps": reps,
             "cold_value": round(sum(cold.values()), 4),
+            "canary_sec": {"before": canary_before, "after": canary_after},
             "spread": spread,
         }
     )
