@@ -683,15 +683,18 @@ def dedup_ngram_jaccard(
     positional prune, vs 12.5M raw pairs² — and the gap widens with
     corpus size since posting lists of rare shingles stay short.
 
-    Survivor verification is **vocabulary-adaptive**: the distinct
-    shingle dictionary is dense-ranked into bit positions and every
-    doc's set becomes a fixed-width bitset (⌈|V|/64⌉ longs), so the
-    exact intersection per candidate pair is a handful of AND+popcount
-    words instead of a string-array intersect — measured 22 s → 1.7 s
-    for the verify join at sf0.1. (For corpora whose shingle
-    vocabulary outgrows bitset width, swap the kernel for the same
-    join over dictionary-int sorted arrays — the candidate plan is
-    unchanged.)
+    Survivor verification is **vocabulary-adaptive** (and since round
+    7 the switch is implemented, not just documented —
+    ``BITSET_VOCAB_MAX``): up to 4096 distinct shingles every doc's
+    set becomes a fixed-width bitset (⌈|V|/64⌉ longs) and a pair
+    verifies as a handful of AND+popcount words — measured 22 s →
+    1.7 s vs the string-array intersect at sf0.1. Past the cutoff the
+    SAME join runs over the sorted dictionary-int arrays (already
+    materialized): O(sz_a+sz_b) per pair, independent of |V| —
+    without the switch, a 10× corpus with a 10× vocabulary measured
+    33 s vs 14.5 s (PERFORMANCE.md round 7; both kernels asserted
+    pair-identical in tests). The candidate plan is unchanged either
+    way.
 
     At 100 TB: document frequencies come from a first aggregation pass
     (or a frequency sketch broadcast); the prefix join shuffles only
