@@ -162,6 +162,21 @@ def duck_sum14(expr: str) -> str:
     return f"SUM(CAST(trunc(({expr}) * 1e14) AS BIGINT))"
 
 
+def duck_sum_scaled(expr: str, scale: str) -> str:
+    """DuckDB twin of sum_scaled: pass ``scale`` as a literal like
+    '1e10' so Spark and the oracle truncate at the same unit."""
+    return f"SUM(CAST(trunc(({expr}) * {scale}) AS BIGINT))"
+
+
+def duck_dec_scaled_to_double(s: str, scale: str) -> str:
+    """DuckDB twin of dec_scaled_to_double."""
+    return (
+        f"(CASE WHEN ({s}) < 0 THEN -1.0 ELSE 1.0 END"
+        f" * (CAST(abs({s}) // {_DEC14_SPLIT} AS DOUBLE) * 1e12"
+        f" + CAST(abs({s}) % {_DEC14_SPLIT} AS DOUBLE)) / {scale})"
+    )
+
+
 def duck_dec14_to_double(s: str) -> str:
     """DuckDB twin of dec14_to_double (``//``/``%`` on nonnegative
     operands, so floor ≡ trunc and both engines agree bit-for-bit)."""

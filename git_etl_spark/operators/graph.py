@@ -13,7 +13,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.vector import dec14_to_double, duck_dec14_to_double, sum14
+from ..functions.vector import (
+    dec_scaled_to_double,
+    duck_dec_scaled_to_double,
+    sum_scaled,
+)
 from ..io import dataset_fingerprint, load_table
 from ..registry import query
 from ..session import iter_checkpoint, loop_shuffle_partitions
@@ -92,9 +96,16 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vector.py): O(1) per-node aggregation state. The former sorted
     # fold (array_sort ∘ collect_list) collected a hub's full
     # in-neighborhood per node — state ∝ in-degree, which for hub nodes
-    # grows with the graph; the ≤1e-14 per-term truncation is 8 orders
-    # below the ppm quantization the oracle checks.
-    contrib_sum = dec14_to_double(sum14(F.col("contrib")))
+    # grows with the graph. Scale 1e10, not the default 1e14: a term is
+    # rank/deg, and hub ranks grow with graph size — 1e14 overflows
+    # int64 past rank≈9e4 (DuckDB raises, Spark silently clamps: a
+    # data-dependent divergence), while 1e10 admits ranks to 9.2e8 —
+    # any realistic graph — and both engines truncate at the identical
+    # unit, so cross-engine bit-equality is unaffected. Truncation is
+    # still 4 orders below the ppm quantization the oracle checks.
+    contrib_sum = dec_scaled_to_double(
+        sum_scaled(F.col("contrib"), 1e10), 1e10
+    )
     # size each round's shuffle to the materialized edge list — the
     # per-round fixed cost (tasks, AQE planning, checkpoint) dominates
     # small rounds, while the sorted-fold aggregation is CPU-heavy
@@ -118,7 +129,7 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PR_S14 = (
     "list_aggregate(list_transform(al[i + 1],"
-    " j -> CAST(trunc((v[j + 1] / dl[j + 1]) * 1e14) AS BIGINT)), 'sum')"
+    " j -> CAST(trunc((v[j + 1] / dl[j + 1]) * 1e10) AS BIGINT)), 'sum')"
 )
 
 _PAGERANK_PPM_ORACLE = f"""
@@ -157,7 +168,7 @@ it AS (
     SELECT k + 1,
            list_transform(range(0, len(v)),
              i -> (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))
-                  + CAST(0.85 AS DOUBLE) * {duck_dec14_to_double(_PR_S14)})
+                  + CAST(0.85 AS DOUBLE) * {duck_dec_scaled_to_double(_PR_S14, "1e10")})
     FROM it, adj, degs WHERE k < 6
 )
 SELECT n.node AS node,
