@@ -41,3 +41,51 @@ def count_if(cond: Column) -> Column:
     """COUNT_IF as a LongType column (reference README.md:92 pattern:
     ``SUM(CASE WHEN ... THEN 1 ELSE 0 END)``)."""
     return F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0))).cast("long")
+
+
+def qsum(expr: Column, scale: int = 8) -> Column:
+    """Exact SUM of a DERIVED double expression (a product like
+    ``price·(1−discount)``), quantized identically in both engines.
+
+    ``dsum``'s per-row double→DECIMAL cast is engine-dependent for
+    derived values: Spark casts via the double's SHORTEST decimal
+    representation (java BigDecimal.valueOf) while DuckDB rounds the
+    exact binary value — for a product whose binary noise (~1 ulp,
+    ~2e-13 relative) lands within that gap of a decimal-grid midpoint
+    the two engines round OPPOSITE ways. Probability ~4e-5 per row at
+    scale 8: invisible at sf0.01, ~20 rows across sf0.1's 600k-row
+    lineitem — found by the round-7 full sf0.1 parity sweep as 1-ulp
+    mismatches in tpch_q1 and the Pearson moments.
+
+    Fix: quantize with pure IEEE arithmetic BOTH engines execute
+    identically — ``floor(x·10^s + 0.5)`` (exact for |x·10^s| < 2^53)
+    — sum the resulting integers exactly in DECIMAL(38,0) (DuckDB:
+    HUGEINT), and reconstruct the final double through the
+    sign/hi/lo split from functions/vector.py rather than the engines'
+    native wide-int→double casts: DuckDB composes HUGEINT→DOUBLE from
+    two word conversions, which is NOT correctly rounded once the unit
+    sum passes 2⁶³ (observed: identical 2.2e19 unit sums converting to
+    doubles 1 ulp apart), while the split path is exact-operand
+    arithmetic in both engines.
+
+    Oracle-side twin: :func:`duck_qsum`.
+    """
+    from .vector import dec_scaled_to_double
+
+    q = F.floor(expr * F.lit(float(10**scale)) + F.lit(0.5))
+    return dec_scaled_to_double(
+        F.sum(q.cast("decimal(38,0)")), float(10**scale)
+    )
+
+
+def duck_qsum(expr: str, scale: int = 8) -> str:
+    """DuckDB twin of :func:`qsum` (SUM(BIGINT) widens to HUGEINT —
+    exact; the hi/lo-split reconstruction matches Spark's bit for
+    bit where a plain ``CAST(... AS DOUBLE)`` of a >2⁶³ HUGEINT
+    would not)."""
+    from .vector import duck_dec_scaled_to_double
+
+    return duck_dec_scaled_to_double(
+        f"SUM(CAST(floor(({expr}) * 1e{scale} + 0.5) AS BIGINT))",
+        f"1e{scale}",
+    )

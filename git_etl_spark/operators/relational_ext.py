@@ -20,7 +20,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.exact import dsum
+from ..functions.exact import dsum, duck_qsum, qsum
 from ..functions.timeutil import ts_ntz
 from ..io import load_table
 from ..registry import query
@@ -28,14 +28,13 @@ from ..registry import query
 
 @query(
     "tpch_q1_pricing_summary",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8))) AS DOUBLE)
-               AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                         AS DECIMAL(24,8))) AS DOUBLE) AS sum_charge,
+           {duck_qsum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+           {duck_qsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")}
+               AS sum_charge,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
            CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
            COUNT(*) AS count_order
@@ -46,19 +45,20 @@ from ..registry import query
 )
 def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1: the canonical scan-heavy pricing summary. The derived
-    expressions (disc_price, charge) are double products cast to
-    decimal *per row* (deterministic elementwise) then summed exactly.
-    One scan, one partial+final hash agg — the shape AQE cannot
-    improve and codegen fully fuses."""
+    expressions (disc_price, charge) quantize per row with the
+    engine-identical ``qsum`` kernel (functions/exact.py: Spark's
+    double→decimal cast of a derived product rounds the SHORTEST
+    decimal repr while DuckDB rounds the exact binary value — 1-ulp
+    divergences at sf0.1 row counts) and sum exactly. One scan, one
+    partial+final hash agg — the shape AQE cannot improve and codegen
+    fully fuses."""
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(24,8)"
-    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = (
         F.col("l_extendedprice")
         * (1 - F.col("l_discount"))
         * (1 + F.col("l_tax"))
-    ).cast("decimal(24,8)")
+    )
     return (
         li.filter(F.col("l_shipdate") <= ts_ntz("1998-09-02"))
         .groupBy(
@@ -68,8 +68,8 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             dsum("l_quantity").alias("sum_qty"),
             dsum("l_extendedprice").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
+            qsum(disc_price).alias("sum_disc_price"),
+            qsum(charge).alias("sum_charge"),
             (dsum("l_quantity") / F.count("*")).alias("avg_qty"),
             (dsum("l_discount", scale=4) / F.count("*")).alias("avg_disc"),
             F.count("*").alias("count_order"),
@@ -79,10 +79,9 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tpch_q3_shipping_priority",
-    oracle="""
+    oracle=f"""
     SELECT l.l_orderkey AS orderkey,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                         AS DECIMAL(24,8))) AS DOUBLE) AS revenue,
+           {duck_qsum("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
            o.o_orderdate AS orderdate, o.o_orderpriority AS orderpriority
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -108,9 +107,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > ts_ntz("1995-03-15")
     )
-    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(24,8)"
-    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         c.join(o, c.c_custkey == o.o_custkey)
         .join(l, l.l_orderkey == o.o_orderkey)
@@ -119,7 +116,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate").alias("orderdate"),
             F.col("o_orderpriority").alias("orderpriority"),
         )
-        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .agg(qsum(revenue).alias("revenue"))
         .select("orderkey", "revenue", "orderdate", "orderpriority")
         .orderBy(F.desc("revenue"), F.asc("orderkey"))
         .limit(10)
@@ -201,12 +198,12 @@ def join_cross_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_stats_moments",
-    oracle="""
+    oracle=f"""
     WITH s AS (
         SELECT c_nationkey,
                COUNT(*) AS n,
                CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-               CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(24,4))) AS DOUBLE) AS sxx
+               {duck_qsum("c_acctbal * c_acctbal", 4)} AS sxx
         FROM customer GROUP BY c_nationkey
     )
     SELECT c_nationkey AS nationkey, n,
@@ -220,15 +217,16 @@ def join_cross_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sample stddev/variance from exact decimal Σx and Σx² combined in
-    double — reproducible across engines and partitionings, unlike
-    streaming moment aggregates whose merge order varies run to run."""
+    """Sample stddev/variance from exact decimal Σx and quantized Σx²
+    (``qsum`` — engine-identical rounding of the derived square)
+    combined in double — reproducible across engines and
+    partitionings, unlike streaming moment aggregates whose merge
+    order varies run to run."""
     cust = load_table(spark, sf_dir, "customer")
-    sxx = (F.col("c_acctbal") * F.col("c_acctbal")).cast("decimal(24,4)")
     base = cust.groupBy("c_nationkey").agg(
         F.count("*").alias("n"),
         dsum("c_acctbal").alias("sx"),
-        F.sum(sxx).cast("double").alias("sxx"),
+        qsum(F.col("c_acctbal") * F.col("c_acctbal"), 4).alias("sxx"),
     )
     n, sx, sxx_c = F.col("n"), F.col("sx"), F.col("sxx")
     var = F.when(n > 1, (sxx_c - sx * sx / n) / (n - 1))
@@ -243,14 +241,14 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_corr_price_quantity",
-    oracle="""
+    oracle=f"""
     WITH s AS (
         SELECT COUNT(*) AS n,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-               CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(24,4))) AS DOUBLE) AS sxx,
-               CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS syy,
-               CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sxy
+               {duck_qsum("l_quantity * l_quantity", 4)} AS sxx,
+               {duck_qsum("l_extendedprice * l_extendedprice", 4)} AS syy,
+               {duck_qsum("l_quantity * l_extendedprice", 4)} AS sxy
         FROM lineitem
     )
     SELECT n,
@@ -260,17 +258,20 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_corr_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pearson correlation from exact decimal sums (same derivation as
-    agg_stats_moments) — one pass, deterministic."""
+    """Pearson correlation from exact quantized-moment sums (``qsum``,
+    functions/exact.py — the derived squares/products quantize with
+    engine-identical IEEE arithmetic; the plain decimal cast diverged
+    by 1 ulp at sf0.1, caught by the round-7 full parity sweep) — one
+    pass, deterministic."""
     li = load_table(spark, sf_dir, "lineitem")
     q, p = F.col("l_quantity"), F.col("l_extendedprice")
     base = li.agg(
         F.count("*").alias("n"),
         dsum("l_quantity").alias("sx"),
         dsum("l_extendedprice").alias("sy"),
-        F.sum((q * q).cast("decimal(24,4)")).cast("double").alias("sxx"),
-        F.sum((p * p).cast("decimal(30,4)")).cast("double").alias("syy"),
-        F.sum((q * p).cast("decimal(28,4)")).cast("double").alias("sxy"),
+        qsum(q * q, 4).alias("sxx"),
+        qsum(p * p, 4).alias("syy"),
+        qsum(q * p, 4).alias("sxy"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.exact import count_if
+from ..functions.exact import count_if, duck_qsum, qsum
 from ..functions.timeutil import ts_ntz
 from ..io import load_table
 from ..registry import query
@@ -18,8 +18,8 @@ from ..registry import query
 
 @query(
     "tpch_q6_forecast_revenue",
-    oracle="""
-    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(24,8))) AS DOUBLE)
+    oracle=f"""
+    SELECT {duck_qsum("l_extendedprice * l_discount")}
                AS revenue,
            COUNT(*) AS n_lines
     FROM lineitem
@@ -34,7 +34,7 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     (range, BETWEEN, <) pushes to the parquet scan; the aggregate sees
     a fraction of the table. The canonical pushdown benchmark."""
     li = load_table(spark, sf_dir, "lineitem")
-    rev = (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(24,8)")
+    rev = F.col("l_extendedprice") * F.col("l_discount")
     return (
         li.filter(
             (F.col("l_shipdate") >= ts_ntz("1996-01-01"))
@@ -43,7 +43,7 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.sum(rev).cast("double").alias("revenue"),
+            qsum(rev).alias("revenue"),
             F.count("*").alias("n_lines"),
         )
     )
@@ -116,13 +116,12 @@ def tpch_q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tpch_q14_promo_share",
-    oracle="""
-    SELECT 100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
-                         THEN CAST(l.l_extendedprice * (1 - l.l_discount)
-                                   AS DECIMAL(24,8))
-                         ELSE CAST(0 AS DECIMAL(24,8)) END) AS DOUBLE)
-               / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                               AS DECIMAL(24,8))) AS DOUBLE) AS promo_share,
+    oracle=f"""
+    SELECT 100.0 * ({duck_qsum(
+        "CASE WHEN p.p_type = 'PROMO'"
+        " THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END")})
+               / ({duck_qsum("l.l_extendedprice * (1 - l.l_discount)")})
+               AS promo_share,
            COUNT(*) AS n_lines
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1995-09-01'
@@ -137,19 +136,12 @@ def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < ts_ntz("1995-10-01"))
     )
     p = load_table(spark, sf_dir, "part")
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(24,8)"
-    )
-    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(
-        F.lit(0).cast("decimal(24,8)")
-    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .agg(
-            (
-                100.0 * F.sum(promo_rev).cast("double")
-                / F.sum(rev).cast("double")
-            ).alias("promo_share"),
+            (100.0 * qsum(promo_rev) / qsum(rev)).alias("promo_share"),
             F.count("*").alias("n_lines"),
         )
     )
@@ -204,9 +196,8 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tpch_q19_disjunctive_predicates",
-    oracle="""
-    SELECT CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                         AS DECIMAL(24,8))) AS DOUBLE) AS revenue,
+    oracle=f"""
+    SELECT {duck_qsum("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
            COUNT(*) AS n_lines
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
@@ -242,10 +233,8 @@ def tpch_q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFra
             & F.col("l_quantity").between(20, 40)
         )
     )
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(24,8)"
-    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return joined.filter(cond).agg(
-        F.sum(rev).cast("double").alias("revenue"),
+        qsum(rev).alias("revenue"),
         F.count("*").alias("n_lines"),
     )

@@ -27,18 +27,34 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.exact import count_if, dsum
+from ..functions.exact import duck_qsum, qsum
 from ..functions.timeutil import ts_ntz
 from ..io import load_table
 from ..registry import query
 
-# exact decimal revenue term shared by several queries
-_REV_SQL = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8))"
+# Exact revenue term shared by several queries, in integer 1e-8 units:
+# floor(x·1e8 + 0.5) is pure IEEE arithmetic both engines execute
+# identically, where the former per-row double→DECIMAL(24,8) cast was
+# engine-dependent for derived products (Spark rounds the shortest
+# decimal repr, DuckDB the exact binary value — 1-ulp divergences at
+# sf0.1 row counts; see functions/exact.qsum). Sums of these units are
+# exact (DECIMAL(38,0) / HUGEINT); consumers divide by 1e8 only when
+# EMITTING a double, and unit-space comparisons (MAX, thresholds,
+# ratios) need no rescale at all.
+_REV_SQL = "CAST(floor(l_extendedprice * (1 - l_discount) * 1e8 + 0.5) AS BIGINT)"
+
+_DUCK_PROFIT = duck_qsum(
+    "l.l_extendedprice * (1 - l.l_discount)"
+    " - l.l_quantity * p.p_retailprice * 0.1"
+)
 
 
 def _rev() -> F.Column:
-    return (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(24,8)"
-    )
+    """Quantized revenue units (1e-8) as DECIMAL(38,0) — exact sums."""
+    return F.floor(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * F.lit(1e8)
+        + F.lit(0.5)
+    ).cast("decimal(38,0)")
 
 
 @query(
@@ -86,7 +102,7 @@ def tpch_q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            EXTRACT(YEAR FROM l.l_shipdate) AS ship_year,
-           CAST(SUM({_REV_SQL}) AS DOUBLE) AS volume
+           CAST(SUM({_REV_SQL}) AS DOUBLE) / 1e8 AS volume
     FROM lineitem l
     JOIN orders o ON o.o_orderkey = l.l_orderkey
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -132,7 +148,7 @@ def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation",
             F.year("l_shipdate").cast("long").alias("ship_year"),
         )
-        .agg(F.sum(_rev()).cast("double").alias("volume"))
+        .agg((F.sum(_rev()).cast("double") / F.lit(1e8)).alias("volume"))
     )
 
 
@@ -141,7 +157,7 @@ def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT c.c_custkey AS custkey, c.c_name AS cust_name,
            n.n_name AS nation_name,
-           CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+           CAST(SUM({_REV_SQL}) AS DOUBLE) / 1e8 AS revenue
     FROM customer c
     JOIN orders o ON o.o_custkey = c.c_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -176,7 +192,7 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_name").alias("cust_name"),
             F.col("n_name").alias("nation_name"),
         )
-        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+        .agg((F.sum(_rev()).cast("double") / F.lit(1e8)).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("custkey"))
         .limit(20)
     )
@@ -192,7 +208,7 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     total AS (SELECT CAST(SUM(part_value) AS DOUBLE) / COUNT(*) AS avgv
               FROM per_part)
-    SELECT p.partkey, CAST(p.part_value AS DOUBLE) AS part_value
+    SELECT p.partkey, CAST(p.part_value AS DOUBLE) / 1e8 AS part_value
     FROM per_part p, total t
     WHERE CAST(p.part_value AS DOUBLE) > t.avgv * 1.5
     """,
@@ -214,7 +230,10 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_part.crossJoin(F.broadcast(total))
         .filter(F.col("part_value").cast("double") > F.col("avgv") * 1.5)
-        .select("partkey", F.col("part_value").cast("double").alias("part_value"))
+        .select(
+            "partkey",
+            (F.col("part_value").cast("double") / F.lit(1e8)).alias("part_value"),
+        )
     )
 
 
@@ -264,7 +283,7 @@ def tpch_q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataF
         GROUP BY l_suppkey
     )
     SELECT s.s_suppkey AS suppkey, s.s_name AS supp_name,
-           CAST(r.total_revenue AS DOUBLE) AS total_revenue
+           CAST(r.total_revenue AS DOUBLE) / 1e8 AS total_revenue
     FROM supplier s
     JOIN revenue r ON s.s_suppkey = r.supplier_no
     WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
@@ -293,7 +312,9 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("s_suppkey").alias("suppkey"),
             F.col("s_name").alias("supp_name"),
-            F.col("total_revenue").cast("double").alias("total_revenue"),
+            (F.col("total_revenue").cast("double") / F.lit(1e8)).alias(
+                "total_revenue"
+            ),
         )
     )
 
@@ -547,7 +568,7 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
     )
     SELECT order_year,
            CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
-                         ELSE CAST(0 AS DECIMAL(24,8)) END) AS DOUBLE)
+                         ELSE CAST(0 AS BIGINT) END) AS DOUBLE)
                / CAST(SUM(volume) AS DOUBLE) AS mkt_share,
            COUNT(*) AS n_lines
     FROM vol GROUP BY order_year
@@ -583,7 +604,7 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     target = F.when(
         F.col("supp_nation") == "NATION_3", F.col("volume")
-    ).otherwise(F.lit(0).cast("decimal(24,8)"))
+    ).otherwise(F.lit(0).cast("decimal(38,0)"))
     return vol.groupBy("order_year").agg(
         (F.sum(target).cast("double") / F.sum("volume").cast("double")).alias(
             "mkt_share"
@@ -594,12 +615,10 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tpch_q9_product_profit",
-    oracle="""
+    oracle=f"""
     SELECT n.n_name AS nation_name,
            EXTRACT(YEAR FROM o.o_orderdate) AS order_year,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                         - l.l_quantity * p.p_retailprice * 0.1
-                         AS DECIMAL(24,8))) AS DOUBLE) AS profit
+           {_DUCK_PROFIT} AS profit
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -623,7 +642,7 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     profit = (
         F.col("l_extendedprice") * (1 - F.col("l_discount"))
         - F.col("l_quantity") * F.col("p_retailprice") * 0.1
-    ).cast("decimal(24,8)")
+    )
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
@@ -633,7 +652,7 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation_name"),
             F.year("o_orderdate").cast("long").alias("order_year"),
         )
-        .agg(F.sum(profit).cast("double").alias("profit"))
+        .agg(qsum(profit).alias("profit"))
     )
 
 
