@@ -977,9 +977,15 @@ _SIMHASH_SIG_SQL = f"""
 
 
 def _simhash_sig_df(docs: DataFrame) -> DataFrame:
-    """(doc_id, simhash) — the Spark twin of ``_SIMHASH_SIG_SQL``."""
+    """(doc_id, simhash) — the Spark twin of ``_SIMHASH_SIG_SQL``.
+
+    The corpus is one parquet file, so without the explicit
+    repartition the token explode + md5 + map-side partial aggregation
+    all run on a single scan task (measured 2.0 s → 0.5 s at sf0.1
+    for ``dedup_simhash``); the shuffle moves only raw doc bytes."""
     tok_counts = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        docs.repartition(32, "doc_id")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count("*").alias("cnt"))
     )
