@@ -430,7 +430,10 @@ def text_window_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     window dictionary is the only corpus-wide state and it shrinks with
     the md5 projection; every stage is partial-aggregatable, so the
     shuffle volume is ∝ distinct windows, not corpus²."""
-    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    # single-file corpus: spread the window-hash CPU across cores
+    docs = with_tokens(
+        load_table(spark, sf_dir, "documents").repartition(32, "doc_id")
+    )
     wins = (
         docs.filter(F.size("toks") >= 8)
         .select(
@@ -522,7 +525,10 @@ def text_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows only (∝ duplication density, not corpus); the rewrite is a
     per-doc ordered re-assembly — partitioned by doc_id, no global
     sort. No stage is corpus²."""
-    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    # single-file corpus: spread the window-hash CPU across cores
+    docs = with_tokens(
+        load_table(spark, sf_dir, "documents").repartition(32, "doc_id")
+    )
     wins = (
         docs.filter(F.size("toks") >= 8)
         .select(
@@ -773,9 +779,10 @@ def text_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     would corrupt the packed hash field and let Spark's truncating DIV
     diverge from DuckDB's floor ``//``. The clamp is identical in both
     engines."""
-    docs = with_tokens(load_table(spark, sf_dir, "documents")).filter(
-        F.size("toks") >= WIN_K + WIN_W - 1
-    )
+    # single-file corpus: spread the k-gram-hash CPU across cores
+    docs = with_tokens(
+        load_table(spark, sf_dir, "documents").repartition(32, "doc_id")
+    ).filter(F.size("toks") >= WIN_K + WIN_W - 1)
     kg = docs.select(
         "doc_id",
         F.posexplode(
@@ -1368,9 +1375,10 @@ def text_crosslingual_contamination(spark: SparkSession, sf_dir: str) -> DataFra
     content, candidates ∝ shared content, never corpus²; the lang_a <
     lang_b constraint halves the pair space and the aggregation is
     one shuffle keyed by the language pair."""
-    docs = with_tokens(load_table(spark, sf_dir, "documents")).filter(
-        F.size("toks") >= XLING_N
-    )
+    # single-file corpus: spread the shingling CPU across cores
+    docs = with_tokens(
+        load_table(spark, sf_dir, "documents").repartition(32, "doc_id")
+    ).filter(F.size("toks") >= XLING_N)
     sh = docs.select(
         "doc_id",
         "lang",
