@@ -80,7 +80,73 @@ def _driver_verified() -> tuple[dict[str, int], dict[str, int]]:
     return latest_green, latest_hash
 
 
-def _changed_since_green(verified: dict[str, int]) -> dict[str, bool]:
+def _git(*args: str) -> str | None:
+    import subprocess
+
+    here = Path(__file__).resolve().parent
+    try:
+        p = subprocess.run(
+            ["git", *args], cwd=here, capture_output=True, text=True, timeout=30
+        )
+    except (OSError, subprocess.TimeoutExpired):
+        return None
+    return p.stdout.strip() if p.returncode == 0 else None
+
+
+def _round_commits(verified: dict[str, int]) -> dict[int, str | None]:
+    """round → commit that added that round's CORRECTNESS_r*.json."""
+    return {
+        rnd: _git(
+            "log", "--diff-filter=A", "--format=%H", "-n", "1",
+            "--", f"CORRECTNESS_r{rnd:02d}.json",
+        ) or None
+        for rnd in set(verified.values())
+    }
+
+
+def _fp_changed_since_green(
+    verified: dict[str, int], round_commit: dict[int, str | None]
+) -> dict[str, bool | None]:
+    """Per-QUERY change detection: compare each query's live definition
+    fingerprint (md5 of its function source + oracle SQL,
+    ``git_etl_spark.fingerprints``) against QUERY_FINGERPRINTS.json AS
+    OF the commit that recorded the query's green round. Exact where
+    the module-ancestry signal below is coarse — one edit to a
+    40-query module no longer flags all 40. Returns None (unknown)
+    when the green commit predates the fingerprint file; callers fall
+    back to module ancestry for those."""
+    import json
+
+    try:
+        from git_etl_spark.fingerprints import current_fingerprints
+
+        live = current_fingerprints()
+    except Exception:
+        return {name: None for name in verified}
+
+    round_fps: dict[int, dict[str, str] | None] = {}
+    for rnd, commit in round_commit.items():
+        txt = (
+            _git("show", f"{commit}:QUERY_FINGERPRINTS.json") if commit else None
+        )
+        try:
+            round_fps[rnd] = json.loads(txt) if txt else None
+        except ValueError:
+            round_fps[rnd] = None
+
+    out: dict[str, bool | None] = {}
+    for name, rnd in verified.items():
+        fps = round_fps.get(rnd)
+        if fps is None or name not in fps or name not in live:
+            out[name] = None
+        else:
+            out[name] = fps[name] != live[name]
+    return out
+
+
+def _changed_since_green(
+    verified: dict[str, int], round_commit: dict[int, str | None]
+) -> dict[str, bool]:
     """True for queries whose defining source file has commits newer
     than the round in which the query last went green — a refactored
     module's queries jump the re-verification queue so regressions in
@@ -93,20 +159,7 @@ def _changed_since_green(verified: dict[str, int]) -> dict[str, bool]:
     here = Path(__file__).resolve().parent
 
     def git(*args: str) -> str | None:
-        try:
-            p = subprocess.run(
-                ["git", *args], cwd=here, capture_output=True, text=True, timeout=30
-            )
-        except (OSError, subprocess.TimeoutExpired):
-            return None
-        return p.stdout.strip() if p.returncode == 0 else None
-
-    round_commit: dict[int, str | None] = {}
-    for rnd in set(verified.values()):
-        round_commit[rnd] = git(
-            "log", "--diff-filter=A", "--format=%H", "-n", "1",
-            "--", f"CORRECTNESS_r{rnd:02d}.json",
-        ) or None
+        return _git(*args)
 
     file_commit: dict[str, str | None] = {}
     ancestry: dict[tuple[str, str], bool] = {}
@@ -174,12 +227,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         if n not in registry.ORACLES or n in latest_hash
     }
     cost = _cost_hint()
-    changed = _changed_since_green(verified)
+    round_commit = _round_commits(verified)
+    fine = _fp_changed_since_green(verified, round_commit)
+    coarse = _changed_since_green(verified, round_commit)
+    # three change tiers after the never-green front: definition
+    # changed (per-query fingerprint — exact), then module changed
+    # (git ancestry — catches shared-helper edits the fingerprint
+    # can't see, and covers greens that predate the fingerprint
+    # file), then stalest-green; staleness then cost break ties
+    # within every tier. A fine=False (definition unchanged) query
+    # still enters the coarse tier when its module changed — a shared
+    # helper may have altered its behavior.
     names = sorted(
         registry.QUERIES,
         key=lambda n: (
             n in verified,
-            not changed.get(n, False),
+            not (fine.get(n) is True),
+            not coarse.get(n, False),
             verified.get(n, 0),
             cost.get(n, 0.0),
             n,
