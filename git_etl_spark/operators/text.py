@@ -816,10 +816,16 @@ def text_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.expr(f"wmin DIV {_POS_BITS}").alias("fp"))
         .distinct()
     )
-    keep = fp.groupBy("fp").agg(F.count("*").alias("ndocs")).filter(
-        F.col("ndocs") <= WIN_DF_CAP
+    # document-frequency cap as a window count over the fp partition:
+    # the former groupBy + join-back re-shuffled the full fingerprint
+    # set on the same key it was just aggregated on (2.0 → 1.3 s at
+    # sf0.1); the window leaves the rows partitioned on fp, which the
+    # pair self-join below then reuses
+    fpk = (
+        fp.withColumn("ndocs", F.count("*").over(Window.partitionBy("fp")))
+        .filter(F.col("ndocs") <= WIN_DF_CAP)
+        .select("doc_id", "fp")
     )
-    fpk = fp.join(keep.select("fp"), "fp")
     a = fpk.select(F.col("doc_id").alias("doc_a"), "fp")
     b = fpk.select(F.col("doc_id").alias("doc_b"), "fp")
     return (
@@ -988,10 +994,13 @@ def text_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh = sets.select("doc_id", F.explode("shs").alias("sk"))
     sz = sets.select("doc_id", F.size("shs").alias("n_sh"))
-    keep = sh.groupBy("sk").agg(F.count("*").alias("d")).filter(
-        F.col("d") <= CONT_DF_CAP
+    # df-cap as a window count over the sk partition (no groupBy +
+    # join-back re-shuffle; the self-join below reuses the partitioning)
+    shc = (
+        sh.withColumn("d", F.count("*").over(Window.partitionBy("sk")))
+        .filter(F.col("d") <= CONT_DF_CAP)
+        .select("doc_id", "sk")
     )
-    shc = sh.join(keep.select("sk"), "sk")
     a = shc.select(F.col("doc_id").alias("doc_a"), "sk")
     b = shc.select(F.col("doc_id").alias("doc_b"), "sk")
     pairs = (
