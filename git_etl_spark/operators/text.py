@@ -236,16 +236,18 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-hash compare; the *ranking* is identical either way since
     ln is monotonic.
 
-    Plan: one shuffle for tf (doc, term), one for df (term), broadcast
-    the one-row corpus count, rank per doc. At 100 TB the df table is
-    the only wide state and it's bounded by vocabulary size."""
+    Plan: one shuffle for tf (doc, term), then df as a COUNT window
+    over the term partition of the tf rows themselves — tf holds one
+    row per (doc, term), so the per-term row count IS the distinct-doc
+    count, with no second corpus scan, no separate df aggregation, and
+    no join-back shuffle; broadcast the one-row corpus count, rank per
+    doc. At 100 TB the df state is bounded by vocabulary size."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(df, "term")
+        tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
         .crossJoin(F.broadcast(n))
         .withColumn(
             "score",
