@@ -126,9 +126,24 @@ def _fp_changed_since_green(
 
     round_fps: dict[int, dict[str, str] | None] = {}
     for rnd, commit in round_commit.items():
-        txt = (
-            _git("show", f"{commit}:QUERY_FINGERPRINTS.json") if commit else None
+        # The driver runs round N's verification at some point DURING
+        # round N, so a query edited mid-round can carry a green that
+        # predates its current definition (this happened to ~20 queries
+        # in round 7 — VERDICT r7 "process-level exposure"). The safe
+        # as-of point is therefore the START of round N (the commit
+        # that added round N-1's CORRECTNESS file); fall back to round
+        # N's own commit when the fingerprint file doesn't exist at
+        # round start (it first landed mid-round-7) — that still
+        # catches every edit made after the round closed.
+        start_commit = _git(
+            "log", "--diff-filter=A", "--format=%H", "-n", "1",
+            "--", f"CORRECTNESS_r{rnd - 1:02d}.json",
         )
+        txt = None
+        for c in (start_commit, commit):
+            txt = _git("show", f"{c}:QUERY_FINGERPRINTS.json") if c else None
+            if txt:
+                break
         try:
             round_fps[rnd] = json.loads(txt) if txt else None
         except ValueError:
@@ -192,6 +207,41 @@ def _changed_since_green(
     return changed
 
 
+# Queries rewritten during round 7 AFTER the r07 verification rotation
+# had already run (VERDICT r7 "process-level exposure"): their driver
+# greens predate their current definitions, and the per-query
+# fingerprint can't see it because QUERY_FINGERPRINTS.json didn't exist
+# at their green rounds. Front-loaded until each has a hash-green row
+# recorded in round >= 8; the tier then self-deactivates.
+_REVERIFY_FIRST_ROUND = 8
+_REVERIFY_FIRST = [
+    # qsum TPC-H pack (commit cd62972)
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q14_promo_share",
+    "tpch_q15_top_supplier",
+    "tpch_q19_disjunctive_predicates",
+    "agg_corr_price_quantity",
+    "agg_stats_moments",
+    # window-count text rewrites (514d6ca / a4a273c / 27a65e0)
+    "text_tfidf_top_terms",
+    "text_winnowing_pairs",
+    "text_containment_pairs",
+    "text_window_dup_fraction",
+    # other post-rotation rewrites
+    "dedup_ngram_jaccard",
+    "graph_components_large_star",
+    "dedup_simhash_clusters",
+    "multimodal_audio_silence_segments",
+    "graph_pagerank_ppm",
+]
+
+
 def _cost_hint() -> dict[str, float]:
     """sf0.1 per-query seconds from the last committed bench, used to
     order unverified queries cheapest-first (maximizes how many fit if
@@ -230,21 +280,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round_commit = _round_commits(verified)
     fine = _fp_changed_since_green(verified, round_commit)
     coarse = _changed_since_green(verified, round_commit)
-    # three change tiers after the never-green front: definition
-    # changed (per-query fingerprint — exact), then module changed
-    # (git ancestry — catches shared-helper edits the fingerprint
-    # can't see, and covers greens that predate the fingerprint
-    # file), then stalest-green; staleness then cost break ties
-    # within every tier. A fine=False (definition unchanged) query
-    # still enters the coarse tier when its module changed — a shared
-    # helper may have altered its behavior.
+    # Tiers after the never-green front: the explicit reverify list
+    # (greens known to predate their current definition — see
+    # _REVERIFY_FIRST), then definition-changed (per-query fingerprint
+    # — exact), then pure staleness (oldest green round first) so the
+    # driver's ~50-query budget continuously refreshes the oldest
+    # greens. Module ancestry (coarse) is only a tie-break WITHIN a
+    # green round: after a repo-wide refactor round it flags most of
+    # the registry (159/245 after r7), so as a tier it would starve
+    # the stalest unflagged greens indefinitely.
+    reverify = {
+        n for n in _REVERIFY_FIRST
+        if verified.get(n, 0) < _REVERIFY_FIRST_ROUND
+    }
     names = sorted(
         registry.QUERIES,
         key=lambda n: (
             n in verified,
+            n not in reverify,
             not (fine.get(n) is True),
-            not coarse.get(n, False),
             verified.get(n, 0),
+            not coarse.get(n, False),
             cost.get(n, 0.0),
             n,
         ),
