@@ -68,11 +68,39 @@ def qsum(expr: Column, scale: int = 8) -> Column:
     doubles 1 ulp apart), while the split path is exact-operand
     arithmetic in both engines.
 
-    Oracle-side twin: :func:`duck_qsum`.
+    Input bound (guarded): ``|x| < (2⁶³ − 2) / 10ˢ`` — ~9.2e10 at the
+    default scale 8. Beyond it ``floor``'s LongType result SATURATES to
+    Long.MAX silently (even under ANSI — measured on Spark 4.1) while
+    DuckDB's ``CAST(... AS BIGINT)`` raises, so an out-of-range row
+    would diverge silently instead of failing loudly. The in-plan
+    ``assert_true`` below turns that into a job failure naming the
+    offending value; it is a per-row abs+compare that stays inside
+    whole-stage codegen (~free next to the multiply it guards).
+    Separately, quantization is a FAITHFUL rounding of x only while
+    ``|x·10ˢ| < 2⁵³`` (~9e7 at scale 8): past that the decimal grid is
+    coarser than one double ulp — still cross-engine *identical* (both
+    engines compute the same IEEE product), just no longer the nearest
+    grid point to x. Callers aggregating values above ~1e7 should drop
+    ``scale`` accordingly.
+
+    Oracle-side twin: :func:`duck_qsum` (DuckDB's BIGINT cast raises on
+    overflow natively, so only the Spark side needs the guard).
     """
     from .vector import dec_scaled_to_double
 
+    bound = (2.0**63 - 2.0) / float(10**scale)
+    ok = F.assert_true(
+        F.abs(expr) < F.lit(bound),
+        F.concat(
+            F.lit(f"qsum: |x| >= {bound:.6g} exceeds the exact long "
+                  f"quantization range at scale {scale}; got "),
+            expr.cast("string"),
+        ),
+    )
     q = F.floor(expr * F.lit(float(10**scale)) + F.lit(0.5))
+    # assert_true is NULL whenever it does not raise; the when() keeps
+    # it in the plan without changing q's value or nullability path.
+    q = F.when(ok.isNull(), q)
     return dec_scaled_to_double(
         F.sum(q.cast("decimal(38,0)")), float(10**scale)
     )

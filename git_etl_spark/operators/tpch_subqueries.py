@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from ..functions.exact import count_if, dsum
 from ..functions.exact import duck_qsum, qsum
+from ..functions.vector import dec_scaled_to_double, duck_dec_scaled_to_double
 from ..functions.timeutil import ts_ntz
 from ..io import load_table
 from ..registry import query
@@ -42,6 +43,11 @@ from ..registry import query
 # EMITTING a double, and unit-space comparisons (MAX, thresholds,
 # ratios) need no rescale at all.
 _REV_SQL = "CAST(floor(l_extendedprice * (1 - l_discount) * 1e8 + 0.5) AS BIGINT)"
+
+_Q8_NUM = (
+    "SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume"
+    " ELSE CAST(0 AS BIGINT) END)"
+)
 
 _DUCK_PROFIT = duck_qsum(
     "l.l_extendedprice * (1 - l.l_discount)"
@@ -102,7 +108,7 @@ def tpch_q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            EXTRACT(YEAR FROM l.l_shipdate) AS ship_year,
-           CAST(SUM({_REV_SQL}) AS DOUBLE) / 1e8 AS volume
+           {duck_dec_scaled_to_double(f'SUM({_REV_SQL})', '1e8')} AS volume
     FROM lineitem l
     JOIN orders o ON o.o_orderkey = l.l_orderkey
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -148,7 +154,7 @@ def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation",
             F.year("l_shipdate").cast("long").alias("ship_year"),
         )
-        .agg((F.sum(_rev()).cast("double") / F.lit(1e8)).alias("volume"))
+        .agg(dec_scaled_to_double(F.sum(_rev()), 1e8).alias("volume"))
     )
 
 
@@ -157,7 +163,7 @@ def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT c.c_custkey AS custkey, c.c_name AS cust_name,
            n.n_name AS nation_name,
-           CAST(SUM({_REV_SQL}) AS DOUBLE) / 1e8 AS revenue
+           {duck_dec_scaled_to_double(f'SUM({_REV_SQL})', '1e8')} AS revenue
     FROM customer c
     JOIN orders o ON o.o_custkey = c.c_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -192,7 +198,7 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_name").alias("cust_name"),
             F.col("n_name").alias("nation_name"),
         )
-        .agg((F.sum(_rev()).cast("double") / F.lit(1e8)).alias("revenue"))
+        .agg(dec_scaled_to_double(F.sum(_rev()), 1e8).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("custkey"))
         .limit(20)
     )
@@ -206,11 +212,13 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
                SUM({_REV_SQL}) AS part_value
         FROM lineitem GROUP BY l_partkey
     ),
-    total AS (SELECT CAST(SUM(part_value) AS DOUBLE) / COUNT(*) AS avgv
+    total AS (SELECT {duck_dec_scaled_to_double('SUM(part_value)', '1.0')}
+                         / COUNT(*) AS avgv
               FROM per_part)
-    SELECT p.partkey, CAST(p.part_value AS DOUBLE) / 1e8 AS part_value
+    SELECT p.partkey,
+           {duck_dec_scaled_to_double('p.part_value', '1e8')} AS part_value
     FROM per_part p, total t
-    WHERE CAST(p.part_value AS DOUBLE) > t.avgv * 1.5
+    WHERE {duck_dec_scaled_to_double('p.part_value', '1.0')} > t.avgv * 1.5
     """,
 )
 def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -225,14 +233,18 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(_rev()).alias("part_value")
     )
     total = per_part.agg(
-        (F.sum("part_value").cast("double") / F.count("*")).alias("avgv")
+        (dec_scaled_to_double(F.sum("part_value"), 1.0) / F.count("*")).alias(
+            "avgv"
+        )
     )
     return (
         per_part.crossJoin(F.broadcast(total))
-        .filter(F.col("part_value").cast("double") > F.col("avgv") * 1.5)
+        .filter(
+            dec_scaled_to_double(F.col("part_value"), 1.0) > F.col("avgv") * 1.5
+        )
         .select(
             "partkey",
-            (F.col("part_value").cast("double") / F.lit(1e8)).alias("part_value"),
+            dec_scaled_to_double(F.col("part_value"), 1e8).alias("part_value"),
         )
     )
 
@@ -283,7 +295,7 @@ def tpch_q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataF
         GROUP BY l_suppkey
     )
     SELECT s.s_suppkey AS suppkey, s.s_name AS supp_name,
-           CAST(r.total_revenue AS DOUBLE) / 1e8 AS total_revenue
+           {duck_dec_scaled_to_double('r.total_revenue', '1e8')} AS total_revenue
     FROM supplier s
     JOIN revenue r ON s.s_suppkey = r.supplier_no
     WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
@@ -312,7 +324,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("s_suppkey").alias("suppkey"),
             F.col("s_name").alias("supp_name"),
-            (F.col("total_revenue").cast("double") / F.lit(1e8)).alias(
+            dec_scaled_to_double(F.col("total_revenue"), 1e8).alias(
                 "total_revenue"
             ),
         )
@@ -567,9 +579,8 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
         WHERE r.r_name = 'ASIA'
     )
     SELECT order_year,
-           CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
-                         ELSE CAST(0 AS BIGINT) END) AS DOUBLE)
-               / CAST(SUM(volume) AS DOUBLE) AS mkt_share,
+           {duck_dec_scaled_to_double(_Q8_NUM, '1.0')}
+               / {duck_dec_scaled_to_double('SUM(volume)', '1.0')} AS mkt_share,
            COUNT(*) AS n_lines
     FROM vol GROUP BY order_year
     """,
@@ -606,9 +617,10 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("supp_nation") == "NATION_3", F.col("volume")
     ).otherwise(F.lit(0).cast("decimal(38,0)"))
     return vol.groupBy("order_year").agg(
-        (F.sum(target).cast("double") / F.sum("volume").cast("double")).alias(
-            "mkt_share"
-        ),
+        (
+            dec_scaled_to_double(F.sum(target), 1.0)
+            / dec_scaled_to_double(F.sum("volume"), 1.0)
+        ).alias("mkt_share"),
         F.count("*").alias("n_lines"),
     )
 

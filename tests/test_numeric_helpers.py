@@ -59,3 +59,39 @@ def test_duckdb_mean14_matches_python_mirror():
     con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
     (got,) = con.execute(f"SELECT {duck_mean14('val')} FROM t").fetchone()
     assert got == _py_mean14(vals)
+
+
+def test_qsum_matches_duck_qsum_in_range(spark):
+    """qsum / duck_qsum agree bit-for-bit for in-bound derived values."""
+    from git_etl_spark.functions.exact import duck_qsum, qsum
+
+    rng = random.Random(11)
+    vals = [rng.uniform(-9e4, 9e4) * rng.uniform(0.8, 1.2) for _ in range(500)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = df.agg(qsum(F.col("x")).alias("s")).collect()[0]["s"]
+    want = duckdb.sql(
+        f"SELECT {duck_qsum('x')} AS s FROM (SELECT unnest(?) AS x)",
+        params=[vals],
+    ).fetchall()[0][0]
+    assert got == want
+
+
+def test_qsum_out_of_range_fails_loudly(spark):
+    """Past |x| >= (2^63-2)/10^s, floor's long saturates silently
+    (measured: floor(1e19) -> Long.MAX even under ANSI); the in-plan
+    guard must turn that into a loud failure naming the value."""
+    from git_etl_spark.functions.exact import qsum
+
+    df = spark.createDataFrame([(1.0,), (1.0e11,)], "x double")
+    with pytest.raises(Exception, match="qsum"):
+        df.agg(qsum(F.col("x")).alias("s")).collect()
+
+
+def test_qsum_accepts_values_near_bound(spark):
+    """Values just inside the guard still aggregate (the guard is the
+    documented bound, not an over-tight one)."""
+    from git_etl_spark.functions.exact import qsum
+
+    df = spark.createDataFrame([(9.0e10,), (-9.0e10,)], "x double")
+    got = df.agg(qsum(F.col("x")).alias("s")).collect()[0]["s"]
+    assert got == 0.0
