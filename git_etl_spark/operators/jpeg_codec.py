@@ -210,6 +210,11 @@ def encode_jpeg_gray_coeffs(
         diff = zz[0] - pred
         pred = zz[0]
         s = _size_category(diff)
+        if s > 11:  # Annex K.3 DC table tops out at size category 11
+            raise ValueError(
+                f"DC coefficient diff {diff} out of baseline Huffman "
+                f"range (|quantized DC diff| must be < 2048)"
+            )
         code, length = dc_codes[s]
         w.write(code, length)
         if s:
@@ -230,6 +235,11 @@ def encode_jpeg_gray_coeffs(
                 w.write(code, length)
                 run -= 16
             s = _size_category(v)
+            if s > 10:  # Annex K.5 AC table tops out at size category 10
+                raise ValueError(
+                    f"AC coefficient {v} out of baseline Huffman range "
+                    f"(|quantized AC coef| must be < 1024)"
+                )
             code, length = ac_codes[(run << 4) | s]
             w.write(code, length)
             w.write(_amplitude(v, s), s)
@@ -343,7 +353,16 @@ def decode_jpeg_gray(payload: bytes) -> dict:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("desynchronized JPEG segment stream")
+        # T.81 B.1.1.2: a marker may be preceded by any number of 0xFF
+        # fill bytes - legal padding, not desynchronization.
+        while payload[pos + 1] == 0xFF and pos + 4 <= len(payload):
+            pos += 1
         marker = payload[pos + 1]
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / RSTn are standalone (no length word); RSTn outside a
+            # declared restart interval is unusual but harmless here.
+            pos += 2
+            continue
         if marker in (0xC2, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
                 f"JPEG SOF{marker - 0xC0}: only baseline sequential (SOF0)"
@@ -378,6 +397,17 @@ def decode_jpeg_gray(payload: bytes) -> dict:
             if seg[7] != 0x11:
                 raise NotImplementedError("subsampled single component")
             comp_q = seg[8]
+        elif marker == 0xDD:  # DRI
+            (interval,) = struct.unpack(">H", seg[:2])
+            if interval:
+                # Restart markers inside the scan would need resync +
+                # predictor reset in the entropy decoder - part of
+                # baseline sequential that this decoder does not
+                # implement. Refuse loudly as an honest gap rather
+                # than failing later as 'malformed'.
+                raise NotImplementedError(
+                    f"JPEG restart intervals (DRI={interval}) not supported"
+                )
         elif marker == 0xDA:  # SOS
             dc_id, ac_id = seg[2] >> 4, seg[2] & 0x0F
             data_start = pos + 2 + seglen

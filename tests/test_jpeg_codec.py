@@ -152,3 +152,43 @@ def test_decode_image_routes_jpeg():
     assert f["magic"] == "JPEG"
     assert f["width"] == wb * 8 and f["height"] == hb * 8
     assert f["max_byte"] == max(vals)
+
+
+def test_fill_bytes_and_tem_marker_tolerated():
+    """T.81 B.1.1.2: 0xFF fill bytes may pad any marker, and TEM (0x01)
+    is a legal standalone marker — neither is desynchronization."""
+    blk = [0] * 64
+    blk[0] = 16
+    payload = encode_jpeg_gray_coeffs([blk], 8, 8)
+    # inject fill bytes + a TEM marker right after SOI
+    padded = payload[:2] + b"\xff\xff\xff\x01" + payload[2:]
+    d = decode_jpeg_gray(padded)
+    assert d["width"] == d["height"] == 8
+    assert d == decode_jpeg_gray(payload)
+
+
+def test_dri_zero_interval_is_noop_nonzero_refused():
+    """DRI with interval 0 disables restarts (no-op); a nonzero
+    interval declares RSTn markers the entropy decoder doesn't
+    implement — honest NotImplementedError, not 'malformed'."""
+    blk = [0] * 64
+    blk[0] = 16
+    payload = encode_jpeg_gray_coeffs([blk], 8, 8)
+    dri0 = payload[:2] + b"\xff\xdd\x00\x04\x00\x00" + payload[2:]
+    assert decode_jpeg_gray(dri0) == decode_jpeg_gray(payload)
+    dri8 = payload[:2] + b"\xff\xdd\x00\x04\x00\x08" + payload[2:]
+    with pytest.raises(NotImplementedError, match="restart"):
+        decode_jpeg_gray(dri8)
+
+
+def test_out_of_range_coefficients_diagnosed():
+    """Coefficients beyond Annex-K table range raise a diagnosable
+    ValueError (not a bare KeyError)."""
+    dc_blk = [0] * 64
+    dc_blk[0] = 2048  # DC diff size category 12 > 11
+    with pytest.raises(ValueError, match="DC coefficient"):
+        encode_jpeg_gray_coeffs([dc_blk], 8, 8)
+    ac_blk = [0] * 64
+    ac_blk[1] = 1024  # AC size category 11 > 10
+    with pytest.raises(ValueError, match="AC coefficient"):
+        encode_jpeg_gray_coeffs([ac_blk], 8, 8)
