@@ -59,6 +59,10 @@ SIMHASH_BITS = 48  # md5-derived; 48 bits keeps conv() inside BIGINT range
 # modmul here costs ~2× on the signature stage).
 MINHASH_HASHES = 128
 MINHASH_BANDS = 8
+# Salt fan-out for the within-clique pair expansion (see
+# dedup_minhash_lsh): bounds the largest single-task share of a
+# k-member clique's k(k-1)/2 generated pairs at ~1/WITHIN_SALTS.
+WITHIN_SALTS = 8
 MINHASH_PRIME = (1 << 31) - 1  # Mersenne prime for the universal hash family
 
 # Above this edge count, connected components switches from min-label
@@ -1257,9 +1261,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # for the 128-buffer plan, a net loss at any interactive cadence
     # and pure overhead the fold shape never incurs.)
     rows_per_band = MINHASH_HASHES // MINHASH_BANDS
-    ab = F.array(
-        *[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in coeffs]
-    )
+    # The coefficient family travels as TWO single array Literal nodes,
+    # not 128 struct(lit, lit) constructors: the struct-array shape put
+    # ~400 expression nodes into the projection, and this query re-plans
+    # per call — measured ~0.8 s of driver-side Catalyst/codegen gap
+    # before the signature job at interactive cadence (the round-6
+    # wide-agg lesson, same root cause). Two literals collapse the tree
+    # to a handful of nodes; the executed arithmetic is identical.
+    a_arr = F.lit([a for a, _ in coeffs])
+    b_arr = F.lit([b for _, b in coeffs])
     th = F.transform(
         F.col("toks"),
         lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
@@ -1274,7 +1284,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_repeat(F.lit(MINHASH_PRIME).cast("long"), MINHASH_HASHES),
         # (a·h + b) mod p stays under 2^63 → plain BIGINT arithmetic
         lambda acc, h: F.zip_with(
-            acc, ab, lambda m, c: F.least(m, (c["a"] * h + c["b"]) % MINHASH_PRIME)
+            acc,
+            F.zip_with(
+                a_arr, b_arr, lambda a, b: (a * h + b) % MINHASH_PRIME
+            ),
+            lambda m, v: F.least(m, v),
         ),
     )
     band_keys = F.transform(
@@ -1306,11 +1320,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # canonical LSH shuffles on (band, band_key) / set_key with
     # identical results.
     bcast_cap = 2_000_000  # rows; well under driver/executor budgets
-    sets_m = sets.localCheckpoint()  # token arrays reused by both verify sides
+    # both verify sides re-read the rep token arrays through grouped's
+    # checkpoint (filter + project over a materialized ~MB-scale
+    # artifact) — a second checkpoint of the same data cost a job +
+    # planning round per call and saved nothing
+    sets_m = sets
     reps_n = sets_m.count()
     bands_small = reps_n * MINHASH_BANDS <= bcast_cap
     sets_small = reps_n <= bcast_cap
     a, b = bands.alias("a"), bands.alias("b")
+    # A pair colliding in k of the 8 bands surfaces k times; keep the
+    # dropDuplicates exchange. (Measured alternative: the no-dup-LSH
+    # trick — carry each row's full 8-key vector and keep a pair only
+    # at its first colliding band as a per-row predicate. It removes
+    # this exchange but regressed ~0.7 s at sf0.1: the 8 md5 strings
+    # per row inflate the broadcast and every join probe, costing more
+    # than the ~350k-row exchange they replace.)
     cand = (
         (F.broadcast(a) if bands_small else a)
         .join(
@@ -1351,10 +1376,27 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard",
         )
     )
+    # Within-clique expansion is OUTPUT-skewed: one k-member exact-dup
+    # clique emits its k(k-1)/2 pairs from a single set_key, so an
+    # unsalted self-join funnels the biggest clique's quadratic pair
+    # generation through one task (measured: the stage's max task ran
+    # ~2x its p50 and bounded the job). AQE's skew splitter never fires
+    # because the INPUT partition is tiny in bytes — the skew is in the
+    # generated output. Salt the left side by doc hash and replicate the
+    # right side across the salt domain: each pair (a, b) still appears
+    # exactly once (at a's salt), but a clique's generation fans out
+    # over WITHIN_SALTS tasks. The replicated side is the thin
+    # (set_key, doc_id) projection, a bounded constant-factor shuffle.
+    salts = F.array(*[F.lit(i) for i in range(WITHIN_SALTS)])
+    ma_s = members.withColumn(
+        "salt", F.pmod(F.xxhash64("doc_id"), F.lit(WITHIN_SALTS))
+    ).alias("ma")
+    mb_r = members.withColumn("salt", F.explode(salts)).alias("mb")
     within = (
-        ma.join(
-            mb,
+        ma_s.join(
+            mb_r,
             (F.col("ma.set_key") == F.col("mb.set_key"))
+            & (F.col("ma.salt") == F.col("mb.salt"))
             & (F.col("ma.doc_id") < F.col("mb.doc_id")),
         )
         .select(
