@@ -14,9 +14,13 @@ entropy layer for real — no external codec:
   run/size-coded coefficients (EOB and ZRL included), DC prediction,
   dequantization, de-zigzag, and a float 2-D separable IDCT (the
   ITU-T T.81 A.3.3 definition) with round-half-up and [0, 255]
-  clamping. One component, 8-bit, non-progressive; progressive
-  (SOF2), arithmetic coding, and multi-component chroma sampling
-  raise loudly — the honest-gap policy, same as interlaced PNG.
+  clamping. One component, 8-bit. Progressive (SOF2) streams are
+  decoded for real as well (spectral selection + successive
+  approximation with DC/AC refinement and EOB runs — see the
+  Annex-G section at the bottom of this module); arithmetic coding,
+  lossless/hierarchical SOFs, multi-component chroma sampling, and
+  restart intervals raise loudly — the honest-gap policy, same as
+  interlaced PNG.
 - **Encoder** (`encode_jpeg_gray_coeffs`): the inverse entropy layer —
   takes already-quantized coefficient blocks, zigzags, DC-DIFF and
   run/size Huffman-codes them with tables embedded in the emitted
@@ -363,9 +367,12 @@ def decode_jpeg_gray(payload: bytes) -> dict:
             # declared restart interval is unusual but harmless here.
             pos += 2
             continue
-        if marker in (0xC2, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        if marker == 0xC2:  # progressive DCT → dedicated decoder
+            return _decode_jpeg_progressive(payload)
+        if marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0}: only baseline sequential (SOF0)"
+                f"JPEG SOF{marker - 0xC0}: only baseline (SOF0) and"
+                " progressive (SOF2) DCT are supported"
             )
         (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
         seg = payload[pos + 4 : pos + 2 + seglen]
@@ -462,3 +469,504 @@ def decode_jpeg_gray(payload: bytes) -> dict:
                     blk[r * 8 : r * 8 + n]
                 )
     return {"width": width, "height": height, "pixels": bytes(pixels)}
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) grayscale: spectral selection + successive approximation
+# ---------------------------------------------------------------------------
+#
+# A progressive stream carries the same quantized coefficients as a
+# baseline one, split across several scans: each scan covers a zigzag
+# band [Ss, Se] at a bit precision window [Ah, Al]. "First" scans
+# (Ah = 0) deliver coefficient values shifted down by Al; "refinement"
+# scans (Ah = Al + 1) deliver one more magnitude bit per coefficient.
+# DC uses two's-complement arithmetic shifts, AC uses sign-magnitude
+# (T.81 G.1.2.1/G.1.2.3). AC scans add the EOB-run escape: symbol
+# (r << 4) with size 0 means "the band is over in this and the next
+# 2^r + appended-bits − 1 blocks".
+#
+# The decode/encode pair below implements the Annex-G flowcharts
+# directly (decode: G.2; encode: G.1.2). Because both engines read
+# every table from the stream, the encoder is free to use flat
+# single-length Huffman tables (_FLAT_AC_*) that cover all 256
+# run/size symbols — progressive AC scans need EOBn symbols
+# (0x10..0xE0) that the Annex-K baseline table simply doesn't contain.
+
+# all 256 run/size symbols, 128 at 8 bits + 128 at 9 bits (a DHT BITS
+# entry is one byte, so a single length can hold at most 255 values)
+_FLAT_AC_BITS = [0] * 7 + [128, 128] + [0] * 7
+_FLAT_AC_VALS = list(range(256))
+
+# libjpeg-style default scan script, restricted to one component:
+# DC first at Al=1, low then high AC bands at Al=2, two AC refinement
+# sweeps down to Al=0, DC refinement last. Exercises every Annex-G
+# code path (EOB runs, ZRL inside refinement, buffered correction
+# bits, newly-nonzero insertion).
+DEFAULT_PROGRESSIVE_SCANS = [
+    (0, 0, 0, 1),
+    (1, 5, 0, 2),
+    (6, 63, 0, 2),
+    (1, 63, 2, 1),
+    (1, 63, 1, 0),
+    (0, 0, 1, 0),
+]
+
+
+def _mag_shift(v: int, al: int) -> int:
+    """Sign-magnitude point transform for AC coefficients (G.1.2.1):
+    shift the MAGNITUDE, keep the sign."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+class _ProgressiveScanDecoder:
+    """Per-scan entropy decoder mutating the zigzag-order coefficient
+    state (T.81 G.2). ``coefs`` holds one 64-list per block with
+    values at their final (un-shifted) bit positions."""
+
+    def __init__(self, coefs: list[list[int]]) -> None:
+        self.coefs = coefs
+
+    def run(
+        self,
+        reader: "_BitReader",
+        dc_map: dict | None,
+        ac_map: dict | None,
+        ss: int,
+        se: int,
+        ah: int,
+        al: int,
+    ) -> None:
+        if ss == 0:
+            if se != 0:
+                raise ValueError("progressive DC scan must have Se = 0")
+            if ah == 0:
+                self._dc_first(reader, dc_map, al)
+            else:
+                self._dc_refine(reader, al)
+        elif ah == 0:
+            self._ac_first(reader, ac_map, ss, se, al)
+        else:
+            self._ac_refine(reader, ac_map, ss, se, al)
+
+    def _dc_first(self, reader: "_BitReader", dc_map: dict, al: int) -> None:
+        pred = 0
+        for blk in self.coefs:
+            s = reader.read_symbol(dc_map)
+            diff = _extend(reader.read_bits(s), s) if s else 0
+            pred += diff
+            blk[0] = pred << al
+
+    def _dc_refine(self, reader: "_BitReader", al: int) -> None:
+        p1 = 1 << al
+        for blk in self.coefs:
+            if reader.read_bit():
+                # Python ints are infinite two's complement, so |= on a
+                # negative DC sets bit al exactly like the int16 the
+                # spec describes.
+                blk[0] |= p1
+    def _ac_first(
+        self, reader: "_BitReader", ac_map: dict, ss: int, se: int, al: int
+    ) -> None:
+        eobrun = 0
+        for blk in self.coefs:
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = reader.read_symbol(ac_map)
+                r, size = rs >> 4, rs & 0x0F
+                if size:
+                    k += r
+                    if k > se:
+                        raise ValueError("AC coefficient index out of band")
+                    blk[k] = _extend(reader.read_bits(size), size) << al
+                    k += 1
+                elif r != 15:
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                else:
+                    k += 16  # ZRL
+    def _ac_refine(
+        self, reader: "_BitReader", ac_map: dict, ss: int, se: int, al: int
+    ) -> None:
+        p1, m1 = 1 << al, -1 << al
+        eobrun = 0
+        for blk in self.coefs:
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = reader.read_symbol(ac_map)
+                    r, size = rs >> 4, rs & 0x0F
+                    newval = 0
+                    if size:
+                        if size != 1:
+                            raise ValueError(
+                                "AC refinement scan carries size > 1"
+                            )
+                        newval = p1 if reader.read_bit() else m1
+                    elif r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += reader.read_bits(r)
+                        break  # rest of band joins the EOB-run sweep
+                    # advance past r zero-history positions, appending a
+                    # correction bit to every nonzero-history coefficient
+                    # passed on the way (G.2's coefficient update rule)
+                    while k <= se:
+                        if blk[k]:
+                            if reader.read_bit() and not (blk[k] & p1):
+                                blk[k] += p1 if blk[k] >= 0 else m1
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if newval:
+                        if k > se:
+                            raise ValueError(
+                                "newly-nonzero AC index out of band"
+                            )
+                        blk[k] = newval
+                    k += 1
+            if eobrun > 0:
+                # EOB-run region: remaining nonzero-history coefficients
+                # of this block still receive correction bits
+                while k <= se:
+                    if blk[k]:
+                        if reader.read_bit() and not (blk[k] & p1):
+                            blk[k] += p1 if blk[k] >= 0 else m1
+                    k += 1
+                eobrun -= 1
+
+
+def _decode_jpeg_progressive(payload: bytes) -> dict:
+    """Decode a progressive (SOF2) grayscale JPEG. Same container
+    contract as :func:`decode_jpeg_gray` (which dispatches here);
+    tables may be (re)defined between scans, scans accumulate into one
+    coefficient buffer, dequantization + IDCT run once at the end."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qtabs: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    width = height = None
+    comp_q = 0
+    coefs: list[list[int]] | None = None
+    decoder: _ProgressiveScanDecoder | None = None
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("desynchronized JPEG segment stream")
+        while payload[pos + 1] == 0xFF and pos + 2 <= len(payload):
+            pos += 1  # 0xFF fill bytes (T.81 B.1.1.2)
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        seg = payload[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quantization tables")
+                qtabs[tq] = list(seg[p + 1 : p + 65])
+                p += 65
+        elif marker == 0xC4:
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                bits = list(seg[p + 1 : p + 17])
+                nvals = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + nvals])
+                huff[(tc, th)] = _canonical_decode_map(bits, vals)
+                p += 17 + nvals
+        elif marker == 0xC2:
+            precision, height, width, ncomp = struct.unpack(">BHHB", seg[:6])
+            if precision != 8:
+                raise NotImplementedError("only 8-bit precision")
+            if ncomp != 1:
+                raise NotImplementedError(
+                    "multi-component (chroma) JPEG: grayscale only"
+                )
+            if seg[7] != 0x11:
+                raise NotImplementedError("subsampled single component")
+            comp_q = seg[8]
+            nblocks = ((width + 7) // 8) * ((height + 7) // 8)
+            coefs = [[0] * 64 for _ in range(nblocks)]
+            decoder = _ProgressiveScanDecoder(coefs)
+        elif marker == 0xDD:
+            (interval,) = struct.unpack(">H", seg[:2])
+            if interval:
+                raise NotImplementedError(
+                    f"JPEG restart intervals (DRI={interval}) not supported"
+                )
+        elif marker == 0xDA:
+            if decoder is None:
+                raise ValueError("progressive SOS before SOF2")
+            ns = seg[0]
+            if ns != 1:
+                raise NotImplementedError("interleaved progressive scan")
+            dc_id, ac_id = seg[2] >> 4, seg[2] & 0x0F
+            ss, se = seg[3], seg[4]
+            ah, al = seg[5] >> 4, seg[5] & 0x0F
+            data_start = pos + 2 + seglen
+            end = data_start
+            while end + 1 < len(payload):
+                if payload[end] == 0xFF and payload[end + 1] not in (
+                    0x00,
+                    *range(0xD0, 0xD8),
+                ):
+                    break
+                end += 1
+            reader = _BitReader(payload[data_start:end])
+            decoder.run(
+                reader,
+                huff.get((0, dc_id)),
+                huff.get((1, ac_id)),
+                ss,
+                se,
+                ah,
+                al,
+            )
+            pos = end
+            continue
+        pos += 2 + seglen
+    if coefs is None or width is None:
+        raise ValueError("JPEG without SOS/SOF2")
+    qtab = qtabs[comp_q]
+    wb = (width + 7) // 8
+    pixels = bytearray(width * height)
+    for bi, zz in enumerate(coefs):
+        by, bx = divmod(bi, wb)
+        coef = [0] * 64
+        for k in range(64):
+            coef[ZIGZAG[k]] = zz[k] * qtab[k]
+        blk = _idct_2d(coef)
+        for r in range(8):
+            y = by * 8 + r
+            if y >= height:
+                break
+            x0 = bx * 8
+            n = min(8, width - x0)
+            pixels[y * width + x0 : y * width + x0 + n] = bytes(
+                blk[r * 8 : r * 8 + n]
+            )
+    return {"width": width, "height": height, "pixels": bytes(pixels)}
+
+
+class _ProgressiveScanEncoder:
+    """Per-scan entropy encoder over final quantized zigzag blocks
+    (T.81 G.1.2). Mirrors _ProgressiveScanDecoder scan for scan."""
+
+    def __init__(self, w: "_BitWriter", dc_codes: dict, ac_codes: dict) -> None:
+        self.w = w
+        self.dc_codes = dc_codes
+        self.ac_codes = ac_codes
+        self.eobrun = 0
+        self.be: list[int] = []  # correction bits buffered across EOB run
+
+    def _emit_eobrun(self) -> None:
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            code, length = self.ac_codes[nbits << 4]
+            self.w.write(code, length)
+            if nbits:
+                self.w.write(self.eobrun, nbits)
+            self.eobrun = 0
+        for bit in self.be:
+            self.w.write(bit, 1)
+        self.be = []
+
+    def dc_first(self, blocks: list[list[int]], al: int) -> None:
+        pred = 0
+        for zz in blocks:
+            temp = zz[0] >> al  # arithmetic shift: DC is two's complement
+            diff = temp - pred
+            pred = temp
+            s = _size_category(diff)
+            if s > 11:
+                raise ValueError(
+                    f"DC coefficient diff {diff} out of Huffman range"
+                )
+            code, length = self.dc_codes[s]
+            self.w.write(code, length)
+            if s:
+                self.w.write(_amplitude(diff, s), s)
+
+    def dc_refine(self, blocks: list[list[int]], al: int) -> None:
+        for zz in blocks:
+            self.w.write((zz[0] >> al) & 1, 1)
+
+    def ac_first(self, blocks: list[list[int]], ss: int, se: int, al: int) -> None:
+        for zz in blocks:
+            r = 0
+            for k in range(ss, se + 1):
+                t = _mag_shift(zz[k], al)
+                if t == 0:
+                    r += 1
+                    continue
+                self._emit_eobrun()
+                while r > 15:
+                    code, length = self.ac_codes[0xF0]
+                    self.w.write(code, length)
+                    r -= 16
+                s = _size_category(t)
+                if s > 14:
+                    raise ValueError(f"AC coefficient {t} out of Huffman range")
+                code, length = self.ac_codes[(r << 4) | s]
+                self.w.write(code, length)
+                self.w.write(_amplitude(t, s), s)
+                r = 0
+            if r:
+                self.eobrun += 1
+                if self.eobrun == 0x7FFF:
+                    self._emit_eobrun()
+
+    def ac_refine(self, blocks: list[list[int]], ss: int, se: int, al: int) -> None:
+        for zz in blocks:
+            absv = [_mag_shift(abs(zz[k]), al) for k in range(ss, se + 1)]
+            eob = 0  # band offset AFTER the last newly-nonzero coefficient
+            for i, t in enumerate(absv):
+                if t == 1:
+                    eob = i + 1
+            r = 0
+            br: list[int] = []  # correction bits pending within the block
+            for i, t in enumerate(absv):
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and i < eob:
+                    # ZRL only when more newly-nonzero coefficients
+                    # follow; trailing zeros fold into the EOB run
+                    self._emit_eobrun()
+                    code, length = self.ac_codes[0xF0]
+                    self.w.write(code, length)
+                    r -= 16
+                    for bit in br:
+                        self.w.write(bit, 1)
+                    br = []
+                if t > 1:
+                    # history-nonzero coefficient: buffer its correction
+                    # bit until the next emitted symbol anchors it
+                    br.append(t & 1)
+                    continue
+                # newly-nonzero (|v| >> al == 1): run/1 + sign bit
+                self._emit_eobrun()
+                code, length = self.ac_codes[(r << 4) | 1]
+                self.w.write(code, length)
+                self.w.write(0 if zz[ss + i] < 0 else 1, 1)
+                for bit in br:
+                    self.w.write(bit, 1)
+                br = []
+                r = 0
+            if r or br:
+                self.eobrun += 1
+                self.be.extend(br)
+                if self.eobrun == 0x7FFF:
+                    self._emit_eobrun()
+
+
+def encode_jpeg_gray_coeffs_progressive(
+    blocks: list[list[int]],
+    width: int,
+    height: int,
+    qtab_zz: list[int] | None = None,
+    scans: list[tuple[int, int, int, int]] | None = None,
+) -> bytes:
+    """Emit a progressive (SOF2) grayscale JPEG from already-QUANTIZED
+    coefficient blocks — same input contract as
+    :func:`encode_jpeg_gray_coeffs`, same decoded output, different
+    wire layout: the coefficients travel across the ``scans`` script
+    of (Ss, Se, Ah, Al) bands (default DEFAULT_PROGRESSIVE_SCANS).
+    AC scans use the flat 256-symbol Huffman table because progressive
+    needs EOBn symbols absent from the Annex-K baseline table; the
+    decoder reads whatever DHT carries, so this is invisible to it."""
+    qtab_zz = list(qtab_zz if qtab_zz is not None else QTAB_ZZ)
+    if len(qtab_zz) != 64:
+        raise ValueError("quantization table must have 64 entries")
+    wb = (width + 7) // 8
+    hb = (height + 7) // 8
+    if len(blocks) != wb * hb:
+        raise ValueError(f"expected {wb * hb} blocks, got {len(blocks)}")
+    scans = list(scans if scans is not None else DEFAULT_PROGRESSIVE_SCANS)
+    _validate_scan_script(scans)
+
+    zz_blocks = [[blk[ZIGZAG[k]] for k in range(64)] for blk in blocks]
+    dc_codes = _canonical_codes(DC_BITS, DC_VALS)
+    ac_codes = _canonical_codes(_FLAT_AC_BITS, _FLAT_AC_VALS)
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += _segment(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _segment(0xFFDB, bytes([0x00]) + bytes(qtab_zz))
+    out += _segment(
+        0xFFC2, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
+    )
+    out += _segment(0xFFC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS))
+    out += _segment(
+        0xFFC4, bytes([0x10]) + bytes(_FLAT_AC_BITS) + bytes(_FLAT_AC_VALS)
+    )
+    for ss, se, ah, al in scans:
+        w = _BitWriter()
+        enc = _ProgressiveScanEncoder(w, dc_codes, ac_codes)
+        if ss == 0:
+            if ah == 0:
+                enc.dc_first(zz_blocks, al)
+            else:
+                enc.dc_refine(zz_blocks, al)
+        elif ah == 0:
+            enc.ac_first(zz_blocks, ss, se, al)
+        else:
+            enc.ac_refine(zz_blocks, ss, se, al)
+        enc._emit_eobrun()
+        w.flush()
+        out += _segment(
+            0xFFDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al])
+        )
+        out += w.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _validate_scan_script(scans: list[tuple[int, int, int, int]]) -> None:
+    """Enforce the Annex-G constraints this codec relies on: DC and AC
+    never share a scan, the DC first scan precedes all AC scans, every
+    refinement lowers the point transform by exactly one bit, and each
+    coefficient's first scan happens before its refinements."""
+    first_al: dict[int, int] = {}
+    cur_al: dict[int, int] = {}
+    seen_dc_first = False
+    for ss, se, ah, al in scans:
+        if not (0 <= ss <= se <= 63):
+            raise ValueError(f"invalid band [{ss}, {se}]")
+        if ss == 0 and se != 0:
+            raise ValueError("DC and AC coefficients cannot share a scan")
+        band = range(ss, se + 1)
+        if ah == 0:
+            for k in band:
+                if k in first_al:
+                    raise ValueError(f"coefficient {k} has two first scans")
+                first_al[k] = al
+                cur_al[k] = al
+            if ss == 0:
+                seen_dc_first = True
+            elif not seen_dc_first:
+                raise ValueError("AC scan before the DC first scan")
+        else:
+            for k in band:
+                if k not in cur_al:
+                    raise ValueError(
+                        f"refinement of coefficient {k} before its first scan"
+                    )
+                if ah != cur_al[k] or al != ah - 1:
+                    raise ValueError(
+                        f"refinement of coefficient {k} must step"
+                        f" Ah={cur_al[k]} -> Al={cur_al[k] - 1}"
+                    )
+                cur_al[k] = al

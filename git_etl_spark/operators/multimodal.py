@@ -14,12 +14,13 @@ so the mapInPandas path exercises an actual per-payload decode whose
 every feature the DuckDB oracle reconstructs independently. PNG is
 decoded for real with only the stdlib (``decode_png``: chunk walk,
 zlib inflate, all five scanline prediction filters), and so are
-RIFF/WAVE PCM audio (stdlib ``wave``) and — since round 7 — baseline
-sequential JPEG (``jpeg_codec``: segment walk, canonical Huffman
-DC+AC entropy decode, dequantize, de-zigzag, IDCT). The loud
+RIFF/WAVE PCM audio (stdlib ``wave``) and — since round 7 — JPEG
+(``jpeg_codec``: segment walk, canonical Huffman DC+AC entropy
+decode, dequantize, de-zigzag, IDCT; round 8 added progressive SOF2
+with spectral selection + successive approximation). The loud
 NotImplementedError list is down to what genuinely needs an external
-codec: progressive/chroma JPEG and RIFF video (ffmpeg) — a silent
-fake decode of real media would be worse than a loud gap.
+codec: chroma/lossless/arithmetic JPEG and RIFF video (ffmpeg) — a
+silent fake decode of real media would be worse than a loud gap.
 """
 
 from __future__ import annotations
@@ -246,8 +247,8 @@ def decode_image(payload: bytes) -> dict:
     """Pure-Python deterministic decode inside the Arrow-batched
     ``mapInPandas`` plumbing: SIMG containers are struct-parsed, PNGs
     are decoded for real via ``decode_png`` (stdlib zlib + filter
-    reversal), baseline JPEGs for real via ``jpeg_codec`` (stdlib
-    huffman + IDCT; progressive still raises inside), RIFF video
+    reversal), baseline AND progressive grayscale JPEGs for real via
+    ``jpeg_codec`` (stdlib huffman + IDCT), RIFF video
     raises loudly (ffmpeg absent), and any other payload falls back to
     raw byte statistics so the pipeline stays total."""
     import struct

@@ -121,11 +121,17 @@ def test_dc_prediction_across_blocks():
         assert (px[:, k * 8 : (k + 1) * 8] == v).all()
 
 
-def test_progressive_refused():
+def test_unsupported_sof_refused():
+    """Lossless (SOF3) still refuses loudly; a baseline stream merely
+    RELABELED as progressive is malformed (a progressive scan may not
+    span DC and AC together) and is diagnosed as such, not decoded."""
     p = bytearray(encode_jpeg_payload(5, b"hello"))
     i = p.find(b"\xff\xc0")
-    p[i + 1] = 0xC2  # SOF0 -> SOF2
+    p[i + 1] = 0xC3  # SOF0 -> SOF3 (lossless)
     with pytest.raises(NotImplementedError):
+        decode_jpeg_gray(bytes(p))
+    p[i + 1] = 0xC2  # SOF0 -> SOF2 with a baseline-shaped scan
+    with pytest.raises(ValueError, match="Se = 0"):
         decode_jpeg_gray(bytes(p))
 
 
@@ -192,3 +198,146 @@ def test_out_of_range_coefficients_diagnosed():
     ac_blk[1] = 1024  # AC size category 11 > 10
     with pytest.raises(ValueError, match="AC coefficient"):
         encode_jpeg_gray_coeffs([ac_blk], 8, 8)
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2)
+# ---------------------------------------------------------------------------
+
+from git_etl_spark.operators.jpeg_codec import (  # noqa: E402
+    DEFAULT_PROGRESSIVE_SCANS,
+    encode_jpeg_gray_coeffs_progressive,
+)
+
+
+def _random_blocks(rng, n, dc=60, ac=40, density=0.3):
+    blocks = []
+    for _ in range(n):
+        blk = [0] * 64
+        blk[0] = rng.randint(-dc, dc)
+        for k in range(1, 64):
+            if rng.random() < density:
+                blk[k] = rng.randint(-ac, ac) or 3
+        blocks.append(blk)
+    return blocks
+
+
+def test_progressive_roundtrip_matches_baseline():
+    """Same quantized coefficients through the progressive wire format
+    must decode to exactly the baseline decode (identical IDCT input)."""
+    rng = random.Random(42)
+    for trial in range(6):
+        n = rng.randint(1, 12)
+        blocks = _random_blocks(rng, n)
+        base = decode_jpeg_gray(encode_jpeg_gray_coeffs(blocks, n * 8, 8))
+        prog = decode_jpeg_gray(
+            encode_jpeg_gray_coeffs_progressive(blocks, n * 8, 8)
+        )
+        assert prog == base
+
+
+def test_progressive_eobrun_spans_blocks():
+    """Long runs of AC-empty blocks exercise EOBRUN > 1 (the EOBn
+    symbols absent from baseline), including runs needing appended
+    bits, plus correction-bit reads inside the EOB-run region."""
+    rng = random.Random(7)
+    blocks = [[0] * 64 for _ in range(40)]
+    for i, blk in enumerate(blocks):
+        blk[0] = rng.randint(-50, 50)
+    # a few sparse AC coefficients so refinement sweeps cross EOB runs
+    blocks[0][5] = 12
+    blocks[17][63] = -9
+    blocks[39][1] = 5
+    base = decode_jpeg_gray(encode_jpeg_gray_coeffs(blocks, 40 * 8, 8))
+    prog = decode_jpeg_gray(
+        encode_jpeg_gray_coeffs_progressive(blocks, 40 * 8, 8)
+    )
+    assert prog == base
+
+
+def test_progressive_zrl_and_deep_refinement():
+    """Coefficients isolated behind >16 zero-history positions force
+    ZRL inside both first and refinement AC scans; magnitudes spanning
+    several bit planes force multi-level successive approximation."""
+    blocks = [[0] * 64]
+    blocks[0][0] = -37
+    blocks[0][20] = 21   # |v|>>2 = 5: first scan at Al=2
+    blocks[0][40] = -6   # |v|>>2 = 1: newly nonzero at Al=2
+    blocks[0][63] = 1    # appears only in the final Al=0 refinement
+    scans = [
+        (0, 0, 0, 3),
+        (1, 63, 0, 2),
+        (1, 63, 2, 1),
+        (1, 63, 1, 0),
+        (0, 0, 3, 2),
+        (0, 0, 2, 1),
+        (0, 0, 1, 0),
+    ]
+    base = decode_jpeg_gray(encode_jpeg_gray_coeffs(blocks, 8, 8))
+    prog = decode_jpeg_gray(
+        encode_jpeg_gray_coeffs_progressive(blocks, 8, 8, scans=scans)
+    )
+    assert prog == base
+
+
+def test_progressive_matches_numpy_idct():
+    """Progressive decode against the independent cosine-matrix IDCT —
+    the same oracle the baseline path is tested against."""
+    rng = random.Random(99)
+    blocks = _random_blocks(rng, 4)
+    d = decode_jpeg_gray(encode_jpeg_gray_coeffs_progressive(blocks, 32, 8))
+    from git_etl_spark.operators.jpeg_codec import QTAB_ZZ, ZIGZAG
+
+    C = np.array([1 / np.sqrt(2)] + [1.0] * 7)
+    cos = np.array(
+        [
+            [np.cos((2 * x + 1) * u * np.pi / 16) for u in range(8)]
+            for x in range(8)
+        ]
+    )
+    for bi, blk in enumerate(blocks):
+        coef = np.zeros(64)
+        for k in range(64):
+            coef[ZIGZAG[k]] = blk[ZIGZAG[k]] * QTAB_ZZ[k]
+        m = coef.reshape(8, 8)
+        px = (cos * C) @ m @ (cos * C).T / 4 + 128
+        px = np.clip(np.floor(px + 0.5), 0, 255).astype(int)
+        got = np.array(
+            [
+                [d["pixels"][y * 32 + bi * 8 + x] for x in range(8)]
+                for y in range(8)
+            ]
+        )
+        assert (got == px).all()
+
+
+def test_progressive_scan_script_validation():
+    blocks = [[0] * 64]
+    with pytest.raises(ValueError, match="DC and AC"):
+        encode_jpeg_gray_coeffs_progressive(
+            blocks, 8, 8, scans=[(0, 63, 0, 0)]
+        )
+    with pytest.raises(ValueError, match="before the DC first"):
+        encode_jpeg_gray_coeffs_progressive(
+            blocks, 8, 8, scans=[(1, 63, 0, 0), (0, 0, 0, 0)]
+        )
+    with pytest.raises(ValueError, match="two first scans"):
+        encode_jpeg_gray_coeffs_progressive(
+            blocks, 8, 8, scans=[(0, 0, 0, 0), (1, 63, 0, 1), (1, 5, 0, 1)]
+        )
+    with pytest.raises(ValueError, match="must step"):
+        encode_jpeg_gray_coeffs_progressive(
+            blocks, 8, 8, scans=[(0, 0, 0, 2), (1, 63, 0, 2), (1, 63, 2, 0)]
+        )
+
+
+def test_decode_image_routes_progressive_jpeg():
+    """The multimodal router needs no changes: decode_jpeg_gray
+    dispatches SOF2 internally."""
+    from git_etl_spark.operators.multimodal import decode_image
+
+    blk = [[0] * 64]
+    blk[0][0] = 16
+    payload = encode_jpeg_gray_coeffs_progressive(blk, 8, 8)
+    d = decode_image(payload)
+    assert d["width"] == 8 and d["height"] == 8
