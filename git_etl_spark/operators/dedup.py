@@ -1940,9 +1940,11 @@ def dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < MINHASH_AUDIT_DOCS)
         .localCheckpoint()
     )
-    ab = F.array(
-        *[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in coeffs]
-    )
+    # two array Literals, not 128 struct(lit, lit) nodes — same
+    # planning-cost fix as dedup_minhash_lsh (the struct shape cost
+    # ~0.5 s of per-call Catalyst/codegen on a data-independent plan)
+    a_arr = F.lit([a for a, _ in coeffs])
+    b_arr = F.lit([b for _, b in coeffs])
     th = F.transform(
         F.col("toks"),
         lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
@@ -1951,7 +1953,11 @@ def dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("th"),
         F.array_repeat(F.lit(MINHASH_PRIME).cast("long"), MINHASH_HASHES),
         lambda acc, h: F.zip_with(
-            acc, ab, lambda m, c: F.least(m, (c["a"] * h + c["b"]) % MINHASH_PRIME)
+            acc,
+            F.zip_with(
+                a_arr, b_arr, lambda a, b: (a * h + b) % MINHASH_PRIME
+            ),
+            lambda m, v: F.least(m, v),
         ),
     )
     sigs = sets.withColumn("th", th).select("doc_id", "toks", sig.alias("sig"))
