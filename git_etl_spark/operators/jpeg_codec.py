@@ -1,4 +1,4 @@
-"""Pure-stdlib baseline JPEG codec (grayscale, sequential DCT).
+"""Pure-stdlib baseline JPEG codec (grayscale AND YCbCr color).
 
 Closes the round-6 verdict's last loud capability gap: JPEG payloads
 used to raise NotImplementedError because libjpeg is absent. Like the
@@ -6,28 +6,38 @@ stdlib PNG decode (chunk walk + zlib + filter reversal) and the stdlib
 RIFF/WAVE PCM decode before it, this implements the container and
 entropy layer for real — no external codec:
 
-- **Decoder** (`decode_jpeg_gray`): full baseline-sequential parse —
-  segment walk (SOI/APP0/DQT/DHT/SOF0/SOS/EOI), 8-bit quantization
-  tables in zigzag order, canonical Huffman table reconstruction from
-  the DHT (BITS, HUFFVAL) lists, 0xFF00 byte-unstuffing, per-block
-  Huffman decode of the DC size category + DIFF and the AC
-  run/size-coded coefficients (EOB and ZRL included), DC prediction,
-  dequantization, de-zigzag, and a float 2-D separable IDCT (the
-  ITU-T T.81 A.3.3 definition) with round-half-up and [0, 255]
-  clamping. One component, 8-bit. Progressive (SOF2) streams are
-  decoded for real as well (spectral selection + successive
-  approximation with DC/AC refinement and EOB runs — see the
-  Annex-G section at the bottom of this module); arithmetic coding,
-  lossless/hierarchical SOFs, multi-component chroma sampling, and
-  restart intervals raise loudly — the honest-gap policy, same as
-  interlaced PNG.
-- **Encoder** (`encode_jpeg_gray_coeffs`): the inverse entropy layer —
-  takes already-quantized coefficient blocks, zigzags, DC-DIFF and
-  run/size Huffman-codes them with tables embedded in the emitted
-  DHT, byte-stuffs, and wraps SOI/APP0(JFIF)/DQT/SOF0/DHT/SOS/EOI.
-  The decoder reads every table FROM the stream, so the two sides are
-  consistent by construction of the format, not by sharing Python
-  state.
+- **Decoder** (`decode_jpeg`): full baseline-sequential parse —
+  segment walk (SOI/APP0/DQT/DHT/SOF0/DRI/SOS/EOI), 8-bit
+  quantization tables in zigzag order, canonical Huffman table
+  reconstruction from the DHT (BITS, HUFFVAL) lists, 0xFF00
+  byte-unstuffing, per-block Huffman decode of the DC size category +
+  DIFF and the AC run/size-coded coefficients (EOB and ZRL included),
+  per-component DC prediction, dequantization, de-zigzag, and a float
+  2-D separable IDCT (the ITU-T T.81 A.3.3 definition) with
+  round-half-up and [0, 255] clamping. Grayscale frames return the
+  luma plane; 3-component frames run the interleaved MCU walk with
+  arbitrary 1–4 h/v sampling factors (4:4:4/4:2:2/4:2:0), replication
+  chroma upsampling, and the JFIF YCbCr→RGB transform to interleaved
+  RGB. Restart intervals are decoded for real (DRI + modulo-8 RSTn
+  resync with predictor reset, T.81 E.1.4). Progressive (SOF2)
+  grayscale streams are decoded for real as well (spectral selection
+  + successive approximation with DC/AC refinement and EOB runs — see
+  the Annex-G section at the bottom of this module); arithmetic
+  coding, lossless/hierarchical SOFs, 12-bit precision, CMYK,
+  non-interleaved multi-scan baseline, and progressive color raise
+  loudly — the honest-gap policy, same as interlaced PNG.
+  `decode_jpeg_gray` remains the single-plane contract the oracled
+  feature query depends on.
+- **Encoders** (`encode_jpeg_gray_coeffs`,
+  `encode_jpeg_color_coeffs`): the inverse entropy layer — take
+  already-quantized coefficient blocks, zigzag, DC-DIFF and run/size
+  Huffman-code them with tables embedded in the emitted DHT,
+  byte-stuff, and wrap SOI/APP0(JFIF)/DQT/SOF0/DHT/[DRI]/SOS/EOI —
+  the color side interleaving the per-MCU h×v block walk over three
+  components with two DQT ids and per-component Huffman selection,
+  both sides optionally emitting restart markers. The decoder reads
+  every table FROM the stream, so the two sides are consistent by
+  construction of the format, not by sharing Python state.
 
 The IDCT is the only stage that is lossy-in-general; the oracled
 query feeds blockwise-constant images whose single DC coefficient at
@@ -183,11 +193,77 @@ def _segment(marker: int, payload: bytes) -> bytes:
     return struct.pack(">HH", marker, len(payload) + 2) + payload
 
 
+def _encode_block(
+    w: _BitWriter,
+    blk: list[int],
+    pred: int,
+    dc_codes: dict[int, tuple[int, int]],
+    ac_codes: dict[int, tuple[int, int]],
+) -> int:
+    """Entropy-encode one quantized 8×8 block (natural order): zigzag,
+    DC DIFF vs ``pred``, AC run/size with EOB and ZRL. Returns the new
+    DC predictor. Shared by the grayscale and interleaved-color
+    encoders — the per-block layer is identical, only the MCU walk and
+    predictor bookkeeping differ."""
+    zz = [blk[ZIGZAG[k]] for k in range(64)]
+    diff = zz[0] - pred
+    pred = zz[0]
+    s = _size_category(diff)
+    if s > 11:  # Annex K.3 DC table tops out at size category 11
+        raise ValueError(
+            f"DC coefficient diff {diff} out of baseline Huffman "
+            f"range (|quantized DC diff| must be < 2048)"
+        )
+    code, length = dc_codes[s]
+    w.write(code, length)
+    if s:
+        w.write(_amplitude(diff, s), s)
+    run = 0
+    last_nz = 0
+    for k in range(63, 0, -1):
+        if zz[k]:
+            last_nz = k
+            break
+    for k in range(1, last_nz + 1):
+        v = zz[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]  # ZRL
+            w.write(code, length)
+            run -= 16
+        s = _size_category(v)
+        if s > 10:  # Annex K.5 AC table tops out at size category 10
+            raise ValueError(
+                f"AC coefficient {v} out of baseline Huffman range "
+                f"(|quantized AC coef| must be < 1024)"
+            )
+        code, length = ac_codes[(run << 4) | s]
+        w.write(code, length)
+        w.write(_amplitude(v, s), s)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_codes[0x00]  # EOB
+        w.write(code, length)
+    return pred
+
+
+def _emit_restart(w: _BitWriter, rst_idx: int) -> int:
+    """Byte-align (1-pad) and append RSTn; markers are raw bytes, not
+    entropy data, so they bypass stuffing. Returns the next index in
+    the modulo-8 RST cycle (T.81 E.1.4)."""
+    w.flush()
+    w.out += bytes([0xFF, 0xD0 + rst_idx])
+    return (rst_idx + 1) % 8
+
+
 def encode_jpeg_gray_coeffs(
     blocks: list[list[int]],
     width: int,
     height: int,
     qtab_zz: list[int] | None = None,
+    restart_interval: int = 0,
 ) -> bytes:
     """Emit a baseline-sequential grayscale JPEG from already-QUANTIZED
     coefficient blocks (natural row-major order, one 64-list per 8×8
@@ -195,7 +271,10 @@ def encode_jpeg_gray_coeffs(
     ``width``/``height`` are the declared frame dims (must fit the
     block grid). The quantization table travels in DQT exactly as
     given; the entropy layer is the real thing — zigzag, DC DIFF,
-    AC run/size with EOB and ZRL, canonical Huffman, byte stuffing."""
+    AC run/size with EOB and ZRL, canonical Huffman, byte stuffing.
+    A nonzero ``restart_interval`` emits DRI and an RSTn marker every
+    that many MCUs (= blocks here), resetting the DC predictor — the
+    resync structure real encoders use for error resilience."""
     qtab_zz = list(qtab_zz if qtab_zz is not None else QTAB_ZZ)
     if len(qtab_zz) != 64:
         raise ValueError("quantization table must have 64 entries")
@@ -209,48 +288,12 @@ def encode_jpeg_gray_coeffs(
 
     w = _BitWriter()
     pred = 0
-    for blk in blocks:
-        zz = [blk[ZIGZAG[k]] for k in range(64)]
-        diff = zz[0] - pred
-        pred = zz[0]
-        s = _size_category(diff)
-        if s > 11:  # Annex K.3 DC table tops out at size category 11
-            raise ValueError(
-                f"DC coefficient diff {diff} out of baseline Huffman "
-                f"range (|quantized DC diff| must be < 2048)"
-            )
-        code, length = dc_codes[s]
-        w.write(code, length)
-        if s:
-            w.write(_amplitude(diff, s), s)
-        run = 0
-        last_nz = 0
-        for k in range(63, 0, -1):
-            if zz[k]:
-                last_nz = k
-                break
-        for k in range(1, last_nz + 1):
-            v = zz[k]
-            if v == 0:
-                run += 1
-                continue
-            while run > 15:
-                code, length = ac_codes[0xF0]  # ZRL
-                w.write(code, length)
-                run -= 16
-            s = _size_category(v)
-            if s > 10:  # Annex K.5 AC table tops out at size category 10
-                raise ValueError(
-                    f"AC coefficient {v} out of baseline Huffman range "
-                    f"(|quantized AC coef| must be < 1024)"
-                )
-            code, length = ac_codes[(run << 4) | s]
-            w.write(code, length)
-            w.write(_amplitude(v, s), s)
-            run = 0
-        if last_nz < 63:
-            code, length = ac_codes[0x00]  # EOB
-            w.write(code, length)
+    rst_idx = 0
+    for i, blk in enumerate(blocks):
+        if restart_interval and i and i % restart_interval == 0:
+            rst_idx = _emit_restart(w, rst_idx)
+            pred = 0
+        pred = _encode_block(w, blk, pred, dc_codes, ac_codes)
     w.flush()
 
     head = bytearray()
@@ -262,7 +305,114 @@ def encode_jpeg_gray_coeffs(
     )
     head += _segment(0xFFC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS))
     head += _segment(0xFFC4, bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS))
+    if restart_interval:
+        head += _segment(0xFFDD, struct.pack(">H", restart_interval))
     head += _segment(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))  # SOS
+    return bytes(head) + bytes(w.out) + b"\xff\xd9"  # EOI
+
+
+def encode_jpeg_color_coeffs(
+    blocks_per_comp: list[list[list[int]]],
+    width: int,
+    height: int,
+    samplings: list[tuple[int, int]] | None = None,
+    qtab_luma_zz: list[int] | None = None,
+    qtab_chroma_zz: list[int] | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Emit a baseline-sequential YCbCr JPEG from already-QUANTIZED
+    coefficient blocks, one interleaved scan (the layout virtually all
+    baseline color JPEGs use).
+
+    ``blocks_per_comp`` is ``[Y_blocks, Cb_blocks, Cr_blocks]``; each
+    component's blocks are in raster order over ITS OWN padded block
+    grid, whose dims derive from ``samplings`` (default 4:2:0 —
+    ``[(2, 2), (1, 1), (1, 1)]``): with ``hmax×vmax`` the maximum
+    factors, the frame is ``ceil(w/(8·hmax)) × ceil(h/(8·vmax))`` MCUs
+    and component *i*'s grid is ``(mcus_x·h_i) × (mcus_y·v_i)`` blocks.
+    The luma quant table ships as DQT id 0, the chroma one as id 1.
+    The Annex-K luminance Huffman pair is emitted under table ids 0
+    AND 1 (chroma components reference id 1) — per-component table
+    *selection* is thereby exercised end-to-end while the table
+    contents stay the one transcription-checked Annex-K pair; the
+    decoder reads all tables from the stream, so nothing depends on
+    the choice. A nonzero ``restart_interval`` emits DRI + RSTn every
+    that many MCUs with all three DC predictors reset."""
+    if samplings is None:
+        samplings = [(2, 2), (1, 1), (1, 1)]
+    if len(blocks_per_comp) != 3 or len(samplings) != 3:
+        raise ValueError("expected exactly 3 components (Y, Cb, Cr)")
+    for h, v in samplings:
+        if not (1 <= h <= 4 and 1 <= v <= 4):
+            raise ValueError(f"sampling factors must be in 1..4, got {(h, v)}")
+    qtab_luma_zz = list(qtab_luma_zz if qtab_luma_zz is not None else QTAB_ZZ)
+    qtab_chroma_zz = list(
+        qtab_chroma_zz if qtab_chroma_zz is not None else QTAB_ZZ
+    )
+    if len(qtab_luma_zz) != 64 or len(qtab_chroma_zz) != 64:
+        raise ValueError("quantization tables must have 64 entries")
+    hmax = max(h for h, _ in samplings)
+    vmax = max(v for _, v in samplings)
+    mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+    for ci, ((h, v), blocks) in enumerate(zip(samplings, blocks_per_comp)):
+        need = mcus_x * h * mcus_y * v
+        if len(blocks) != need:
+            raise ValueError(
+                f"component {ci}: expected {need} blocks "
+                f"({mcus_x * h}×{mcus_y * v} grid), got {len(blocks)}"
+            )
+
+    dc_codes = _canonical_codes(DC_BITS, DC_VALS)
+    ac_codes = _canonical_codes(AC_BITS, AC_VALS)
+
+    w = _BitWriter()
+    preds = [0, 0, 0]
+    rst_idx = 0
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                rst_idx = _emit_restart(w, rst_idx)
+                preds = [0, 0, 0]
+            for ci, ((h, v), blocks) in enumerate(
+                zip(samplings, blocks_per_comp)
+            ):
+                cwb = mcus_x * h
+                for bv in range(v):
+                    for bh in range(h):
+                        blk = blocks[(my * v + bv) * cwb + (mx * h + bh)]
+                        preds[ci] = _encode_block(
+                            w, blk, preds[ci], dc_codes, ac_codes
+                        )
+            mcu_count += 1
+    w.flush()
+
+    head = bytearray()
+    head += b"\xff\xd8"  # SOI
+    head += _segment(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    head += _segment(0xFFDB, bytes([0x00]) + bytes(qtab_luma_zz))  # Pq=0 Tq=0
+    head += _segment(0xFFDB, bytes([0x01]) + bytes(qtab_chroma_zz))  # Tq=1
+    sof = struct.pack(">BHHB", 8, height, width, 3)
+    for ci, (h, v) in enumerate(samplings):
+        # component ids 1..3 (JFIF Y, Cb, Cr); qtab 0 for luma, 1 for chroma
+        sof += bytes([ci + 1, (h << 4) | v, 0 if ci == 0 else 1])
+    head += _segment(0xFFC0, sof)
+    for th in (0, 1):
+        head += _segment(
+            0xFFC4, bytes([0x00 | th]) + bytes(DC_BITS) + bytes(DC_VALS)
+        )
+        head += _segment(
+            0xFFC4, bytes([0x10 | th]) + bytes(AC_BITS) + bytes(AC_VALS)
+        )
+    if restart_interval:
+        head += _segment(0xFFDD, struct.pack(">H", restart_interval))
+    sos = bytes([3])
+    for ci in range(3):
+        td_ta = 0x00 if ci == 0 else 0x11
+        sos += bytes([ci + 1, td_ta])
+    sos += bytes([0, 63, 0])
+    head += _segment(0xFFDA, sos)
     return bytes(head) + bytes(w.out) + b"\xff\xd9"  # EOI
 
 
@@ -308,6 +458,28 @@ class _BitReader:
                 return sym
         raise ValueError("invalid Huffman code in JPEG stream")
 
+    def expect_restart(self, rst_idx: int) -> None:
+        """Consume the RSTn marker a declared restart interval demands:
+        discard the pad bits of the current byte, skip optional 0xFF
+        fill, and require exactly RST(rst_idx) next (T.81 E.1.4 —
+        the modulo-8 sequence detects dropped restart segments)."""
+        self._n = 0  # byte-align: pad bits before a marker are discarded
+        while (
+            self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and self.data[self.pos + 1] == 0xFF
+        ):
+            self.pos += 1  # 0xFF fill bytes (T.81 B.1.1.2)
+        if (
+            self.pos + 1 >= len(self.data)
+            or self.data[self.pos] != 0xFF
+            or self.data[self.pos + 1] != 0xD0 + rst_idx
+        ):
+            raise ValueError(
+                f"expected RST{rst_idx} marker at declared restart interval"
+            )
+        self.pos += 2
+
 
 def _extend(v: int, s: int) -> int:
     """T.81 F.2.2.1 EXTEND: map s received bits back to the signed value."""
@@ -339,20 +511,96 @@ def _idct_2d(coef: list[int | float]) -> list[int]:
     return out
 
 
-def decode_jpeg_gray(payload: bytes) -> dict:
-    """Decode a baseline-sequential grayscale JPEG with only the
-    stdlib. Returns ``{"width", "height", "pixels"}`` with ``pixels``
-    a row-major ``bytes`` of length width·height (block padding
-    cropped). Raises ``NotImplementedError`` for progressive (SOF2),
-    arithmetic-coded, or multi-component streams and ``ValueError``
-    for malformed containers — never a silent wrong decode."""
+def _decode_block_zz(
+    reader: _BitReader,
+    dc_map: dict[tuple[int, int], int],
+    ac_map: dict[tuple[int, int], int],
+    pred: int,
+) -> tuple[list[int], int]:
+    """Entropy-decode one block into zigzag-order coefficients; returns
+    (zz, new DC predictor). The inverse of :func:`_encode_block`."""
+    zz = [0] * 64
+    s = reader.read_symbol(dc_map)
+    diff = _extend(reader.read_bits(s), s) if s else 0
+    pred += diff
+    zz[0] = pred
+    k = 1
+    while k < 64:
+        rs = reader.read_symbol(ac_map)
+        if rs == 0x00:  # EOB
+            break
+        if rs == 0xF0:  # ZRL
+            k += 16
+            continue
+        k += rs >> 4
+        size = rs & 0x0F
+        if k > 63:
+            raise ValueError("AC coefficient index out of range")
+        zz[k] = _extend(reader.read_bits(size), size)
+        k += 1
+    return zz, pred
+
+
+def _ycbcr_to_rgb_bytes(
+    planes: list[bytearray],
+    plane_ws: list[int],
+    samplings: list[tuple[int, int]],
+    hmax: int,
+    vmax: int,
+    width: int,
+    height: int,
+) -> bytes:
+    """Chroma upsampling (sample replication, the JFIF-sanctioned
+    nearest method) + YCbCr→RGB per JFIF: R = Y + 1.402·(Cr−128),
+    B = Y + 1.772·(Cb−128), G = (Y − 0.299·R − 0.114·B)/0.587 —
+    the green channel derived from the BT.601 luma identity rather
+    than transcribed rounded constants. Round-half-up, clamp."""
+    out = bytearray(width * height * 3)
+    (hy, vy), (hcb, vcb), (hcr, vcr) = samplings
+    py, pcb, pcr = planes
+    wy, wcb, wcr = plane_ws
+    o = 0
+    for yy in range(height):
+        ry = (yy * vy // vmax) * wy
+        rcb = (yy * vcb // vmax) * wcb
+        rcr = (yy * vcr // vmax) * wcr
+        for xx in range(width):
+            y = py[ry + xx * hy // hmax]
+            cb = pcb[rcb + xx * hcb // hmax] - 128
+            cr = pcr[rcr + xx * hcr // hmax] - 128
+            r = y + 1.402 * cr
+            b = y + 1.772 * cb
+            g = (y - 0.299 * r - 0.114 * b) / 0.587
+            for v in (r, g, b):
+                iv = int(math.floor(v + 0.5))
+                out[o] = 0 if iv < 0 else (255 if iv > 255 else iv)
+                o += 1
+    return bytes(out)
+
+
+def decode_jpeg(payload: bytes) -> dict:
+    """Decode a baseline-sequential (SOF0) JPEG with only the stdlib —
+    grayscale OR interleaved YCbCr color, with arbitrary 1–4 h/v
+    sampling factors (4:4:4, 4:2:2, 4:2:0, …) and restart intervals
+    (DRI + RSTn resync with predictor reset, T.81 E.1.4). Progressive
+    (SOF2) grayscale dispatches to the Annex-G decoder. Returns
+    ``{"width", "height", "ncomp", "pixels"}``: for ``ncomp == 1`` a
+    row-major grayscale ``bytes`` of length w·h; for ``ncomp == 3``
+    interleaved RGB of length w·h·3 after replication upsampling and
+    the JFIF YCbCr→RGB transform. Raises ``NotImplementedError`` for
+    the remaining honest gaps (arithmetic coding, lossless and
+    hierarchical SOFs, 12-bit precision, CMYK, non-interleaved
+    multi-scan baseline, progressive color) and ``ValueError`` for
+    malformed containers — never a silent wrong decode."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
     qtabs: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     width = height = None
-    comp_q = dc_id = ac_id = 0
+    comps: list[tuple[int, int, int, int]] = []  # (cid, h, v, tq)
+    scan: list[tuple[int, int, int]] = []  # (cid, td, ta)
+    restart_interval = 0
     data_start = None
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
@@ -368,7 +616,9 @@ def decode_jpeg_gray(payload: bytes) -> dict:
             pos += 2
             continue
         if marker == 0xC2:  # progressive DCT → dedicated decoder
-            return _decode_jpeg_progressive(payload)
+            d = _decode_jpeg_progressive(payload)
+            d["ncomp"] = 1
+            return d
         if marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
                 f"JPEG SOF{marker - 0xC0}: only baseline (SOF0) and"
@@ -397,26 +647,33 @@ def decode_jpeg_gray(payload: bytes) -> dict:
             precision, height, width, ncomp = struct.unpack(">BHHB", seg[:6])
             if precision != 8:
                 raise NotImplementedError("only 8-bit precision")
-            if ncomp != 1:
+            if ncomp not in (1, 3):
                 raise NotImplementedError(
-                    "multi-component (chroma) JPEG: grayscale only"
+                    f"{ncomp}-component JPEG: only grayscale (1) and"
+                    " YCbCr (3) frames are supported"
                 )
-            if seg[7] != 0x11:
-                raise NotImplementedError("subsampled single component")
-            comp_q = seg[8]
+            for i in range(ncomp):
+                cid = seg[6 + 3 * i]
+                hv = seg[7 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 0x0F, seg[8 + 3 * i]))
+            for _, h, v, _ in comps:
+                if not (1 <= h <= 4 and 1 <= v <= 4):
+                    raise ValueError(
+                        f"sampling factors out of T.81 range: {(h, v)}"
+                    )
         elif marker == 0xDD:  # DRI
-            (interval,) = struct.unpack(">H", seg[:2])
-            if interval:
-                # Restart markers inside the scan would need resync +
-                # predictor reset in the entropy decoder - part of
-                # baseline sequential that this decoder does not
-                # implement. Refuse loudly as an honest gap rather
-                # than failing later as 'malformed'.
-                raise NotImplementedError(
-                    f"JPEG restart intervals (DRI={interval}) not supported"
-                )
+            (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
-            dc_id, ac_id = seg[2] >> 4, seg[2] & 0x0F
+            ns = seg[0]
+            if comps and ns != len(comps):
+                raise NotImplementedError(
+                    "non-interleaved multi-scan baseline JPEG: only a"
+                    " single interleaved scan is supported"
+                )
+            for i in range(ns):
+                cid = seg[1 + 2 * i]
+                td_ta = seg[2 + 2 * i]
+                scan.append((cid, td_ta >> 4, td_ta & 0x0F))
             data_start = pos + 2 + seglen
             break
         pos += 2 + seglen
@@ -425,50 +682,105 @@ def decode_jpeg_gray(payload: bytes) -> dict:
     end = payload.rfind(b"\xff\xd9")
     if end < 0:
         raise ValueError("JPEG without EOI")
-    dc_map = huff[(0, dc_id)]
-    ac_map = huff[(1, ac_id)]
-    qtab = qtabs[comp_q]
+    ncomp = len(comps)
+    by_id = {cid: (h, v, tq) for cid, h, v, tq in comps}
+    hmax = max(h for _, h, _, _ in comps)
+    vmax = max(v for _, _, v, _ in comps)
+    if ncomp == 1:
+        # A single-component scan is non-interleaved by definition
+        # (T.81 A.2.2): the MCU is one data unit and the block grid is
+        # the component's own ceil(w/8) × ceil(h/8) — its sampling
+        # factors only ever mattered relative to other components.
+        mcus_x, mcus_y = (width + 7) // 8, (height + 7) // 8
+        layout = [(scan[0][0], 1, 1)]
+    else:
+        mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+        mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+        layout = [(cid, by_id[cid][0], by_id[cid][1]) for cid, _, _ in scan]
+    planes: dict[int, bytearray] = {}
+    plane_w: dict[int, int] = {}
+    for cid, h, v in layout:
+        plane_w[cid] = mcus_x * h * 8
+        planes[cid] = bytearray(mcus_x * h * 8 * mcus_y * v * 8)
 
     reader = _BitReader(payload[data_start:end])
-    wb = (width + 7) // 8
-    hb = (height + 7) // 8
-    pred = 0
-    pixels = bytearray(width * height)
-    for by in range(hb):
-        for bx in range(wb):
-            zz = [0] * 64
-            s = reader.read_symbol(dc_map)
-            diff = _extend(reader.read_bits(s), s) if s else 0
-            pred += diff
-            zz[0] = pred
-            k = 1
-            while k < 64:
-                rs = reader.read_symbol(ac_map)
-                if rs == 0x00:  # EOB
-                    break
-                if rs == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                k += rs >> 4
-                size = rs & 0x0F
-                if k > 63:
-                    raise ValueError("AC coefficient index out of range")
-                zz[k] = _extend(reader.read_bits(size), size)
-                k += 1
-            coef = [0] * 64
-            for k in range(64):
-                coef[ZIGZAG[k]] = zz[k] * qtab[k]
-            blk = _idct_2d(coef)
-            for r in range(8):
-                y = by * 8 + r
-                if y >= height:
-                    break
-                x0 = bx * 8
-                n = min(8, width - x0)
-                pixels[y * width + x0 : y * width + x0 + n] = bytes(
-                    blk[r * 8 : r * 8 + n]
-                )
-    return {"width": width, "height": height, "pixels": bytes(pixels)}
+    preds = {cid: 0 for cid, _, _ in layout}
+    tables = {
+        cid: (huff[(0, td)], huff[(1, ta)], qtabs[by_id[cid][2]])
+        for cid, td, ta in scan
+    }
+    mcu_count = 0
+    rst_idx = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                reader.expect_restart(rst_idx)
+                rst_idx = (rst_idx + 1) % 8
+                preds = {cid: 0 for cid in preds}
+            for cid, h, v in layout:
+                dc_map, ac_map, qtab = tables[cid]
+                pw = plane_w[cid]
+                for bv in range(v):
+                    for bh in range(h):
+                        zz, preds[cid] = _decode_block_zz(
+                            reader, dc_map, ac_map, preds[cid]
+                        )
+                        coef = [0] * 64
+                        for k in range(64):
+                            coef[ZIGZAG[k]] = zz[k] * qtab[k]
+                        blk = _idct_2d(coef)
+                        plane = planes[cid]
+                        y0 = (my * v + bv) * 8
+                        x0 = (mx * h + bh) * 8
+                        for r in range(8):
+                            row = (y0 + r) * pw + x0
+                            plane[row : row + 8] = bytes(blk[r * 8 : r * 8 + 8])
+            mcu_count += 1
+
+    if ncomp == 1:
+        cid = layout[0][0]
+        pw = plane_w[cid]
+        plane = planes[cid]
+        pixels = bytearray(width * height)
+        for yy in range(height):
+            pixels[yy * width : (yy + 1) * width] = plane[
+                yy * pw : yy * pw + width
+            ]
+        return {
+            "width": width,
+            "height": height,
+            "ncomp": 1,
+            "pixels": bytes(pixels),
+        }
+    order = [cid for cid, _, _, _ in comps]  # SOF order = Y, Cb, Cr (JFIF)
+    rgb = _ycbcr_to_rgb_bytes(
+        [planes[cid] for cid in order],
+        [plane_w[cid] for cid in order],
+        [(by_id[cid][0], by_id[cid][1]) for cid in order],
+        hmax,
+        vmax,
+        width,
+        height,
+    )
+    return {"width": width, "height": height, "ncomp": 3, "pixels": rgb}
+
+
+def decode_jpeg_gray(payload: bytes) -> dict:
+    """Decode a baseline- or progressive-sequential grayscale JPEG.
+    Returns ``{"width", "height", "pixels"}`` with ``pixels`` a
+    row-major ``bytes`` of length width·height (block padding
+    cropped). Multi-component (color) streams raise
+    ``NotImplementedError`` here — use :func:`decode_jpeg`, which
+    decodes them to RGB. Kept as the stable grayscale-contract entry
+    point (the oracled feature query's arithmetic depends on a single
+    luma plane)."""
+    d = decode_jpeg(payload)
+    if d["ncomp"] != 1:
+        raise NotImplementedError(
+            "multi-component (chroma) JPEG: decode_jpeg_gray is the"
+            " grayscale contract — use decode_jpeg for color"
+        )
+    return {"width": d["width"], "height": d["height"], "pixels": d["pixels"]}
 
 
 # ---------------------------------------------------------------------------

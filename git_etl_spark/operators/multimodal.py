@@ -17,9 +17,11 @@ zlib inflate, all five scanline prediction filters), and so are
 RIFF/WAVE PCM audio (stdlib ``wave``) and — since round 7 — JPEG
 (``jpeg_codec``: segment walk, canonical Huffman DC+AC entropy
 decode, dequantize, de-zigzag, IDCT; round 8 added progressive SOF2
-with spectral selection + successive approximation). The loud
-NotImplementedError list is down to what genuinely needs an external
-codec: chroma/lossless/arithmetic JPEG and RIFF video (ffmpeg) — a
+with spectral selection + successive approximation, then baseline
+YCbCr color — interleaved MCUs, 4:2:0/4:2:2 subsampling, restart
+intervals, JFIF YCbCr→RGB). The loud NotImplementedError list is
+down to what genuinely needs an external codec:
+lossless/arithmetic/12-bit JPEG and RIFF video (ffmpeg) — a
 silent fake decode of real media would be worse than a loud gap.
 """
 
@@ -258,9 +260,13 @@ def decode_image(payload: bytes) -> dict:
             "real media decode requires ffmpeg; not present in this env"
         )
     if payload[:3] == JPEG_MAGIC:
-        from .jpeg_codec import decode_jpeg_gray
+        from .jpeg_codec import decode_jpeg
 
-        d = decode_jpeg_gray(payload)
+        # grayscale AND baseline YCbCr color (4:4:4/4:2:2/4:2:0,
+        # restart intervals): 1-component pixels are the luma plane,
+        # 3-component pixels are interleaved RGB — the byte statistics
+        # are over whatever the stream actually carries.
+        d = decode_jpeg(payload)
         px = memoryview(d["pixels"])
         return {
             "n_bytes": len(px),
@@ -1050,9 +1056,10 @@ def multimodal_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     all eight features from hex-pair arithmetic (`encode_jpeg_payload`
     for the layout). The decoder's general AC/ZRL/stuffing paths are
     exercised by pytest against an independent NumPy cosine-matrix
-    IDCT. Progressive JPEG (SOF2), arithmetic coding, and chroma
-    sampling still raise loudly — with this query the honest-gap list
-    shrinks to those and RIFF video.
+    IDCT, as are progressive (SOF2) decode, baseline YCbCr color
+    (interleaved MCUs, subsampling, restart intervals), and the JFIF
+    color transform. Arithmetic coding, lossless/12-bit SOFs, and
+    RIFF video remain the loud honest gaps.
 
     Scale: identical shape to the other decode queries — opaque binary
     column + typed metadata, per-item CPU inside Arrow-batched

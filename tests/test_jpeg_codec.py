@@ -173,18 +173,52 @@ def test_fill_bytes_and_tem_marker_tolerated():
     assert d == decode_jpeg_gray(payload)
 
 
-def test_dri_zero_interval_is_noop_nonzero_refused():
-    """DRI with interval 0 disables restarts (no-op); a nonzero
-    interval declares RSTn markers the entropy decoder doesn't
-    implement — honest NotImplementedError, not 'malformed'."""
+def test_dri_declared_but_unreached_is_noop():
+    """DRI with interval 0 disables restarts (no-op), and a declared
+    interval longer than the scan (no RSTn ever due) decodes
+    identically — both shapes appear in real files."""
     blk = [0] * 64
     blk[0] = 16
     payload = encode_jpeg_gray_coeffs([blk], 8, 8)
     dri0 = payload[:2] + b"\xff\xdd\x00\x04\x00\x00" + payload[2:]
     assert decode_jpeg_gray(dri0) == decode_jpeg_gray(payload)
     dri8 = payload[:2] + b"\xff\xdd\x00\x04\x00\x08" + payload[2:]
-    with pytest.raises(NotImplementedError, match="restart"):
-        decode_jpeg_gray(dri8)
+    assert decode_jpeg_gray(dri8) == decode_jpeg_gray(payload)
+
+
+def test_restart_interval_gray_roundtrip():
+    """Restart markers change the stream (RSTn + predictor resets +
+    bit-alignment padding) but not the decode: an image encoded with
+    DRI=2 must decode byte-identically to the restart-free encoding,
+    through the real resync path (predictors reset, modulo-8 RST
+    sequence consumed)."""
+    rng = random.Random(23)
+    blocks = []
+    for _ in range(6):  # 6 blocks → restarts after MCUs 2 and 4
+        blk = [0] * 64
+        blk[0] = rng.randrange(-60, 61)
+        for _ in range(rng.randrange(1, 10)):
+            blk[rng.randrange(1, 64)] = rng.randrange(-30, 31)
+        blocks.append(blk)
+    plain = encode_jpeg_gray_coeffs(blocks, 48, 8)
+    with_rst = encode_jpeg_gray_coeffs(blocks, 48, 8, restart_interval=2)
+    assert with_rst != plain  # RSTn markers really are in the stream
+    assert with_rst.count(b"\xff\xd0") >= 1  # RST0 present
+    assert decode_jpeg_gray(with_rst) == decode_jpeg_gray(plain)
+
+
+def test_restart_marker_sequence_enforced():
+    """A missing/odd restart marker where the declared interval demands
+    one is stream corruption — diagnosed as ValueError, not decoded."""
+    blk0 = [0] * 64
+    blk0[0] = 16
+    blocks = [list(blk0) for _ in range(4)]
+    with_rst = encode_jpeg_gray_coeffs(blocks, 32, 8, restart_interval=2)
+    i = with_rst.find(b"\xff\xd0")
+    assert i > 0
+    corrupted = with_rst[:i] + b"\xff\xd3" + with_rst[i + 2 :]  # RST0→RST3
+    with pytest.raises(ValueError, match="RST"):
+        decode_jpeg_gray(corrupted)
 
 
 def test_out_of_range_coefficients_diagnosed():
@@ -341,3 +375,196 @@ def test_decode_image_routes_progressive_jpeg():
     payload = encode_jpeg_gray_coeffs_progressive(blk, 8, 8)
     d = decode_image(payload)
     assert d["width"] == 8 and d["height"] == 8
+
+
+# ---------------------------------------------------------------------------
+# Baseline color (interleaved YCbCr): subsampling, upsampling, YCbCr→RGB
+# ---------------------------------------------------------------------------
+
+from git_etl_spark.operators.jpeg_codec import (  # noqa: E402
+    decode_jpeg,
+    encode_jpeg_color_coeffs,
+)
+
+
+def _np_color_oracle(blocks_per_comp, samplings, qtabs_zz, width, height):
+    """Independent NumPy pipeline: per-block dequant + cosine-matrix
+    IDCT into each component's padded plane, replication upsampling,
+    and the same JFIF YCbCr→RGB expression — the codec's color path
+    must match it byte-for-byte."""
+    hmax = max(h for h, _ in samplings)
+    vmax = max(v for _, v in samplings)
+    mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+    planes = []
+    for (hf, vf), blocks, qt in zip(samplings, blocks_per_comp, qtabs_zz):
+        cwb, chb = mcus_x * hf, mcus_y * vf
+        plane = np.zeros((chb * 8, cwb * 8), dtype=int)
+        for bi, blk in enumerate(blocks):
+            deq = [0] * 64
+            for k in range(64):
+                deq[ZIGZAG[k]] = blk[ZIGZAG[k]] * qt[k]
+            by, bx = divmod(bi, cwb)
+            plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = _np_idct(deq)
+        planes.append(plane)
+    ys = np.arange(height)
+    xs = np.arange(width)
+    up = []
+    for (hf, vf), plane in zip(samplings, planes):
+        up.append(plane[(ys * vf // vmax)[:, None], (xs * hf // hmax)[None, :]])
+    y, cb, cr = up[0].astype(float), up[1] - 128.0, up[2] - 128.0
+    r = y + 1.402 * cr
+    b = y + 1.772 * cb
+    g = (y - 0.299 * r - 0.114 * b) / 0.587
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+
+
+def _random_color_blocks(rng, samplings, width, height, dc_range=60, n_ac=12):
+    hmax = max(h for h, _ in samplings)
+    vmax = max(v for _, v in samplings)
+    mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+    out = []
+    for hf, vf in samplings:
+        blocks = []
+        for _ in range(mcus_x * hf * mcus_y * vf):
+            blk = [0] * 64
+            blk[0] = rng.randrange(-dc_range, dc_range + 1)
+            for _ in range(rng.randrange(1, n_ac)):
+                blk[rng.randrange(1, 64)] = rng.randrange(-25, 26)
+            blocks.append(blk)
+        out.append(blocks)
+    return out
+
+
+def _assert_color_matches_oracle(payload, blocks, samplings, qtabs, w, h):
+    d = decode_jpeg(payload)
+    assert d["ncomp"] == 3 and d["width"] == w and d["height"] == h
+    got = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(h, w, 3)
+    ref = _np_color_oracle(blocks, samplings, qtabs, w, h)
+    assert (got == ref).all()
+
+
+def test_color_444_roundtrip_matches_numpy():
+    """4:4:4 (no subsampling): three full-resolution planes through the
+    interleaved MCU walk, per-component DC predictors, two DQT ids and
+    per-component Huffman table selection."""
+    rng = random.Random(31)
+    samplings = [(1, 1), (1, 1), (1, 1)]
+    w, h = 16, 16
+    blocks = _random_color_blocks(rng, samplings, w, h)
+    payload = encode_jpeg_color_coeffs(blocks, w, h, samplings)
+    qtabs = [QTAB_ZZ, QTAB_ZZ, QTAB_ZZ]
+    _assert_color_matches_oracle(payload, blocks, samplings, qtabs, w, h)
+
+
+def test_color_420_subsampled_and_cropped():
+    """4:2:0 with frame dims that don't fill the MCU grid (20×12 in
+    16×16 MCUs): 4 luma blocks per MCU, quarter-resolution chroma,
+    replication upsampling, right/bottom padding cropped."""
+    rng = random.Random(37)
+    samplings = [(2, 2), (1, 1), (1, 1)]
+    w, h = 20, 12
+    blocks = _random_color_blocks(rng, samplings, w, h)
+    chroma_q = [q + 2 for q in QTAB_ZZ]  # distinct table under DQT id 1
+    payload = encode_jpeg_color_coeffs(
+        blocks, w, h, samplings, qtab_chroma_zz=chroma_q
+    )
+    qtabs = [QTAB_ZZ, chroma_q, chroma_q]
+    _assert_color_matches_oracle(payload, blocks, samplings, qtabs, w, h)
+
+
+def test_color_422_horizontal_subsampling():
+    """4:2:2 (horizontal-only chroma subsampling) exercises asymmetric
+    h/v factors in both the MCU walk and the upsampler."""
+    rng = random.Random(41)
+    samplings = [(2, 1), (1, 1), (1, 1)]
+    w, h = 24, 8
+    blocks = _random_color_blocks(rng, samplings, w, h)
+    payload = encode_jpeg_color_coeffs(blocks, w, h, samplings)
+    qtabs = [QTAB_ZZ, QTAB_ZZ, QTAB_ZZ]
+    _assert_color_matches_oracle(payload, blocks, samplings, qtabs, w, h)
+
+
+def test_color_restart_interval_roundtrip():
+    """Restart markers in an interleaved color scan: all three DC
+    predictors reset at each RSTn and the decode equals the
+    restart-free stream byte-for-byte."""
+    rng = random.Random(43)
+    samplings = [(2, 2), (1, 1), (1, 1)]
+    w, h = 32, 32  # 2×2 MCUs → RSTn after every MCU at interval 1
+    blocks = _random_color_blocks(rng, samplings, w, h)
+    plain = encode_jpeg_color_coeffs(blocks, w, h, samplings)
+    with_rst = encode_jpeg_color_coeffs(
+        blocks, w, h, samplings, restart_interval=1
+    )
+    assert with_rst.count(b"\xff\xd1") >= 1  # RST1 really present
+    dp, dr = decode_jpeg(plain), decode_jpeg(with_rst)
+    assert dp == dr
+    qtabs = [QTAB_ZZ, QTAB_ZZ, QTAB_ZZ]
+    _assert_color_matches_oracle(with_rst, blocks, samplings, qtabs, w, h)
+
+
+def test_color_neutral_chroma_is_grayscale():
+    """All-zero chroma coefficients decode to the 128 level → Cb−128 =
+    Cr−128 = 0, so R = G = B = Y: the color transform's neutral axis
+    reproduces the luma plane exactly."""
+    samplings = [(1, 1), (1, 1), (1, 1)]
+    w = h = 8
+    yblk = [0] * 64
+    yblk[0] = 12
+    yblk[9] = 7
+    zero = [[0] * 64]
+    payload = encode_jpeg_color_coeffs([[yblk], zero, zero], w, h, samplings)
+    d = decode_jpeg(payload)
+    rgb = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(h, w, 3)
+    assert (rgb[:, :, 0] == rgb[:, :, 1]).all()
+    assert (rgb[:, :, 1] == rgb[:, :, 2]).all()
+    gray = decode_jpeg(encode_jpeg_gray_coeffs([yblk], w, h))
+    luma = np.frombuffer(gray["pixels"], dtype=np.uint8).reshape(h, w)
+    assert (rgb[:, :, 0] == luma).all()
+
+
+def test_color_refusals_and_gray_contract():
+    """decode_jpeg_gray keeps its single-plane contract (color streams
+    refuse loudly there); non-interleaved multi-scan and CMYK frames
+    are honest NotImplementedError in decode_jpeg."""
+    samplings = [(1, 1), (1, 1), (1, 1)]
+    blocks = [[[0] * 64] for _ in range(3)]
+    payload = encode_jpeg_color_coeffs(blocks, 8, 8, samplings)
+    with pytest.raises(NotImplementedError, match="decode_jpeg for color"):
+        decode_jpeg_gray(payload)
+    # 3-component frame whose SOS names only one component
+    i = payload.find(b"\xff\xda")
+    assert i > 0
+    sos_1comp = payload[:i] + b"\xff\xda\x00\x08\x01\x01\x00\x00\x3f\x00"
+    with pytest.raises(NotImplementedError, match="non-interleaved"):
+        decode_jpeg(sos_1comp + payload[i + 12 :])
+    # CMYK-shaped SOF (4 components)
+    j = payload.find(b"\xff\xc0")
+    seg = bytearray(payload[j : j + 4 + 15])
+    seg[9] = 4  # ncomp byte inside SOF0
+    with pytest.raises(NotImplementedError, match="4-component"):
+        decode_jpeg(payload[:j] + bytes(seg) + payload[j + len(seg) :])
+
+
+def test_decode_image_routes_color_jpeg():
+    """The multimodal router decodes baseline color JPEG for real now:
+    features computed over interleaved RGB bytes."""
+    from git_etl_spark.operators.multimodal import decode_image
+
+    rng = random.Random(47)
+    samplings = [(2, 2), (1, 1), (1, 1)]
+    w, h = 16, 16
+    blocks = _random_color_blocks(rng, samplings, w, h)
+    payload = encode_jpeg_color_coeffs(blocks, w, h, samplings)
+    f = decode_image(payload)
+    ref = _np_color_oracle(
+        blocks, samplings, [QTAB_ZZ, QTAB_ZZ, QTAB_ZZ], w, h
+    )
+    assert f["magic"] == "JPEG"
+    assert f["width"] == w and f["height"] == h
+    assert f["n_bytes"] == w * h * 3
+    assert f["max_byte"] == int(ref.max())
+    assert abs(f["mean_byte"] - ref.mean()) < 1e-9
