@@ -20,12 +20,15 @@ entropy layer for real — no external codec:
   chroma upsampling, and the JFIF YCbCr→RGB transform to interleaved
   RGB. Restart intervals are decoded for real (DRI + modulo-8 RSTn
   resync with predictor reset, T.81 E.1.4). Progressive (SOF2)
-  grayscale streams are decoded for real as well (spectral selection
-  + successive approximation with DC/AC refinement and EOB runs — see
-  the Annex-G section at the bottom of this module); arithmetic
+  streams — grayscale AND color — are decoded for real as well
+  (spectral selection + successive approximation with DC/AC
+  refinement and EOB runs; interleaved multi-component DC scans with
+  per-component predictors, per-component non-interleaved AC scans —
+  see the Annex-G section at the bottom of this module); arithmetic
   coding, lossless/hierarchical SOFs, 12-bit precision, CMYK,
-  non-interleaved multi-scan baseline, and progressive color raise
-  loudly — the honest-gap policy, same as interlaced PNG.
+  non-interleaved multi-scan baseline, and restarts inside
+  progressive scans raise loudly — the honest-gap policy, same as
+  interlaced PNG.
   `decode_jpeg_gray` remains the single-plane contract the oracled
   feature query depends on.
 - **Encoders** (`encode_jpeg_gray_coeffs`,
@@ -587,11 +590,13 @@ def decode_jpeg(payload: bytes) -> dict:
     ``{"width", "height", "ncomp", "pixels"}``: for ``ncomp == 1`` a
     row-major grayscale ``bytes`` of length w·h; for ``ncomp == 3``
     interleaved RGB of length w·h·3 after replication upsampling and
-    the JFIF YCbCr→RGB transform. Raises ``NotImplementedError`` for
-    the remaining honest gaps (arithmetic coding, lossless and
-    hierarchical SOFs, 12-bit precision, CMYK, non-interleaved
-    multi-scan baseline, progressive color) and ``ValueError`` for
-    malformed containers — never a silent wrong decode."""
+    the JFIF YCbCr→RGB transform. Progressive color decodes through
+    the Annex-G path (interleaved DC scans, per-component AC).
+    Raises ``NotImplementedError`` for the remaining honest gaps
+    (arithmetic coding, lossless and hierarchical SOFs, 12-bit
+    precision, CMYK, non-interleaved multi-scan baseline, restarts
+    inside progressive scans) and ``ValueError`` for malformed
+    containers — never a silent wrong decode."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
@@ -616,9 +621,7 @@ def decode_jpeg(payload: bytes) -> dict:
             pos += 2
             continue
         if marker == 0xC2:  # progressive DCT → dedicated decoder
-            d = _decode_jpeg_progressive(payload)
-            d["ncomp"] = 1
-            return d
+            return _decode_jpeg_progressive(payload)
         if marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
                 f"JPEG SOF{marker - 0xC0}: only baseline (SOF0) and"
@@ -830,10 +833,34 @@ def _mag_shift(v: int, al: int) -> int:
     return -((-v) >> al) if v < 0 else v >> al
 
 
+def _prog_dc_first_block(
+    reader: "_BitReader", dc_map: dict, pred: int, al: int, blk: list[int]
+) -> int:
+    """One block of a DC first scan (T.81 G.2.1): DIFF decode against
+    the component's predictor, value stored shifted up by Al. Returns
+    the new predictor — per COMPONENT, so interleaved color DC scans
+    thread one predictor per component through the MCU walk."""
+    s = reader.read_symbol(dc_map)
+    diff = _extend(reader.read_bits(s), s) if s else 0
+    pred += diff
+    blk[0] = pred << al
+    return pred
+
+
+def _prog_dc_refine_block(reader: "_BitReader", al: int, blk: list[int]) -> None:
+    """One block of a DC refinement scan: one more magnitude bit.
+    Python ints are infinite two's complement, so |= on a negative DC
+    sets bit al exactly like the int16 the spec describes."""
+    if reader.read_bit():
+        blk[0] |= 1 << al
+
+
 class _ProgressiveScanDecoder:
     """Per-scan entropy decoder mutating the zigzag-order coefficient
     state (T.81 G.2). ``coefs`` holds one 64-list per block with
-    values at their final (un-shifted) bit positions."""
+    values at their final (un-shifted) bit positions. ``run`` may be
+    given an explicit scan-ordered ``blocks`` list (the color path's
+    per-component non-interleaved walk); it defaults to ``coefs``."""
 
     def __init__(self, coefs: list[list[int]]) -> None:
         self.coefs = coefs
@@ -847,40 +874,49 @@ class _ProgressiveScanDecoder:
         se: int,
         ah: int,
         al: int,
+        blocks: list[list[int]] | None = None,
     ) -> None:
+        blocks = self.coefs if blocks is None else blocks
         if ss == 0:
             if se != 0:
                 raise ValueError("progressive DC scan must have Se = 0")
             if ah == 0:
-                self._dc_first(reader, dc_map, al)
+                self._dc_first(reader, dc_map, al, blocks)
             else:
-                self._dc_refine(reader, al)
+                self._dc_refine(reader, al, blocks)
         elif ah == 0:
-            self._ac_first(reader, ac_map, ss, se, al)
+            self._ac_first(reader, ac_map, ss, se, al, blocks)
         else:
-            self._ac_refine(reader, ac_map, ss, se, al)
+            self._ac_refine(reader, ac_map, ss, se, al, blocks)
 
-    def _dc_first(self, reader: "_BitReader", dc_map: dict, al: int) -> None:
+    def _dc_first(
+        self,
+        reader: "_BitReader",
+        dc_map: dict,
+        al: int,
+        blocks: list[list[int]],
+    ) -> None:
         pred = 0
-        for blk in self.coefs:
-            s = reader.read_symbol(dc_map)
-            diff = _extend(reader.read_bits(s), s) if s else 0
-            pred += diff
-            blk[0] = pred << al
+        for blk in blocks:
+            pred = _prog_dc_first_block(reader, dc_map, pred, al, blk)
 
-    def _dc_refine(self, reader: "_BitReader", al: int) -> None:
-        p1 = 1 << al
-        for blk in self.coefs:
-            if reader.read_bit():
-                # Python ints are infinite two's complement, so |= on a
-                # negative DC sets bit al exactly like the int16 the
-                # spec describes.
-                blk[0] |= p1
+    def _dc_refine(
+        self, reader: "_BitReader", al: int, blocks: list[list[int]]
+    ) -> None:
+        for blk in blocks:
+            _prog_dc_refine_block(reader, al, blk)
+
     def _ac_first(
-        self, reader: "_BitReader", ac_map: dict, ss: int, se: int, al: int
+        self,
+        reader: "_BitReader",
+        ac_map: dict,
+        ss: int,
+        se: int,
+        al: int,
+        blocks: list[list[int]],
     ) -> None:
         eobrun = 0
-        for blk in self.coefs:
+        for blk in blocks:
             if eobrun > 0:
                 eobrun -= 1
                 continue
@@ -902,11 +938,17 @@ class _ProgressiveScanDecoder:
                 else:
                     k += 16  # ZRL
     def _ac_refine(
-        self, reader: "_BitReader", ac_map: dict, ss: int, se: int, al: int
+        self,
+        reader: "_BitReader",
+        ac_map: dict,
+        ss: int,
+        se: int,
+        al: int,
+        blocks: list[list[int]],
     ) -> None:
         p1, m1 = 1 << al, -1 << al
         eobrun = 0
-        for blk in self.coefs:
+        for blk in blocks:
             k = ss
             if eobrun == 0:
                 while k <= se:
@@ -955,18 +997,29 @@ class _ProgressiveScanDecoder:
 
 
 def _decode_jpeg_progressive(payload: bytes) -> dict:
-    """Decode a progressive (SOF2) grayscale JPEG. Same container
-    contract as :func:`decode_jpeg_gray` (which dispatches here);
-    tables may be (re)defined between scans, scans accumulate into one
-    coefficient buffer, dequantization + IDCT run once at the end."""
+    """Decode a progressive (SOF2) JPEG — grayscale or YCbCr color.
+    Tables may be (re)defined between scans, scans accumulate into
+    per-component coefficient buffers, dequantization + IDCT run once
+    at the end. DC scans may be interleaved over all components (the
+    usual first scan of a color progressive file); AC scans are
+    non-interleaved by the standard (T.81 G.1: Ns = 1 when Ss > 0) and
+    walk the owning component's own ceil-dims block grid. Color output
+    follows the same replication-upsample + JFIF YCbCr→RGB path as
+    baseline. Restart intervals inside progressive scans remain an
+    honest NotImplementedError."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
     qtabs: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     width = height = None
-    comp_q = 0
-    coefs: list[list[int]] | None = None
+    comps: list[tuple[int, int, int, int]] = []  # (cid, h, v, tq)
+    coefs: dict[int, list[list[int]]] = {}  # cid -> padded-grid blocks
+    pwb: dict[int, int] = {}  # cid -> padded grid width (blocks)
+    sub_wb: dict[int, int] = {}  # cid -> non-interleaved grid dims
+    sub_hb: dict[int, int] = {}
+    mcus_x = mcus_y = 0
+    hmax = vmax = 1
     decoder: _ProgressiveScanDecoder | None = None
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
@@ -1002,31 +1055,64 @@ def _decode_jpeg_progressive(payload: bytes) -> dict:
             precision, height, width, ncomp = struct.unpack(">BHHB", seg[:6])
             if precision != 8:
                 raise NotImplementedError("only 8-bit precision")
-            if ncomp != 1:
+            if ncomp not in (1, 3):
                 raise NotImplementedError(
-                    "multi-component (chroma) JPEG: grayscale only"
+                    f"{ncomp}-component JPEG: only grayscale (1) and"
+                    " YCbCr (3) frames are supported"
                 )
-            if seg[7] != 0x11:
-                raise NotImplementedError("subsampled single component")
-            comp_q = seg[8]
-            nblocks = ((width + 7) // 8) * ((height + 7) // 8)
-            coefs = [[0] * 64 for _ in range(nblocks)]
-            decoder = _ProgressiveScanDecoder(coefs)
+            for i in range(ncomp):
+                cid = seg[6 + 3 * i]
+                hv = seg[7 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 0x0F, seg[8 + 3 * i]))
+            for _, h, v, _ in comps:
+                if not (1 <= h <= 4 and 1 <= v <= 4):
+                    raise ValueError(
+                        f"sampling factors out of T.81 range: {(h, v)}"
+                    )
+            if ncomp == 1:
+                # single-component frame: sampling factors are relative
+                # and thus irrelevant — the grid is ceil(w/8)×ceil(h/8)
+                hmax = vmax = 1
+                cid = comps[0][0]
+                mcus_x, mcus_y = (width + 7) // 8, (height + 7) // 8
+                pwb[cid] = mcus_x
+                sub_wb[cid], sub_hb[cid] = mcus_x, mcus_y
+                coefs[cid] = [[0] * 64 for _ in range(mcus_x * mcus_y)]
+            else:
+                hmax = max(h for _, h, _, _ in comps)
+                vmax = max(v for _, _, v, _ in comps)
+                mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+                mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+                for cid, h, v, _ in comps:
+                    pwb[cid] = mcus_x * h
+                    cw = (width * h + hmax - 1) // hmax
+                    ch = (height * v + vmax - 1) // vmax
+                    sub_wb[cid] = (cw + 7) // 8
+                    sub_hb[cid] = (ch + 7) // 8
+                    coefs[cid] = [
+                        [0] * 64 for _ in range(mcus_x * h * mcus_y * v)
+                    ]
+            decoder = _ProgressiveScanDecoder([])
         elif marker == 0xDD:
             (interval,) = struct.unpack(">H", seg[:2])
             if interval:
                 raise NotImplementedError(
-                    f"JPEG restart intervals (DRI={interval}) not supported"
+                    f"restart intervals in progressive scans (DRI="
+                    f"{interval}) not supported"
                 )
         elif marker == 0xDA:
             if decoder is None:
                 raise ValueError("progressive SOS before SOF2")
             ns = seg[0]
-            if ns != 1:
-                raise NotImplementedError("interleaved progressive scan")
-            dc_id, ac_id = seg[2] >> 4, seg[2] & 0x0F
-            ss, se = seg[3], seg[4]
-            ah, al = seg[5] >> 4, seg[5] & 0x0F
+            scomps = []
+            for i in range(ns):
+                scid = seg[1 + 2 * i]
+                td_ta = seg[2 + 2 * i]
+                if scid not in coefs:
+                    raise ValueError(f"scan names unknown component {scid}")
+                scomps.append((scid, td_ta >> 4, td_ta & 0x0F))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0x0F
             data_start = pos + 2 + seglen
             end = data_start
             while end + 1 < len(payload):
@@ -1037,39 +1123,101 @@ def _decode_jpeg_progressive(payload: bytes) -> dict:
                     break
                 end += 1
             reader = _BitReader(payload[data_start:end])
-            decoder.run(
-                reader,
-                huff.get((0, dc_id)),
-                huff.get((1, ac_id)),
-                ss,
-                se,
-                ah,
-                al,
-            )
+            if ns > 1:
+                if ss != 0:
+                    raise ValueError(
+                        "progressive AC scan must be non-interleaved"
+                        " (T.81 G.1: Ns = 1 when Ss > 0)"
+                    )
+                if se != 0:
+                    raise ValueError("progressive DC scan must have Se = 0")
+                by_id = {cid: (h, v) for cid, h, v, _ in comps}
+                preds = {scid: 0 for scid, _, _ in scomps}
+                for my in range(mcus_y):
+                    for mx in range(mcus_x):
+                        for scid, td, _ in scomps:
+                            h, v = by_id[scid]
+                            for bv in range(v):
+                                for bh in range(h):
+                                    blk = coefs[scid][
+                                        (my * v + bv) * pwb[scid] + mx * h + bh
+                                    ]
+                                    if ah == 0:
+                                        preds[scid] = _prog_dc_first_block(
+                                            reader,
+                                            huff[(0, td)],
+                                            preds[scid],
+                                            al,
+                                            blk,
+                                        )
+                                    else:
+                                        _prog_dc_refine_block(reader, al, blk)
+            else:
+                scid, td, ta = scomps[0]
+                stride = pwb[scid]
+                blocks = [
+                    coefs[scid][row * stride + col]
+                    for row in range(sub_hb[scid])
+                    for col in range(sub_wb[scid])
+                ]
+                decoder.run(
+                    reader,
+                    huff.get((0, td)),
+                    huff.get((1, ta)),
+                    ss,
+                    se,
+                    ah,
+                    al,
+                    blocks,
+                )
             pos = end
             continue
         pos += 2 + seglen
-    if coefs is None or width is None:
+    if not coefs or width is None:
         raise ValueError("JPEG without SOS/SOF2")
-    qtab = qtabs[comp_q]
-    wb = (width + 7) // 8
-    pixels = bytearray(width * height)
-    for bi, zz in enumerate(coefs):
-        by, bx = divmod(bi, wb)
-        coef = [0] * 64
-        for k in range(64):
-            coef[ZIGZAG[k]] = zz[k] * qtab[k]
-        blk = _idct_2d(coef)
-        for r in range(8):
-            y = by * 8 + r
-            if y >= height:
-                break
-            x0 = bx * 8
-            n = min(8, width - x0)
-            pixels[y * width + x0 : y * width + x0 + n] = bytes(
-                blk[r * 8 : r * 8 + n]
-            )
-    return {"width": width, "height": height, "pixels": bytes(pixels)}
+    by_id_q = {cid: tq for cid, _, _, tq in comps}
+    planes: dict[int, bytearray] = {}
+    for cid, blocks in coefs.items():
+        qtab = qtabs[by_id_q[cid]]
+        stride = pwb[cid]
+        pw = stride * 8
+        plane = bytearray(pw * (len(blocks) // stride) * 8)
+        for bi, zz in enumerate(blocks):
+            by, bx = divmod(bi, stride)
+            coef = [0] * 64
+            for k in range(64):
+                coef[ZIGZAG[k]] = zz[k] * qtab[k]
+            blk = _idct_2d(coef)
+            for r in range(8):
+                row = (by * 8 + r) * pw + bx * 8
+                plane[row : row + 8] = bytes(blk[r * 8 : r * 8 + 8])
+        planes[cid] = plane
+    if len(comps) == 1:
+        cid = comps[0][0]
+        pw = pwb[cid] * 8
+        plane = planes[cid]
+        pixels = bytearray(width * height)
+        for yy in range(height):
+            pixels[yy * width : (yy + 1) * width] = plane[
+                yy * pw : yy * pw + width
+            ]
+        return {
+            "width": width,
+            "height": height,
+            "ncomp": 1,
+            "pixels": bytes(pixels),
+        }
+    order = [cid for cid, _, _, _ in comps]  # SOF order = Y, Cb, Cr (JFIF)
+    rgb = _ycbcr_to_rgb_bytes(
+        [planes[cid] for cid in order],
+        [pwb[cid] * 8 for cid in order],
+        [(h, v) for _, h, v, _ in comps],
+        hmax,
+        vmax,
+        width,
+        height,
+    )
+    return {"width": width, "height": height, "ncomp": 3, "pixels": rgb}
 
 
 class _ProgressiveScanEncoder:
@@ -1095,25 +1243,31 @@ class _ProgressiveScanEncoder:
             self.w.write(bit, 1)
         self.be = []
 
+    def dc_first_block(self, zz: list[int], pred: int, al: int) -> int:
+        temp = zz[0] >> al  # arithmetic shift: DC is two's complement
+        diff = temp - pred
+        s = _size_category(diff)
+        if s > 11:
+            raise ValueError(
+                f"DC coefficient diff {diff} out of Huffman range"
+            )
+        code, length = self.dc_codes[s]
+        self.w.write(code, length)
+        if s:
+            self.w.write(_amplitude(diff, s), s)
+        return temp
+
+    def dc_refine_block(self, zz: list[int], al: int) -> None:
+        self.w.write((zz[0] >> al) & 1, 1)
+
     def dc_first(self, blocks: list[list[int]], al: int) -> None:
         pred = 0
         for zz in blocks:
-            temp = zz[0] >> al  # arithmetic shift: DC is two's complement
-            diff = temp - pred
-            pred = temp
-            s = _size_category(diff)
-            if s > 11:
-                raise ValueError(
-                    f"DC coefficient diff {diff} out of Huffman range"
-                )
-            code, length = self.dc_codes[s]
-            self.w.write(code, length)
-            if s:
-                self.w.write(_amplitude(diff, s), s)
+            pred = self.dc_first_block(zz, pred, al)
 
     def dc_refine(self, blocks: list[list[int]], al: int) -> None:
         for zz in blocks:
-            self.w.write((zz[0] >> al) & 1, 1)
+            self.dc_refine_block(zz, al)
 
     def ac_first(self, blocks: list[list[int]], ss: int, se: int, al: int) -> None:
         for zz in blocks:
@@ -1282,3 +1436,185 @@ def _validate_scan_script(scans: list[tuple[int, int, int, int]]) -> None:
                         f" Ah={cur_al[k]} -> Al={cur_al[k] - 1}"
                     )
                 cur_al[k] = al
+
+
+# libjpeg-style default color scan script: interleaved DC first at
+# Al=1, luma AC in two bands at Al=2 with two refinement sweeps,
+# chroma AC in one band at Al=1 with one refinement, interleaved DC
+# refinement last. Entries are (component indices, Ss, Se, Ah, Al);
+# AC entries always name exactly one component (T.81 G.1: Ns = 1 when
+# Ss > 0).
+DEFAULT_PROGRESSIVE_COLOR_SCANS = [
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((1,), 1, 63, 0, 1),
+    ((2,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0,), 1, 63, 1, 0),
+    ((1,), 1, 63, 1, 0),
+    ((2,), 1, 63, 1, 0),
+    ((0, 1, 2), 0, 0, 1, 0),
+]
+
+
+def encode_jpeg_color_coeffs_progressive(
+    blocks_per_comp: list[list[list[int]]],
+    width: int,
+    height: int,
+    samplings: list[tuple[int, int]] | None = None,
+    qtab_luma_zz: list[int] | None = None,
+    qtab_chroma_zz: list[int] | None = None,
+    scans: list[tuple[tuple[int, ...], int, int, int, int]] | None = None,
+) -> bytes:
+    """Emit a progressive (SOF2) YCbCr JPEG from already-QUANTIZED
+    coefficient blocks — same input contract as
+    :func:`encode_jpeg_color_coeffs` (per-component raster order over
+    each component's MCU-padded grid), same decoded output, the wire
+    layout spread over ``scans`` (default
+    ``DEFAULT_PROGRESSIVE_COLOR_SCANS``). DC scans naming several
+    components interleave per MCU with per-component predictors; AC
+    scans are per-component over its ceil-dims (non-interleaved)
+    grid — which is why MCU-padding blocks outside that grid must be
+    all-zero here (their AC would be unreachable by any legal scan;
+    real encoders fill them with edge-replication data and simply
+    never transmit their AC)."""
+    if samplings is None:
+        samplings = [(2, 2), (1, 1), (1, 1)]
+    if len(blocks_per_comp) != 3 or len(samplings) != 3:
+        raise ValueError("expected exactly 3 components (Y, Cb, Cr)")
+    for h, v in samplings:
+        if not (1 <= h <= 4 and 1 <= v <= 4):
+            raise ValueError(f"sampling factors must be in 1..4, got {(h, v)}")
+    qtab_luma_zz = list(qtab_luma_zz if qtab_luma_zz is not None else QTAB_ZZ)
+    qtab_chroma_zz = list(
+        qtab_chroma_zz if qtab_chroma_zz is not None else QTAB_ZZ
+    )
+    if len(qtab_luma_zz) != 64 or len(qtab_chroma_zz) != 64:
+        raise ValueError("quantization tables must have 64 entries")
+    hmax = max(h for h, _ in samplings)
+    vmax = max(v for _, v in samplings)
+    mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+    sub = []
+    for ci, ((h, v), blocks) in enumerate(zip(samplings, blocks_per_comp)):
+        need = mcus_x * h * mcus_y * v
+        if len(blocks) != need:
+            raise ValueError(
+                f"component {ci}: expected {need} blocks "
+                f"({mcus_x * h}×{mcus_y * v} grid), got {len(blocks)}"
+            )
+        cw = (width * h + hmax - 1) // hmax
+        ch = (height * v + vmax - 1) // vmax
+        swb, shb = (cw + 7) // 8, (ch + 7) // 8
+        sub.append((swb, shb))
+        pwb = mcus_x * h
+        for bi, blk in enumerate(blocks):
+            by, bx = divmod(bi, pwb)
+            if (by >= shb or bx >= swb) and any(blk):
+                raise ValueError(
+                    f"component {ci}: MCU-padding block ({by}, {bx}) is"
+                    " outside the non-interleaved grid and must be"
+                    " all-zero (its coefficients have no scan to travel"
+                    " in)"
+                )
+    scans = list(scans if scans is not None else DEFAULT_PROGRESSIVE_COLOR_SCANS)
+    for comps_sel, ss, se, ah, al in scans:
+        if not comps_sel or any(c not in (0, 1, 2) for c in comps_sel):
+            raise ValueError(f"scan names invalid components {comps_sel}")
+        if len(set(comps_sel)) != len(comps_sel):
+            raise ValueError(f"scan repeats a component: {comps_sel}")
+        if ss != 0 and len(comps_sel) != 1:
+            raise ValueError(
+                "progressive AC scan must name exactly one component"
+                " (T.81 G.1: Ns = 1 when Ss > 0)"
+            )
+    for ci in range(3):
+        _validate_scan_script(
+            [
+                (ss, se, ah, al)
+                for comps_sel, ss, se, ah, al in scans
+                if ci in comps_sel
+            ]
+        )
+
+    zz_per_comp = [
+        [[blk[ZIGZAG[k]] for k in range(64)] for blk in blocks]
+        for blocks in blocks_per_comp
+    ]
+    dc_codes = _canonical_codes(DC_BITS, DC_VALS)
+    ac_codes = _canonical_codes(_FLAT_AC_BITS, _FLAT_AC_VALS)
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += _segment(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _segment(0xFFDB, bytes([0x00]) + bytes(qtab_luma_zz))
+    out += _segment(0xFFDB, bytes([0x01]) + bytes(qtab_chroma_zz))
+    sof = struct.pack(">BHHB", 8, height, width, 3)
+    for ci, (h, v) in enumerate(samplings):
+        sof += bytes([ci + 1, (h << 4) | v, 0 if ci == 0 else 1])
+    out += _segment(0xFFC2, sof)
+    for th in (0, 1):
+        out += _segment(
+            0xFFC4, bytes([0x00 | th]) + bytes(DC_BITS) + bytes(DC_VALS)
+        )
+        out += _segment(
+            0xFFC4,
+            bytes([0x10 | th]) + bytes(_FLAT_AC_BITS) + bytes(_FLAT_AC_VALS),
+        )
+    for comps_sel, ss, se, ah, al in scans:
+        w = _BitWriter()
+        enc = _ProgressiveScanEncoder(w, dc_codes, ac_codes)
+        if ss == 0:
+            preds = {ci: 0 for ci in comps_sel}
+            if len(comps_sel) > 1:
+                for my in range(mcus_y):
+                    for mx in range(mcus_x):
+                        for ci in comps_sel:
+                            h, v = samplings[ci]
+                            pwb = mcus_x * h
+                            for bv in range(v):
+                                for bh in range(h):
+                                    zz = zz_per_comp[ci][
+                                        (my * v + bv) * pwb + mx * h + bh
+                                    ]
+                                    if ah == 0:
+                                        preds[ci] = enc.dc_first_block(
+                                            zz, preds[ci], al
+                                        )
+                                    else:
+                                        enc.dc_refine_block(zz, al)
+            else:
+                ci = comps_sel[0]
+                blocks = _sub_grid(zz_per_comp[ci], mcus_x * samplings[ci][0], sub[ci])
+                if ah == 0:
+                    enc.dc_first(blocks, al)
+                else:
+                    enc.dc_refine(blocks, al)
+        else:
+            ci = comps_sel[0]
+            blocks = _sub_grid(zz_per_comp[ci], mcus_x * samplings[ci][0], sub[ci])
+            if ah == 0:
+                enc.ac_first(blocks, ss, se, al)
+            else:
+                enc.ac_refine(blocks, ss, se, al)
+        enc._emit_eobrun()
+        w.flush()
+        sos = bytes([len(comps_sel)])
+        for ci in comps_sel:
+            sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += _segment(0xFFDA, sos)
+        out += w.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _sub_grid(
+    blocks: list[list[int]], pwb: int, dims: tuple[int, int]
+) -> list[list[int]]:
+    """The non-interleaved (ceil-dims) raster walk over a component's
+    MCU-padded block grid — the block order of every Ns = 1
+    progressive scan (T.81 A.2.2)."""
+    swb, shb = dims
+    return [blocks[row * pwb + col] for row in range(shb) for col in range(swb)]

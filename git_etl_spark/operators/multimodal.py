@@ -17,11 +17,11 @@ zlib inflate, all five scanline prediction filters), and so are
 RIFF/WAVE PCM audio (stdlib ``wave``) and — since round 7 — JPEG
 (``jpeg_codec``: segment walk, canonical Huffman DC+AC entropy
 decode, dequantize, de-zigzag, IDCT; round 8 added progressive SOF2
-with spectral selection + successive approximation, then baseline
-YCbCr color — interleaved MCUs, 4:2:0/4:2:2 subsampling, restart
-intervals, JFIF YCbCr→RGB). The loud NotImplementedError list is
-down to what genuinely needs an external codec:
-lossless/arithmetic/12-bit JPEG and RIFF video (ffmpeg) — a
+with spectral selection + successive approximation, baseline YCbCr
+color — interleaved MCUs, 4:2:0/4:2:2 subsampling, restart
+intervals, JFIF YCbCr→RGB — and progressive color). The loud
+NotImplementedError list is down to what genuinely needs an external
+codec: lossless/arithmetic/12-bit JPEG and RIFF video (ffmpeg) — a
 silent fake decode of real media would be worse than a loud gap.
 """
 

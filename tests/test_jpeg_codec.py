@@ -568,3 +568,160 @@ def test_decode_image_routes_color_jpeg():
     assert f["n_bytes"] == w * h * 3
     assert f["max_byte"] == int(ref.max())
     assert abs(f["mean_byte"] - ref.mean()) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Progressive color (SOF2 YCbCr): interleaved DC scans + per-component AC
+# ---------------------------------------------------------------------------
+
+from git_etl_spark.operators.jpeg_codec import (  # noqa: E402
+    DEFAULT_PROGRESSIVE_COLOR_SCANS,
+    encode_jpeg_color_coeffs_progressive,
+)
+
+
+def test_progressive_color_444_matches_baseline_and_numpy():
+    """The same coefficients through the progressive color wire layout
+    (interleaved DC first/refine, per-component AC bands and
+    refinements) must decode identically to the baseline color stream
+    — and both match the independent NumPy oracle."""
+    rng = random.Random(53)
+    samplings = [(1, 1), (1, 1), (1, 1)]
+    w, h = 16, 16
+    blocks = _random_color_blocks(rng, samplings, w, h)
+    base = decode_jpeg(encode_jpeg_color_coeffs(blocks, w, h, samplings))
+    prog = decode_jpeg(
+        encode_jpeg_color_coeffs_progressive(blocks, w, h, samplings)
+    )
+    assert prog == base
+    qtabs = [QTAB_ZZ, QTAB_ZZ, QTAB_ZZ]
+    _assert_color_matches_oracle(
+        encode_jpeg_color_coeffs_progressive(blocks, w, h, samplings),
+        blocks, samplings, qtabs, w, h,
+    )
+
+
+def test_progressive_color_420_subsampled():
+    """4:2:0 progressive: the interleaved DC scan walks 4 luma + 2
+    chroma blocks per MCU while AC scans walk each component's own
+    grid; distinct chroma quant table under DQT id 1."""
+    rng = random.Random(59)
+    samplings = [(2, 2), (1, 1), (1, 1)]
+    w, h = 32, 16
+    blocks = _random_color_blocks(rng, samplings, w, h)
+    chroma_q = [q + 3 for q in QTAB_ZZ]
+    payload = encode_jpeg_color_coeffs_progressive(
+        blocks, w, h, samplings, qtab_chroma_zz=chroma_q
+    )
+    qtabs = [QTAB_ZZ, chroma_q, chroma_q]
+    _assert_color_matches_oracle(payload, blocks, samplings, qtabs, w, h)
+    base = decode_jpeg(
+        encode_jpeg_color_coeffs(
+            blocks, w, h, samplings, qtab_chroma_zz=chroma_q
+        )
+    )
+    assert decode_jpeg(payload) == base
+
+
+def test_progressive_color_padding_subgrid():
+    """An 8×8 4:2:0 frame puts 3 of the 4 luma blocks OUTSIDE the
+    non-interleaved grid (ceil(8/8) = 1×1): their DC still travels in
+    the interleaved scans, their AC has no scan to travel in — the
+    encoder enforces all-zero padding and the decoder leaves the
+    untransmitted AC at zero."""
+    rng = random.Random(61)
+    samplings = [(2, 2), (1, 1), (1, 1)]
+    w = h = 8
+    y_blocks = []
+    for bi in range(4):
+        blk = [0] * 64
+        if bi == 0:  # only the in-grid block may carry AC
+            blk[0] = 20
+            blk[9] = 11
+            blk[17] = -6
+        y_blocks.append(blk)
+    cblk = [0] * 64
+    cblk[0] = 8
+    blocks = [y_blocks, [list(cblk)], [list(cblk)]]
+    payload = encode_jpeg_color_coeffs_progressive(blocks, w, h, samplings)
+    qtabs = [QTAB_ZZ, QTAB_ZZ, QTAB_ZZ]
+    _assert_color_matches_oracle(payload, blocks, samplings, qtabs, w, h)
+    # nonzero AC in a padding block is refused loudly
+    bad = [list(b) for b in y_blocks]
+    bad[3] = list(bad[3])
+    bad[3][5] = 9
+    with pytest.raises(ValueError, match="padding block"):
+        encode_jpeg_color_coeffs_progressive(
+            [bad, [list(cblk)], [list(cblk)]], w, h, samplings
+        )
+
+
+def test_progressive_color_scan_script_validation():
+    """Interleaved AC scans are a spec violation (Ns = 1 when Ss > 0):
+    refused at encode time and diagnosed as malformed at decode time;
+    per-component scripts still validate completeness."""
+    samplings = [(1, 1), (1, 1), (1, 1)]
+    blocks = [[[0] * 64] for _ in range(3)]
+    with pytest.raises(ValueError, match="exactly one component"):
+        encode_jpeg_color_coeffs_progressive(
+            blocks, 8, 8, samplings,
+            scans=[((0, 1, 2), 0, 0, 0, 0), ((0, 1), 1, 63, 0, 0)],
+        )
+    with pytest.raises(ValueError, match="two first scans"):
+        encode_jpeg_color_coeffs_progressive(
+            blocks, 8, 8, samplings,
+            scans=[
+                ((0, 1, 2), 0, 0, 0, 0),
+                ((0,), 1, 63, 0, 0),
+                ((0,), 1, 63, 0, 0),
+                ((1,), 1, 63, 0, 0),
+                ((2,), 1, 63, 0, 0),
+            ],
+        )
+    # decoder side: a DC-shaped interleaved scan relabeled as AC
+    good = encode_jpeg_color_coeffs_progressive(blocks, 8, 8, samplings)
+    i = good.find(b"\xff\xda")
+    assert i > 0
+    seglen = int.from_bytes(good[i + 2 : i + 4], "big")
+    seg = bytearray(good[i + 4 : i + 2 + seglen])
+    assert seg[0] == 3  # the interleaved DC scan
+    seg[7] = 1  # Ss: 0 -> 1 on an Ns=3 scan
+    bad = good[: i + 4] + bytes(seg) + good[i + 2 + seglen :]
+    with pytest.raises(ValueError, match="non-interleaved"):
+        decode_jpeg(bad)
+
+
+def test_progressive_gray_unchanged_by_color_refactor():
+    """The single-component Annex-G path still matches the baseline
+    decode after the multi-component generalization."""
+    rng = random.Random(67)
+    blocks = []
+    for _ in range(4):
+        blk = [0] * 64
+        blk[0] = rng.randrange(-80, 81)
+        for _ in range(rng.randrange(1, 14)):
+            blk[rng.randrange(1, 64)] = rng.randrange(-30, 31)
+        blocks.append(blk)
+    from git_etl_spark.operators.jpeg_codec import (
+        encode_jpeg_gray_coeffs_progressive,
+    )
+
+    prog = decode_jpeg_gray(encode_jpeg_gray_coeffs_progressive(blocks, 16, 16))
+    base = decode_jpeg_gray(encode_jpeg_gray_coeffs(blocks, 16, 16))
+    assert prog == base
+
+
+def test_decode_image_routes_progressive_color_jpeg():
+    """decode_image handles the most common real-world JPEG shape —
+    progressive color — end to end."""
+    from git_etl_spark.operators.multimodal import decode_image
+
+    rng = random.Random(71)
+    samplings = [(2, 2), (1, 1), (1, 1)]
+    w, h = 16, 16
+    blocks = _random_color_blocks(rng, samplings, w, h)
+    payload = encode_jpeg_color_coeffs_progressive(blocks, w, h, samplings)
+    f = decode_image(payload)
+    assert f["magic"] == "JPEG"
+    assert f["width"] == w and f["height"] == h
+    assert f["n_bytes"] == w * h * 3
