@@ -26,9 +26,10 @@ entropy layer for real — no external codec:
   per-component predictors, per-component non-interleaved AC scans —
   see the Annex-G section at the bottom of this module); arithmetic
   coding, lossless/hierarchical SOFs, 12-bit precision, CMYK,
-  non-interleaved multi-scan baseline, and restarts inside
-  progressive scans raise loudly — the honest-gap policy, same as
-  interlaced PNG.
+  partially interleaved scans, and restarts inside progressive
+  scans raise loudly — the honest-gap policy, same as interlaced
+  PNG. Baseline multi-scan (one scan per component, the rarer
+  non-interleaved layout) decodes for real.
   `decode_jpeg_gray` remains the single-plane contract the oracled
   feature query depends on.
 - **Encoders** (`encode_jpeg_gray_coeffs`,
@@ -322,6 +323,7 @@ def encode_jpeg_color_coeffs(
     qtab_luma_zz: list[int] | None = None,
     qtab_chroma_zz: list[int] | None = None,
     restart_interval: int = 0,
+    separate_scans: bool = False,
 ) -> bytes:
     """Emit a baseline-sequential YCbCr JPEG from already-QUANTIZED
     coefficient blocks, one interleaved scan (the layout virtually all
@@ -340,7 +342,11 @@ def encode_jpeg_color_coeffs(
     contents stay the one transcription-checked Annex-K pair; the
     decoder reads all tables from the stream, so nothing depends on
     the choice. A nonzero ``restart_interval`` emits DRI + RSTn every
-    that many MCUs with all three DC predictors reset."""
+    that many MCUs with all three DC predictors reset.
+    ``separate_scans=True`` emits the rarer non-interleaved layout —
+    one scan per component over its ceil-dims grid (T.81 A.2.2), each
+    with a fresh DC predictor; MCU-padding blocks outside that grid
+    are never transmitted and must be all-zero here."""
     if samplings is None:
         samplings = [(2, 2), (1, 1), (1, 1)]
     if len(blocks_per_comp) != 3 or len(samplings) != 3:
@@ -369,54 +375,102 @@ def encode_jpeg_color_coeffs(
     dc_codes = _canonical_codes(DC_BITS, DC_VALS)
     ac_codes = _canonical_codes(AC_BITS, AC_VALS)
 
-    w = _BitWriter()
-    preds = [0, 0, 0]
-    rst_idx = 0
-    mcu_count = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                rst_idx = _emit_restart(w, rst_idx)
-                preds = [0, 0, 0]
-            for ci, ((h, v), blocks) in enumerate(
-                zip(samplings, blocks_per_comp)
-            ):
-                cwb = mcus_x * h
-                for bv in range(v):
-                    for bh in range(h):
-                        blk = blocks[(my * v + bv) * cwb + (mx * h + bh)]
-                        preds[ci] = _encode_block(
-                            w, blk, preds[ci], dc_codes, ac_codes
-                        )
-            mcu_count += 1
-    w.flush()
-
-    head = bytearray()
-    head += b"\xff\xd8"  # SOI
-    head += _segment(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    head += _segment(0xFFDB, bytes([0x00]) + bytes(qtab_luma_zz))  # Pq=0 Tq=0
-    head += _segment(0xFFDB, bytes([0x01]) + bytes(qtab_chroma_zz))  # Tq=1
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += _segment(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _segment(0xFFDB, bytes([0x00]) + bytes(qtab_luma_zz))  # Pq=0 Tq=0
+    out += _segment(0xFFDB, bytes([0x01]) + bytes(qtab_chroma_zz))  # Tq=1
     sof = struct.pack(">BHHB", 8, height, width, 3)
     for ci, (h, v) in enumerate(samplings):
         # component ids 1..3 (JFIF Y, Cb, Cr); qtab 0 for luma, 1 for chroma
         sof += bytes([ci + 1, (h << 4) | v, 0 if ci == 0 else 1])
-    head += _segment(0xFFC0, sof)
+    out += _segment(0xFFC0, sof)
     for th in (0, 1):
-        head += _segment(
+        out += _segment(
             0xFFC4, bytes([0x00 | th]) + bytes(DC_BITS) + bytes(DC_VALS)
         )
-        head += _segment(
+        out += _segment(
             0xFFC4, bytes([0x10 | th]) + bytes(AC_BITS) + bytes(AC_VALS)
         )
     if restart_interval:
-        head += _segment(0xFFDD, struct.pack(">H", restart_interval))
-    sos = bytes([3])
-    for ci in range(3):
-        td_ta = 0x00 if ci == 0 else 0x11
-        sos += bytes([ci + 1, td_ta])
-    sos += bytes([0, 63, 0])
-    head += _segment(0xFFDA, sos)
-    return bytes(head) + bytes(w.out) + b"\xff\xd9"  # EOI
+        out += _segment(0xFFDD, struct.pack(">H", restart_interval))
+
+    if not separate_scans:
+        w = _BitWriter()
+        preds = [0, 0, 0]
+        rst_idx = 0
+        mcu_count = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if (
+                    restart_interval
+                    and mcu_count
+                    and mcu_count % restart_interval == 0
+                ):
+                    rst_idx = _emit_restart(w, rst_idx)
+                    preds = [0, 0, 0]
+                for ci, ((h, v), blocks) in enumerate(
+                    zip(samplings, blocks_per_comp)
+                ):
+                    cwb = mcus_x * h
+                    for bv in range(v):
+                        for bh in range(h):
+                            blk = blocks[(my * v + bv) * cwb + (mx * h + bh)]
+                            preds[ci] = _encode_block(
+                                w, blk, preds[ci], dc_codes, ac_codes
+                            )
+                mcu_count += 1
+        w.flush()
+        sos = bytes([3])
+        for ci in range(3):
+            td_ta = 0x00 if ci == 0 else 0x11
+            sos += bytes([ci + 1, td_ta])
+        sos += bytes([0, 63, 0])
+        out += _segment(0xFFDA, sos)
+        out += w.out
+    else:
+        # one scan per component over its ceil-dims (non-interleaved)
+        # grid — MCU = one data unit, fresh predictor and RST cycle per
+        # scan; padding blocks outside the grid are never transmitted
+        for ci, ((h, v), blocks) in enumerate(
+            zip(samplings, blocks_per_comp)
+        ):
+            pwb = mcus_x * h
+            cw = (width * h + hmax - 1) // hmax
+            ch = (height * v + vmax - 1) // vmax
+            swb, shb = (cw + 7) // 8, (ch + 7) // 8
+            for bi, blk in enumerate(blocks):
+                by, bx = divmod(bi, pwb)
+                if (by >= shb or bx >= swb) and any(blk):
+                    raise ValueError(
+                        f"component {ci}: MCU-padding block ({by}, {bx})"
+                        " is outside the non-interleaved grid and must"
+                        " be all-zero (separate scans never transmit it)"
+                    )
+            w = _BitWriter()
+            pred = 0
+            rst_idx = 0
+            count = 0
+            for row in range(shb):
+                for col in range(swb):
+                    if (
+                        restart_interval
+                        and count
+                        and count % restart_interval == 0
+                    ):
+                        rst_idx = _emit_restart(w, rst_idx)
+                        pred = 0
+                    pred = _encode_block(
+                        w, blocks[row * pwb + col], pred, dc_codes, ac_codes
+                    )
+                    count += 1
+            w.flush()
+            td_ta = 0x00 if ci == 0 else 0x11
+            out += _segment(
+                0xFFDA, bytes([1, ci + 1, td_ta, 0, 63, 0])
+            )
+            out += w.out
+    return bytes(out) + b"\xff\xd9"  # EOI
 
 
 # ---------------------------------------------------------------------------
@@ -590,13 +644,17 @@ def decode_jpeg(payload: bytes) -> dict:
     ``{"width", "height", "ncomp", "pixels"}``: for ``ncomp == 1`` a
     row-major grayscale ``bytes`` of length w·h; for ``ncomp == 3``
     interleaved RGB of length w·h·3 after replication upsampling and
-    the JFIF YCbCr→RGB transform. Progressive color decodes through
-    the Annex-G path (interleaved DC scans, per-component AC).
-    Raises ``NotImplementedError`` for the remaining honest gaps
-    (arithmetic coding, lossless and hierarchical SOFs, 12-bit
-    precision, CMYK, non-interleaved multi-scan baseline, restarts
-    inside progressive scans) and ``ValueError`` for malformed
-    containers — never a silent wrong decode."""
+    the JFIF YCbCr→RGB transform. Multi-scan streams decode for real:
+    the walk processes every SOS — fully interleaved scans via the
+    MCU walk, single-component scans via the component's ceil-dims
+    non-interleaved grid (T.81 A.2.2) — and a frame that reaches EOI
+    with an unscanned component is diagnosed incomplete. Progressive
+    color decodes through the Annex-G path (interleaved DC scans,
+    per-component AC). Raises ``NotImplementedError`` for the
+    remaining honest gaps (arithmetic coding, lossless and
+    hierarchical SOFs, 12-bit precision, CMYK, partially interleaved
+    scans, restarts inside progressive scans) and ``ValueError`` for
+    malformed containers — never a silent wrong decode."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
@@ -604,17 +662,27 @@ def decode_jpeg(payload: bytes) -> dict:
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     width = height = None
     comps: list[tuple[int, int, int, int]] = []  # (cid, h, v, tq)
-    scan: list[tuple[int, int, int]] = []  # (cid, td, ta)
+    by_id: dict[int, tuple[int, int, int]] = {}  # cid -> (h, v, tq)
     restart_interval = 0
-    data_start = None
-    while pos + 4 <= len(payload):
+    hmax = vmax = 1
+    mcus_x = mcus_y = 0
+    planes: dict[int, bytearray] = {}
+    plane_w: dict[int, int] = {}
+    sub_wb: dict[int, int] = {}  # non-interleaved (ceil-dims) grids
+    sub_hb: dict[int, int] = {}
+    scanned: set[int] = set()
+    saw_eoi = False
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("desynchronized JPEG segment stream")
         # T.81 B.1.1.2: a marker may be preceded by any number of 0xFF
         # fill bytes - legal padding, not desynchronization.
-        while payload[pos + 1] == 0xFF and pos + 4 <= len(payload):
+        while payload[pos + 1] == 0xFF and pos + 2 <= len(payload):
             pos += 1
         marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            saw_eoi = True
+            break
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             # TEM / RSTn are standalone (no length word); RSTn outside a
             # declared restart interval is unusual but harmless here.
@@ -627,6 +695,8 @@ def decode_jpeg(payload: bytes) -> dict:
                 f"JPEG SOF{marker - 0xC0}: only baseline (SOF0) and"
                 " progressive (SOF2) DCT are supported"
             )
+        if pos + 4 > len(payload):
+            raise ValueError("truncated JPEG segment stream")
         (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
         seg = payload[pos + 4 : pos + 2 + seglen]
         if marker == 0xDB:  # DQT (possibly several tables per segment)
@@ -664,84 +734,131 @@ def decode_jpeg(payload: bytes) -> dict:
                     raise ValueError(
                         f"sampling factors out of T.81 range: {(h, v)}"
                     )
+            by_id = {cid: (h, v, tq) for cid, h, v, tq in comps}
+            if ncomp == 1:
+                # A single-component frame's scans are non-interleaved
+                # by definition (T.81 A.2.2): the MCU is one data unit
+                # and the grid is ceil(w/8) × ceil(h/8) — sampling
+                # factors only ever mattered relative to other comps.
+                hmax = vmax = 1
+                mcus_x, mcus_y = (width + 7) // 8, (height + 7) // 8
+            else:
+                hmax = max(h for _, h, _, _ in comps)
+                vmax = max(v for _, _, v, _ in comps)
+                mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+                mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+            for cid, h, v, _ in comps:
+                if ncomp == 1:
+                    h = v = 1
+                plane_w[cid] = mcus_x * h * 8
+                planes[cid] = bytearray(mcus_x * h * 8 * mcus_y * v * 8)
+                cw = (width * h + hmax - 1) // hmax
+                ch = (height * v + vmax - 1) // vmax
+                sub_wb[cid] = (cw + 7) // 8
+                sub_hb[cid] = (ch + 7) // 8
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
+            if width is None:
+                raise ValueError("SOS before SOF0")
             ns = seg[0]
-            if comps and ns != len(comps):
-                raise NotImplementedError(
-                    "non-interleaved multi-scan baseline JPEG: only a"
-                    " single interleaved scan is supported"
-                )
+            scomps = []
             for i in range(ns):
                 cid = seg[1 + 2 * i]
                 td_ta = seg[2 + 2 * i]
-                scan.append((cid, td_ta >> 4, td_ta & 0x0F))
+                if cid not in by_id:
+                    raise ValueError(f"scan names unknown component {cid}")
+                scomps.append((cid, td_ta >> 4, td_ta & 0x0F))
+            if 1 < ns < len(comps):
+                raise NotImplementedError(
+                    f"partially interleaved baseline scan (Ns = {ns} of"
+                    f" {len(comps)} components)"
+                )
+            if ns > 1 or len(comps) == 1:
+                # fully interleaved scan (or the trivial 1-comp frame):
+                # MCU walk over the frame grid
+                layout = (
+                    [(scomps[0][0], 1, 1)]
+                    if len(comps) == 1
+                    else [
+                        (cid, by_id[cid][0], by_id[cid][1])
+                        for cid, _, _ in scomps
+                    ]
+                )
+                smx, smy = mcus_x, mcus_y
+            else:
+                # non-interleaved component scan: the MCU is one data
+                # unit, the walk covers the component's own ceil-dims
+                # grid (T.81 A.2.2) — MCU-padding blocks of this
+                # component are simply never transmitted
+                cid0 = scomps[0][0]
+                layout = [(cid0, 1, 1)]
+                smx, smy = sub_wb[cid0], sub_hb[cid0]
             data_start = pos + 2 + seglen
-            break
+            end = data_start
+            while end + 1 < len(payload):
+                if payload[end] == 0xFF and payload[end + 1] not in (
+                    0x00,
+                    *range(0xD0, 0xD8),
+                ):
+                    break
+                end += 1
+            reader = _BitReader(payload[data_start:end])
+            tables = {
+                cid: (huff[(0, td)], huff[(1, ta)], qtabs[by_id[cid][2]])
+                for cid, td, ta in scomps
+            }
+            preds = {cid: 0 for cid, _, _ in layout}
+            mcu_count = 0
+            rst_idx = 0
+            for my in range(smy):
+                for mx in range(smx):
+                    if (
+                        restart_interval
+                        and mcu_count
+                        and mcu_count % restart_interval == 0
+                    ):
+                        reader.expect_restart(rst_idx)
+                        rst_idx = (rst_idx + 1) % 8
+                        preds = {cid: 0 for cid in preds}
+                    for cid, h, v in layout:
+                        dc_map, ac_map, qtab = tables[cid]
+                        pw = plane_w[cid]
+                        for bv in range(v):
+                            for bh in range(h):
+                                zz, preds[cid] = _decode_block_zz(
+                                    reader, dc_map, ac_map, preds[cid]
+                                )
+                                coef = [0] * 64
+                                for k in range(64):
+                                    coef[ZIGZAG[k]] = zz[k] * qtab[k]
+                                blk = _idct_2d(coef)
+                                plane = planes[cid]
+                                y0 = (my * v + bv) * 8
+                                x0 = (mx * h + bh) * 8
+                                for r in range(8):
+                                    row = (y0 + r) * pw + x0
+                                    plane[row : row + 8] = bytes(
+                                        blk[r * 8 : r * 8 + 8]
+                                    )
+                    mcu_count += 1
+            scanned.update(cid for cid, _, _ in layout)
+            pos = end
+            continue
         pos += 2 + seglen
-    if data_start is None or width is None:
+    if width is None or not scanned:
         raise ValueError("JPEG without SOS/SOF0")
-    end = payload.rfind(b"\xff\xd9")
-    if end < 0:
+    if not saw_eoi:
         raise ValueError("JPEG without EOI")
+    missing = [cid for cid, _, _, _ in comps if cid not in scanned]
+    if missing:
+        raise ValueError(
+            f"incomplete JPEG: component(s) {missing} have no scan"
+        )
     ncomp = len(comps)
-    by_id = {cid: (h, v, tq) for cid, h, v, tq in comps}
-    hmax = max(h for _, h, _, _ in comps)
-    vmax = max(v for _, _, v, _ in comps)
-    if ncomp == 1:
-        # A single-component scan is non-interleaved by definition
-        # (T.81 A.2.2): the MCU is one data unit and the block grid is
-        # the component's own ceil(w/8) × ceil(h/8) — its sampling
-        # factors only ever mattered relative to other components.
-        mcus_x, mcus_y = (width + 7) // 8, (height + 7) // 8
-        layout = [(scan[0][0], 1, 1)]
-    else:
-        mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
-        mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
-        layout = [(cid, by_id[cid][0], by_id[cid][1]) for cid, _, _ in scan]
-    planes: dict[int, bytearray] = {}
-    plane_w: dict[int, int] = {}
-    for cid, h, v in layout:
-        plane_w[cid] = mcus_x * h * 8
-        planes[cid] = bytearray(mcus_x * h * 8 * mcus_y * v * 8)
-
-    reader = _BitReader(payload[data_start:end])
-    preds = {cid: 0 for cid, _, _ in layout}
-    tables = {
-        cid: (huff[(0, td)], huff[(1, ta)], qtabs[by_id[cid][2]])
-        for cid, td, ta in scan
-    }
-    mcu_count = 0
-    rst_idx = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                reader.expect_restart(rst_idx)
-                rst_idx = (rst_idx + 1) % 8
-                preds = {cid: 0 for cid in preds}
-            for cid, h, v in layout:
-                dc_map, ac_map, qtab = tables[cid]
-                pw = plane_w[cid]
-                for bv in range(v):
-                    for bh in range(h):
-                        zz, preds[cid] = _decode_block_zz(
-                            reader, dc_map, ac_map, preds[cid]
-                        )
-                        coef = [0] * 64
-                        for k in range(64):
-                            coef[ZIGZAG[k]] = zz[k] * qtab[k]
-                        blk = _idct_2d(coef)
-                        plane = planes[cid]
-                        y0 = (my * v + bv) * 8
-                        x0 = (mx * h + bh) * 8
-                        for r in range(8):
-                            row = (y0 + r) * pw + x0
-                            plane[row : row + 8] = bytes(blk[r * 8 : r * 8 + 8])
-            mcu_count += 1
 
     if ncomp == 1:
-        cid = layout[0][0]
+        cid = comps[0][0]
         pw = plane_w[cid]
         plane = planes[cid]
         pixels = bytearray(width * height)

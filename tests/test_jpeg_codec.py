@@ -528,18 +528,26 @@ def test_color_neutral_chroma_is_grayscale():
 
 def test_color_refusals_and_gray_contract():
     """decode_jpeg_gray keeps its single-plane contract (color streams
-    refuse loudly there); non-interleaved multi-scan and CMYK frames
-    are honest NotImplementedError in decode_jpeg."""
+    refuse loudly there); partially interleaved scans and CMYK frames
+    are honest NotImplementedError in decode_jpeg, and a stream that
+    scans only one of three components is diagnosed incomplete."""
     samplings = [(1, 1), (1, 1), (1, 1)]
     blocks = [[[0] * 64] for _ in range(3)]
     payload = encode_jpeg_color_coeffs(blocks, 8, 8, samplings)
     with pytest.raises(NotImplementedError, match="decode_jpeg for color"):
         decode_jpeg_gray(payload)
-    # 3-component frame whose SOS names only one component
+    # 3-component frame whose SOS names two components: partial
+    # interleave — a legal-but-unsupported layout, refused loudly
     i = payload.find(b"\xff\xda")
     assert i > 0
+    sos_2comp = payload[:i] + b"\xff\xda\x00\x0a\x02\x01\x00\x02\x11\x00\x3f\x00"
+    with pytest.raises(NotImplementedError, match="partially interleaved"):
+        decode_jpeg(sos_2comp + payload[i + 12 :])
+    # single-component scan alone leaves components 2 and 3 unscanned:
+    # the entropy data (interleaved 3-comp) happens to decode as one
+    # block, but the frame is incomplete — never silently rendered
     sos_1comp = payload[:i] + b"\xff\xda\x00\x08\x01\x01\x00\x00\x3f\x00"
-    with pytest.raises(NotImplementedError, match="non-interleaved"):
+    with pytest.raises(ValueError):
         decode_jpeg(sos_1comp + payload[i + 12 :])
     # CMYK-shaped SOF (4 components)
     j = payload.find(b"\xff\xc0")
@@ -547,6 +555,42 @@ def test_color_refusals_and_gray_contract():
     seg[9] = 4  # ncomp byte inside SOF0
     with pytest.raises(NotImplementedError, match="4-component"):
         decode_jpeg(payload[:j] + bytes(seg) + payload[j + len(seg) :])
+
+
+def test_color_separate_scans_roundtrip():
+    """The rarer non-interleaved baseline layout — one scan per
+    component over its ceil-dims grid, fresh DC predictor each — must
+    decode identically to the interleaved stream, including with
+    restart intervals and 4:2:0 sub-grids smaller than the padded
+    MCU grid."""
+    rng = random.Random(73)
+    samplings = [(2, 2), (1, 1), (1, 1)]
+    w, h = 24, 12  # mcus 2×1; Y sub-grid 3×2 inside padded 4×2
+    blocks = _random_color_blocks(rng, samplings, w, h)
+    # zero the Y padding blocks (column 3 of the 4-wide padded grid):
+    # separate scans never transmit them
+    for bi in range(len(blocks[0])):
+        by, bx = divmod(bi, 4)
+        if bx >= 3:
+            blocks[0][bi] = [0] * 64
+    inter = encode_jpeg_color_coeffs(blocks, w, h, samplings)
+    sep = encode_jpeg_color_coeffs(blocks, w, h, samplings, separate_scans=True)
+    assert sep.count(b"\xff\xda") == 3 and inter.count(b"\xff\xda") == 1
+    assert decode_jpeg(sep) == decode_jpeg(inter)
+    qtabs = [QTAB_ZZ, QTAB_ZZ, QTAB_ZZ]
+    _assert_color_matches_oracle(sep, blocks, samplings, qtabs, w, h)
+    sep_rst = encode_jpeg_color_coeffs(
+        blocks, w, h, samplings, separate_scans=True, restart_interval=2
+    )
+    assert decode_jpeg(sep_rst) == decode_jpeg(inter)
+    # nonzero AC in a padding block is refused loudly
+    bad = [list(b) for b in blocks[0]]
+    bad[3] = [0] * 64
+    bad[3][5] = 7
+    with pytest.raises(ValueError, match="padding block"):
+        encode_jpeg_color_coeffs(
+            [bad, blocks[1], blocks[2]], w, h, samplings, separate_scans=True
+        )
 
 
 def test_decode_image_routes_color_jpeg():
