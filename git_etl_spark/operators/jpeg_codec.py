@@ -197,6 +197,38 @@ def _segment(marker: int, payload: bytes) -> bytes:
     return struct.pack(">HH", marker, len(payload) + 2) + payload
 
 
+def _parse_dqt(seg: bytes, qtabs: dict[int, list[int]]) -> None:
+    """DQT body: one or more (Pq/Tq, 64 entries) tables. Pq=0 → 8-bit
+    entries, Pq=1 → 16-bit big-endian (legal with 8-bit samples,
+    T.81 B.2.4.1, used by high-quality encoders for fine DC steps)."""
+    p = 0
+    while p < len(seg):
+        pq, tq = seg[p] >> 4, seg[p] & 0x0F
+        if pq == 0:
+            qtabs[tq] = list(seg[p + 1 : p + 65])
+            p += 65
+        elif pq == 1:
+            qtabs[tq] = [
+                int.from_bytes(seg[p + 1 + 2 * k : p + 3 + 2 * k], "big")
+                for k in range(64)
+            ]
+            p += 129
+        else:
+            raise ValueError(f"invalid DQT precision Pq={pq}")
+
+
+def _dqt_payload(tq: int, qtab_zz: list[int]) -> bytes:
+    """Emit a DQT table body, choosing 16-bit precision (Pq=1) exactly
+    when any entry exceeds one byte."""
+    if any(not (1 <= q <= 65535) for q in qtab_zz):
+        raise ValueError("quantization steps must be in 1..65535")
+    if max(qtab_zz) > 255:
+        return bytes([0x10 | tq]) + b"".join(
+            q.to_bytes(2, "big") for q in qtab_zz
+        )
+    return bytes([tq]) + bytes(qtab_zz)
+
+
 def _encode_block(
     w: _BitWriter,
     blk: list[int],
@@ -303,7 +335,7 @@ def encode_jpeg_gray_coeffs(
     head = bytearray()
     head += b"\xff\xd8"  # SOI
     head += _segment(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    head += _segment(0xFFDB, bytes([0x00]) + bytes(qtab_zz))  # Pq=0 Tq=0
+    head += _segment(0xFFDB, _dqt_payload(0, qtab_zz))
     head += _segment(  # SOF0: 8-bit, 1 component, 1x1 sampling, qtab 0
         0xFFC0, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
     )
@@ -378,8 +410,8 @@ def encode_jpeg_color_coeffs(
     out = bytearray()
     out += b"\xff\xd8"  # SOI
     out += _segment(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += _segment(0xFFDB, bytes([0x00]) + bytes(qtab_luma_zz))  # Pq=0 Tq=0
-    out += _segment(0xFFDB, bytes([0x01]) + bytes(qtab_chroma_zz))  # Tq=1
+    out += _segment(0xFFDB, _dqt_payload(0, qtab_luma_zz))
+    out += _segment(0xFFDB, _dqt_payload(1, qtab_chroma_zz))
     sof = struct.pack(">BHHB", 8, height, width, 3)
     for ci, (h, v) in enumerate(samplings):
         # component ids 1..3 (JFIF Y, Cb, Cr); qtab 0 for luma, 1 for chroma
@@ -700,13 +732,7 @@ def decode_jpeg(payload: bytes) -> dict:
         (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
         seg = payload[pos + 4 : pos + 2 + seglen]
         if marker == 0xDB:  # DQT (possibly several tables per segment)
-            p = 0
-            while p < len(seg):
-                pq, tq = seg[p] >> 4, seg[p] & 0x0F
-                if pq != 0:
-                    raise NotImplementedError("16-bit quantization tables")
-                qtabs[tq] = list(seg[p + 1 : p + 65])
-                p += 65
+            _parse_dqt(seg, qtabs)
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(seg):
@@ -1152,13 +1178,7 @@ def _decode_jpeg_progressive(payload: bytes) -> dict:
         (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
         seg = payload[pos + 4 : pos + 2 + seglen]
         if marker == 0xDB:
-            p = 0
-            while p < len(seg):
-                pq, tq = seg[p] >> 4, seg[p] & 0x0F
-                if pq != 0:
-                    raise NotImplementedError("16-bit quantization tables")
-                qtabs[tq] = list(seg[p + 1 : p + 65])
-                p += 65
+            _parse_dqt(seg, qtabs)
         elif marker == 0xC4:
             p = 0
             while p < len(seg):
@@ -1487,7 +1507,7 @@ def encode_jpeg_gray_coeffs_progressive(
     out = bytearray()
     out += b"\xff\xd8"
     out += _segment(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += _segment(0xFFDB, bytes([0x00]) + bytes(qtab_zz))
+    out += _segment(0xFFDB, _dqt_payload(0, qtab_zz))
     out += _segment(
         0xFFC2, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
     )
@@ -1665,8 +1685,8 @@ def encode_jpeg_color_coeffs_progressive(
     out = bytearray()
     out += b"\xff\xd8"
     out += _segment(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += _segment(0xFFDB, bytes([0x00]) + bytes(qtab_luma_zz))
-    out += _segment(0xFFDB, bytes([0x01]) + bytes(qtab_chroma_zz))
+    out += _segment(0xFFDB, _dqt_payload(0, qtab_luma_zz))
+    out += _segment(0xFFDB, _dqt_payload(1, qtab_chroma_zz))
     sof = struct.pack(">BHHB", 8, height, width, 3)
     for ci, (h, v) in enumerate(samplings):
         sof += bytes([ci + 1, (h << 4) | v, 0 if ci == 0 else 1])

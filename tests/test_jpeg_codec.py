@@ -769,3 +769,46 @@ def test_decode_image_routes_progressive_color_jpeg():
     assert f["magic"] == "JPEG"
     assert f["width"] == w and f["height"] == h
     assert f["n_bytes"] == w * h * 3
+
+
+def test_16bit_quantization_tables():
+    """DQT Pq=1 (16-bit entries — legal with 8-bit samples, T.81
+    B.2.4.1): the encoder switches precision automatically when a step
+    exceeds one byte, and both decode paths dequantize with the
+    big-endian 16-bit values."""
+    q16 = [300] + [256 + k for k in range(63)]  # every entry > 255
+    blk = [0] * 64
+    blk[0] = 2
+    blk[1] = -1
+    blk[9] = 1
+    payload = encode_jpeg_gray_coeffs([blk], 8, 8, qtab_zz=q16)
+    # the emitted DQT really is 16-bit: Pq/Tq byte 0x10, 129-byte body
+    i = payload.find(b"\xff\xdb")
+    seglen = int.from_bytes(payload[i + 2 : i + 4], "big")
+    assert seglen == 2 + 1 + 128 and payload[i + 4] == 0x10
+    d = decode_jpeg_gray(payload)
+    deq = [0] * 64
+    for k in range(64):
+        deq[ZIGZAG[k]] = blk[ZIGZAG[k]] * q16[k]
+    ref = _np_idct(deq)
+    px = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(8, 8)
+    assert (px == ref).all()
+    # color path: 16-bit chroma table alongside an 8-bit luma table
+    samplings = [(1, 1), (1, 1), (1, 1)]
+    blocks = [[list(blk)], [list(blk)], [list(blk)]]
+    cp = encode_jpeg_color_coeffs(
+        blocks, 8, 8, samplings, qtab_chroma_zz=q16
+    )
+    _assert_color_matches_oracle(
+        cp, blocks, samplings, [QTAB_ZZ, q16, q16], 8, 8
+    )
+    # progressive path reads the same 16-bit DQT
+    from git_etl_spark.operators.jpeg_codec import (
+        encode_jpeg_gray_coeffs_progressive,
+    )
+
+    pp = encode_jpeg_gray_coeffs_progressive([blk], 8, 8, qtab_zz=q16)
+    assert decode_jpeg_gray(pp) == d
+    # out-of-range steps are refused
+    with pytest.raises(ValueError, match="1..65535"):
+        encode_jpeg_gray_coeffs([blk], 8, 8, qtab_zz=[0] * 64)
