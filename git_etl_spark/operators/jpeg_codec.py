@@ -27,9 +27,9 @@ entropy layer for real — no external codec:
   see the Annex-G section at the bottom of this module); arithmetic
   coding, lossless/hierarchical SOFs, 12-bit precision, CMYK,
   partially interleaved scans, and restarts inside progressive
-  scans raise loudly — the honest-gap policy, same as interlaced
-  PNG. Baseline multi-scan (one scan per component, the rarer
-  non-interleaved layout) decodes for real.
+  scans raise loudly — the honest-gap policy. Baseline multi-scan
+  (one scan per component, the rarer non-interleaved layout)
+  decodes for real.
   `decode_jpeg_gray` remains the single-plane contract the oracled
   feature query depends on.
 - **Encoders** (`encode_jpeg_gray_coeffs`,

@@ -57,52 +57,20 @@ JPEG_MAGIC = b"\xff\xd8\xff"
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
-def decode_png(payload: bytes) -> dict:
-    """Real PNG decode with only the stdlib: chunk walk (IHDR → IDAT*
-    → IEND), one ``zlib.decompress`` of the concatenated IDAT stream,
-    then per-scanline reversal of all five PNG prediction filters
-    (None/Sub/Up/Average/Paeth, RFC 2083 §6) — so mean/max statistics
-    are over actual reconstructed pixel bytes, not compressed bits.
-    8-bit depth, non-interlaced; anything else raises loudly (the
-    honest-gap policy) rather than returning wrong statistics."""
-    import struct
-    import zlib
-
-    if payload[:8] != PNG_SIGNATURE:
-        raise ValueError("not a PNG payload")
-    pos = 8
-    width = height = bit_depth = color_type = None
-    interlace = 0
-    idat = bytearray()
-    while pos + 8 <= len(payload):
-        (clen,) = struct.unpack(">I", payload[pos : pos + 4])
-        ctype = payload[pos + 4 : pos + 8]
-        data = payload[pos + 8 : pos + 8 + clen]
-        if ctype == b"IHDR":
-            width, height, bit_depth, color_type = struct.unpack(
-                ">IIBB", data[:10]
-            )
-            interlace = data[12]
-        elif ctype == b"IDAT":
-            idat += data
-        elif ctype == b"IEND":
-            break
-        pos += 12 + clen  # length + type + payload + crc
-    if width is None:
-        raise ValueError("PNG without IHDR")
-    if bit_depth != 8 or interlace != 0 or color_type not in _PNG_CHANNELS:
-        raise NotImplementedError(
-            f"PNG bit_depth={bit_depth} color_type={color_type} "
-            f"interlace={interlace}: only 8-bit non-interlaced supported"
-        )
-    bpp = _PNG_CHANNELS[color_type]
+def _png_unfilter(
+    raw: bytes, p: int, width: int, height: int, bpp: int
+) -> tuple[bytearray, int]:
+    """Reverse the per-scanline prediction filters of one (sub-)image:
+    ``height`` rows of ``1 + width·bpp`` bytes starting at ``raw[p]``.
+    Returns (reconstructed pixel bytes, next offset). Used for the
+    whole image when non-interlaced and per Adam7 pass when interlaced
+    — each pass is filtered as an independent sub-image (RFC 2083
+    §2.6), so the same reversal applies with the pass's own dims."""
     stride = width * bpp
-    raw = zlib.decompress(bytes(idat))
-    if len(raw) != (stride + 1) * height:
+    if len(raw) - p < (stride + 1) * height:
         raise ValueError("PNG scanline stream has wrong length")
     recon = bytearray()
     prev = bytearray(stride)
-    p = 0
     for _ in range(height):
         filt = raw[p]
         row = bytearray(raw[p + 1 : p + 1 + stride])
@@ -130,6 +98,86 @@ def decode_png(payload: bytes) -> dict:
             raise ValueError(f"invalid PNG filter byte {filt}")
         recon += row
         prev = row
+    return recon, p
+
+
+# Adam7 pass grid: (x_start, y_start, x_step, y_step), RFC 2083 §2.6
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
+
+
+def decode_png(payload: bytes) -> dict:
+    """Real PNG decode with only the stdlib: chunk walk (IHDR → IDAT*
+    → IEND), one ``zlib.decompress`` of the concatenated IDAT stream,
+    then per-scanline reversal of all five PNG prediction filters
+    (None/Sub/Up/Average/Paeth, RFC 2083 §6) — so mean/max statistics
+    are over actual reconstructed pixel bytes, not compressed bits.
+    Adam7-interlaced images decode for real too: seven independently
+    filtered passes, each unfiltered with its own dims and scattered
+    back onto the (x_start + i·x_step, y_start + j·y_step) grid.
+    8-bit depth; 16-bit and palette-indexed raise loudly (the
+    honest-gap policy) rather than returning wrong statistics."""
+    import struct
+    import zlib
+
+    if payload[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    width = height = bit_depth = color_type = None
+    interlace = 0
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (clen,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + clen]
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type = struct.unpack(
+                ">IIBB", data[:10]
+            )
+            interlace = data[12]
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen  # length + type + payload + crc
+    if width is None:
+        raise ValueError("PNG without IHDR")
+    if bit_depth != 8 or color_type not in _PNG_CHANNELS or interlace > 1:
+        raise NotImplementedError(
+            f"PNG bit_depth={bit_depth} color_type={color_type} "
+            f"interlace={interlace}: only 8-bit depth supported"
+        )
+    bpp = _PNG_CHANNELS[color_type]
+    stride = width * bpp
+    raw = zlib.decompress(bytes(idat))
+    if interlace == 0:
+        recon, p = _png_unfilter(raw, 0, width, height, bpp)
+        if p != len(raw):
+            raise ValueError("PNG scanline stream has wrong length")
+    else:  # Adam7
+        recon = bytearray(stride * height)
+        p = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue  # empty pass contributes no scanlines
+            sub, p = _png_unfilter(raw, p, pw, ph, bpp)
+            for j in range(ph):
+                row = (y0 + j * dy) * stride
+                for i in range(pw):
+                    o = row + (x0 + i * dx) * bpp
+                    s = (j * pw + i) * bpp
+                    recon[o : o + bpp] = sub[s : s + bpp]
+        if p != len(raw):
+            raise ValueError("PNG scanline stream has wrong length")
     return {
         "n_bytes": len(recon),
         "magic": "PNG",

@@ -643,3 +643,99 @@ def test_ngram_verify_kernels_equal(spark):
         )
     )
     assert dense == wide and len(dense) > 0
+
+
+def test_png_adam7_interlaced_decode():
+    """Adam7: seven independently filtered passes scattered on the
+    (x0 + i·dx, y0 + j·dy) grid. The fixture writer here slices and
+    forward-filters the passes itself (with varied filter types), so
+    the decode must reproduce the exact pixel bytes the
+    non-interlaced encoding of the same image yields — including on
+    dims where several passes are empty."""
+    import struct
+    import zlib
+
+    from git_etl_spark.operators.multimodal import decode_png
+
+    def forward_filter(pixels, w, h, bpp, filters):
+        stride = w * bpp
+        raw = bytearray()
+        prev = bytearray(stride)
+        for r in range(h):
+            row = bytearray(pixels[r * stride : (r + 1) * stride])
+            filt = filters[r % len(filters)]
+            enc = bytearray(row)
+            if filt == 1:
+                for i in range(stride - 1, bpp - 1, -1):
+                    enc[i] = (row[i] - row[i - bpp]) & 0xFF
+            elif filt == 2:
+                for i in range(stride):
+                    enc[i] = (row[i] - prev[i]) & 0xFF
+            elif filt == 3:
+                for i in range(stride):
+                    left = row[i - bpp] if i >= bpp else 0
+                    enc[i] = (row[i] - ((left + prev[i]) >> 1)) & 0xFF
+            elif filt == 4:
+                for i in range(stride):
+                    a = row[i - bpp] if i >= bpp else 0
+                    b = prev[i]
+                    c = prev[i - bpp] if i >= bpp else 0
+                    pr = a + b - c
+                    pa, pb, pc = abs(pr - a), abs(pr - b), abs(pr - c)
+                    best = (
+                        a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    )
+                    enc[i] = (row[i] - best) & 0xFF
+            raw += bytes([filt]) + enc
+            prev = row
+        return raw
+
+    def make_interlaced(w, h, pixels, color_type, filters):
+        bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+        stride = w * bpp
+        passes = [
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        ]
+        raw = bytearray()
+        for x0, y0, dx, dy in passes:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub = bytearray()
+            for j in range(ph):
+                for i in range(pw):
+                    o = (y0 + j * dy) * stride + (x0 + i * dx) * bpp
+                    sub += pixels[o : o + bpp]
+            raw += forward_filter(sub, pw, ph, bpp, filters)
+
+        def chunk(ctype, data):
+            return (
+                struct.pack(">I", len(data))
+                + ctype
+                + data
+                + struct.pack(">I", zlib.crc32(ctype + data))
+            )
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 1)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+
+    # RGB 10×9 (partial passes on both axes), all five filter types
+    w, h = 10, 9
+    pixels = bytes((r * 41 + c * 13) % 256 for r in range(h) for c in range(w * 3))
+    png = make_interlaced(w, h, pixels, 2, [0, 1, 2, 3, 4])
+    out = decode_png(png)
+    plain = decode_png(_make_png(w, h, pixels, color_type=2))
+    assert out == plain
+    assert out["mean_byte"] == sum(pixels) / len(pixels)
+    assert out["max_byte"] == max(pixels)
+    # tiny grayscale where passes 2/4/6 are empty on one axis (w=1)
+    g = bytes((7 * k + 3) % 256 for k in range(5))
+    png_g = make_interlaced(1, 5, g, 0, [0, 2])
+    assert decode_png(png_g) == decode_png(_make_png(1, 5, g, color_type=0))
