@@ -122,8 +122,10 @@ def decode_png(payload: bytes) -> dict:
     Adam7-interlaced images decode for real too: seven independently
     filtered passes, each unfiltered with its own dims and scattered
     back onto the (x_start + i·x_step, y_start + j·y_step) grid.
-    8-bit depth; 16-bit and palette-indexed raise loudly (the
-    honest-gap policy) rather than returning wrong statistics."""
+    Palette-indexed (color type 3) resolves indices through PLTE so
+    the statistics are over actual colors. 8-bit depth; 16-bit raises
+    loudly (the honest-gap policy) rather than returning wrong
+    statistics."""
     import struct
     import zlib
 
@@ -133,6 +135,7 @@ def decode_png(payload: bytes) -> dict:
     width = height = bit_depth = color_type = None
     interlace = 0
     idat = bytearray()
+    plte = b""
     while pos + 8 <= len(payload):
         (clen,) = struct.unpack(">I", payload[pos : pos + 4])
         ctype = payload[pos + 4 : pos + 8]
@@ -142,6 +145,8 @@ def decode_png(payload: bytes) -> dict:
                 ">IIBB", data[:10]
             )
             interlace = data[12]
+        elif ctype == b"PLTE":
+            plte = bytes(data)
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -178,6 +183,19 @@ def decode_png(payload: bytes) -> dict:
                     recon[o : o + bpp] = sub[s : s + bpp]
         if p != len(raw):
             raise ValueError("PNG scanline stream has wrong length")
+    if color_type == 3:
+        # palette-indexed: the filtered bytes are PLTE indices, not
+        # samples — resolve them to RGB so the statistics are over
+        # actual colors (index statistics would be silently wrong).
+        if len(plte) < 3 or len(plte) % 3:
+            raise ValueError("palette PNG without a valid PLTE chunk")
+        n = len(plte) // 3
+        if any(ix >= n for ix in recon):
+            raise ValueError("palette index out of PLTE range")
+        out = bytearray(len(recon) * 3)
+        for k, ix in enumerate(recon):
+            out[3 * k : 3 * k + 3] = plte[3 * ix : 3 * ix + 3]
+        recon = out
     return {
         "n_bytes": len(recon),
         "magic": "PNG",

@@ -739,3 +739,62 @@ def test_png_adam7_interlaced_decode():
     g = bytes((7 * k + 3) % 256 for k in range(5))
     png_g = make_interlaced(1, 5, g, 0, [0, 2])
     assert decode_png(png_g) == decode_png(_make_png(1, 5, g, color_type=0))
+
+
+def test_png_palette_resolved_through_plte():
+    """Color type 3: the filtered bytes are palette indices — the
+    decode must resolve them through PLTE so statistics are over
+    actual RGB colors, and refuse indices outside the palette or a
+    missing PLTE."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from git_etl_spark.operators.multimodal import decode_png
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    w, h = 4, 2
+    indices = bytes([0, 1, 2, 3, 3, 2, 1, 0])
+    palette = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90, 200, 210, 220])
+    raw = b"".join(
+        bytes([0]) + indices[r * w : (r + 1) * w] for r in range(h)
+    )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", palette)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    out = decode_png(png)
+    rgb = b"".join(palette[3 * i : 3 * i + 3] for i in indices)
+    assert out["n_bytes"] == len(rgb) == w * h * 3
+    assert out["mean_byte"] == sum(rgb) / len(rgb)
+    assert out["max_byte"] == max(rgb)
+    # missing PLTE and out-of-range index are diagnosed
+    no_plte = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png(no_plte)
+    short_plte = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", palette[:9])  # only 3 entries for indices 0..3
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="out of PLTE range"):
+        decode_png(short_plte)
