@@ -239,6 +239,11 @@ _REVERIFY_FIRST = [
     "dedup_simhash_clusters",
     "multimodal_audio_silence_segments",
     "graph_pagerank_ppm",
+    # round-8 rewrites whose r06 greens predate QUERY_FINGERPRINTS.json
+    # (fingerprint as-of lookup returns None for pre-file green rounds,
+    # so the exact tier can't flag them — front-load explicitly)
+    "dedup_minhash_lsh",
+    "dedup_minhash_estimate_audit",
 ]
 
 
