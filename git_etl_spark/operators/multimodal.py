@@ -14,7 +14,8 @@ so the mapInPandas path exercises an actual per-payload decode whose
 every feature the DuckDB oracle reconstructs independently. PNG is
 decoded for real with only the stdlib (``decode_png``: chunk walk,
 zlib inflate, all five scanline prediction filters), and so are
-RIFF/WAVE PCM audio (stdlib ``wave``) and — since round 7 — JPEG
+RIFF/WAVE integer PCM audio at every width ``wave`` frames —
+8/16/24/32-bit, multi-channel mixdown — and — since round 7 — JPEG
 (``jpeg_codec``: segment walk, canonical Huffman DC+AC entropy
 decode, dequantize, de-zigzag, IDCT; round 8 added progressive SOF2
 with spectral selection + successive approximation, baseline YCbCr
@@ -58,15 +59,17 @@ _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def _png_unfilter(
-    raw: bytes, p: int, width: int, height: int, bpp: int
+    raw: bytes, p: int, stride: int, height: int, bpp: int
 ) -> tuple[bytearray, int]:
     """Reverse the per-scanline prediction filters of one (sub-)image:
-    ``height`` rows of ``1 + width·bpp`` bytes starting at ``raw[p]``.
-    Returns (reconstructed pixel bytes, next offset). Used for the
-    whole image when non-interlaced and per Adam7 pass when interlaced
-    — each pass is filtered as an independent sub-image (RFC 2083
-    §2.6), so the same reversal applies with the pass's own dims."""
-    stride = width * bpp
+    ``height`` rows of ``1 + stride`` bytes starting at ``raw[p]``.
+    ``bpp`` is the filter's byte distance — ``max(1, bits_per_pixel //
+    8)`` per RFC 2083 §6.2, so sub-byte depths filter with distance 1
+    and 16-bit with 2·channels. Returns (reconstructed bytes, next
+    offset). Used for the whole image when non-interlaced and per
+    Adam7 pass when interlaced — each pass is filtered as an
+    independent sub-image (RFC 2083 §2.6), so the same reversal
+    applies with the pass's own dims."""
     if len(raw) - p < (stride + 1) * height:
         raise ValueError("PNG scanline stream has wrong length")
     recon = bytearray()
@@ -123,9 +126,14 @@ def decode_png(payload: bytes) -> dict:
     filtered passes, each unfiltered with its own dims and scattered
     back onto the (x_start + i·x_step, y_start + j·y_step) grid.
     Palette-indexed (color type 3) resolves indices through PLTE so
-    the statistics are over actual colors. 8-bit depth; 16-bit raises
-    loudly (the honest-gap policy) rather than returning wrong
-    statistics."""
+    the statistics are over actual colors. Every legal PNG bit depth
+    decodes: sub-byte grayscale/palette rows (1/2/4-bit, MSB-first
+    packing) are unpacked to per-pixel samples, 16-bit samples are
+    big-endian pairs; non-palette samples are normalized to the
+    canonical 8-bit range (linear ``v·255/(2^d−1)`` rescale for
+    shallow depths — exact, since 2^d−1 divides 255 — and the spec's
+    high-byte reduction for 16-bit) so the statistics are comparable
+    across depths."""
     import struct
     import zlib
 
@@ -154,35 +162,80 @@ def decode_png(payload: bytes) -> dict:
         pos += 12 + clen  # length + type + payload + crc
     if width is None:
         raise ValueError("PNG without IHDR")
-    if bit_depth != 8 or color_type not in _PNG_CHANNELS or interlace > 1:
-        raise NotImplementedError(
+    legal = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+             4: (8, 16), 6: (8, 16)}
+    if (
+        color_type not in legal
+        or bit_depth not in legal[color_type]
+        or interlace > 1
+    ):
+        raise ValueError(
             f"PNG bit_depth={bit_depth} color_type={color_type} "
-            f"interlace={interlace}: only 8-bit depth supported"
+            f"interlace={interlace}: not a legal IHDR combination"
         )
-    bpp = _PNG_CHANNELS[color_type]
-    stride = width * bpp
+    ch = _PNG_CHANNELS[color_type]
+    bits_pp = ch * bit_depth
+    fbpp = max(1, bits_pp // 8)  # filter byte distance, RFC 2083 §6.2
+
+    def _row_bytes(w: int) -> int:
+        return (w * bits_pp + 7) // 8
+
+    def _unpack_row(row: bytes, w: int) -> list[int]:
+        """Packed scanline bytes → w·channels raw sample values."""
+        ns = w * ch
+        if bit_depth == 8:
+            return list(row[:ns])
+        if bit_depth == 16:
+            return [
+                (row[2 * k] << 8) | row[2 * k + 1] for k in range(ns)
+            ]
+        out, per_byte, mask = [], 8 // bit_depth, (1 << bit_depth) - 1
+        for k in range(ns):
+            b = row[k // per_byte]
+            shift = 8 - bit_depth * (k % per_byte + 1)
+            out.append((b >> shift) & mask)
+        return out
+
     raw = zlib.decompress(bytes(idat))
     if interlace == 0:
-        recon, p = _png_unfilter(raw, 0, width, height, bpp)
+        rb = _row_bytes(width)
+        recon_b, p = _png_unfilter(raw, 0, rb, height, fbpp)
         if p != len(raw):
             raise ValueError("PNG scanline stream has wrong length")
-    else:  # Adam7
-        recon = bytearray(stride * height)
+        samples: list[int] = []
+        for j in range(height):
+            samples += _unpack_row(recon_b[j * rb : (j + 1) * rb], width)
+    else:  # Adam7 — scatter per-sample so packed passes land right
+        samples = [0] * (width * height * ch)
         p = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = (width - x0 + dx - 1) // dx
             ph = (height - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue  # empty pass contributes no scanlines
-            sub, p = _png_unfilter(raw, p, pw, ph, bpp)
+            rb = _row_bytes(pw)
+            sub, p = _png_unfilter(raw, p, rb, ph, fbpp)
             for j in range(ph):
-                row = (y0 + j * dy) * stride
+                vals = _unpack_row(sub[j * rb : (j + 1) * rb], pw)
+                row = (y0 + j * dy) * width
                 for i in range(pw):
-                    o = row + (x0 + i * dx) * bpp
-                    s = (j * pw + i) * bpp
-                    recon[o : o + bpp] = sub[s : s + bpp]
+                    o = (row + x0 + i * dx) * ch
+                    samples[o : o + ch] = vals[i * ch : (i + 1) * ch]
         if p != len(raw):
             raise ValueError("PNG scanline stream has wrong length")
+    if color_type != 3:
+        # normalize samples to the canonical 8-bit range: exact linear
+        # rescale for shallow depths (2^d−1 divides 255), high-byte
+        # reduction for 16-bit (the spec's scaling approximation)
+        if bit_depth < 8:
+            scale = 255 // ((1 << bit_depth) - 1)
+            recon = bytearray(v * scale for v in samples)
+        elif bit_depth == 16:
+            recon = bytearray(v >> 8 for v in samples)
+        else:
+            recon = bytearray(samples)
+    else:
+        recon = bytearray(samples)  # palette indices at any depth
     if color_type == 3:
         # palette-indexed: the filtered bytes are PLTE indices, not
         # samples — resolve them to RGB so the statistics are over
@@ -585,37 +638,90 @@ def encode_wav(doc_id_col, text_col):
 
 
 def decode_wav(payload: bytes) -> dict:
-    """Real WAV decode with only the stdlib ``wave`` reader: parses the
-    RIFF/WAVE container, checks the PCM format fields, reads the raw
-    8-bit sample frames, and derives the features an audio curation
-    pipeline filters on — duration, mean level, RMS energy, peak, and
-    midline (zero) crossings. Non-PCM / multi-channel / wider-sample
-    payloads raise loudly (honest-gap policy, same as the image side)."""
+    """Real WAV decode with only the stdlib ``wave`` reader (+ NumPy
+    for the wide-sample math): parses the RIFF/WAVE container, checks
+    the PCM format fields, reads the raw sample frames, and derives
+    the features an audio curation pipeline filters on — duration,
+    mean level, RMS energy, peak, and midline (zero) crossings.
+
+    All integer PCM widths ``wave`` can frame are decoded: 8-bit
+    (unsigned, midline 128), 16/24/32-bit (signed little-endian,
+    midline 0). Multi-channel audio is mixed down per frame by the
+    arithmetic channel mean before the level statistics — the standard
+    mono fold — while ``peak`` stays a *raw per-channel* extreme so
+    clipping on one channel is never averaged away. Only compressed
+    WAV (µ-law/ADPCM/float) still raises: a real codec dependency.
+
+    The 8-bit-mono arithmetic is kept on the original pure-stdlib
+    branch, byte-for-byte identical to what the frozen
+    ``multimodal_audio_features`` DuckDB oracle reconstructs.
+    """
     import io
     import math
     import wave
 
-    with wave.open(io.BytesIO(payload)) as w:
-        if w.getnchannels() != 1 or w.getsampwidth() != 1:
-            raise NotImplementedError(
-                "only 8-bit mono PCM decoded here; resampling/stereo mixdown"
-                " needs a real DSP dependency"
-            )
-        rate = w.getframerate()
-        n = w.getnframes()
-        samples = w.readframes(n)
-    mv = memoryview(samples)
-    total = sum(mv)
-    sumsq = sum((s - 128) * (s - 128) for s in mv)
-    zc = sum(1 for i in range(1, len(mv)) if (mv[i] >= 128) != (mv[i - 1] >= 128))
+    try:
+        with wave.open(io.BytesIO(payload)) as w:
+            nch = w.getnchannels()
+            sw = w.getsampwidth()
+            rate = w.getframerate()
+            n = w.getnframes()
+            samples = w.readframes(n)
+    except wave.Error as exc:
+        if "unknown format" in str(exc):
+            # recognized RIFF/WAVE but a compressed codec id
+            # (µ-law/ADPCM/float): decoding needs a real codec
+            raise NotImplementedError(f"compressed WAV: {exc}") from exc
+        raise
+    if sw == 1 and nch == 1:
+        mv = memoryview(samples)
+        total = sum(mv)
+        sumsq = sum((s - 128) * (s - 128) for s in mv)
+        zc = sum(
+            1 for i in range(1, len(mv)) if (mv[i] >= 128) != (mv[i - 1] >= 128)
+        )
+        return {
+            "sample_rate": rate,
+            "n_samples": n,
+            "duration_ms": n * 1000 // rate,
+            "mean_sample": total / n if n else 0.0,
+            "rms": math.sqrt(sumsq / n) if n else 0.0,
+            "peak": max(mv) if n else 0,
+            "zero_crossings": zc,
+        }
+
+    import numpy as np
+
+    if sw == 1:
+        arr = np.frombuffer(samples, dtype=np.uint8).astype(np.int64)
+        mid = 128
+    elif sw == 2:
+        arr = np.frombuffer(samples, dtype="<i2").astype(np.int64)
+        mid = 0
+    elif sw == 3:
+        b = np.frombuffer(samples, dtype=np.uint8).reshape(-1, 3).astype(np.int64)
+        arr = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        arr = np.where(arr >= 1 << 23, arr - (1 << 24), arr)
+        mid = 0
+    elif sw == 4:
+        arr = np.frombuffer(samples, dtype="<i4").astype(np.int64)
+        mid = 0
+    else:  # pragma: no cover - wave itself rejects other widths
+        raise NotImplementedError(f"PCM sample width {sw} bytes")
+    arr = arr.reshape(n, nch)
+    mixed = arr.mean(axis=1) if nch > 1 else arr[:, 0].astype(np.float64)
+    dev = mixed - mid
+    ge = mixed >= mid
     return {
         "sample_rate": rate,
         "n_samples": n,
         "duration_ms": n * 1000 // rate,
-        "mean_sample": total / n if n else 0.0,
-        "rms": math.sqrt(sumsq / n) if n else 0.0,
-        "peak": max(mv) if n else 0,
-        "zero_crossings": zc,
+        "mean_sample": float(mixed.mean()) if n else 0.0,
+        # raw per-channel extreme: unsigned max for 8-bit, |signed| max
+        # for wider widths — one clipped channel must stay visible
+        "peak": int(arr.max() if sw == 1 else np.abs(arr).max()) if n else 0,
+        "rms": float(np.sqrt((dev * dev).mean())) if n else 0.0,
+        "zero_crossings": int((ge[1:] != ge[:-1]).sum()),
     }
 
 

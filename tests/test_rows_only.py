@@ -600,6 +600,105 @@ def test_wav_roundtrip_stdlib_reader(spark):
         assert bytes(r["payload"])[8:12] == b"WAVE"
 
 
+def _make_wav(rate, sampwidth, frames):
+    """frames: list of per-frame tuples of raw integer channel values."""
+    import io
+    import wave
+
+    nch = len(frames[0])
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(nch)
+        w.setsampwidth(sampwidth)
+        w.setframerate(rate)
+        body = bytearray()
+        for fr in frames:
+            for s in fr:
+                body += int(s).to_bytes(
+                    sampwidth, "little", signed=sampwidth > 1
+                )
+        w.writeframes(bytes(body))
+    return buf.getvalue()
+
+
+def test_wav_decode_16bit_stereo_mixdown():
+    """16-bit stereo: level stats run over the per-frame channel mean,
+    peak stays the raw per-channel |extreme|, midline is 0 (signed)."""
+    import math
+
+    from git_etl_spark.operators.multimodal import decode_wav
+
+    frames = [(1000, -3000), (-500, 500), (32767, -32768), (0, 0), (10, 30)]
+    feats = decode_wav(_make_wav(16000, 2, frames))
+    mixed = [(a + b) / 2 for a, b in frames]
+    assert feats["sample_rate"] == 16000
+    assert feats["n_samples"] == 5
+    assert feats["duration_ms"] == 5 * 1000 // 16000
+    assert feats["mean_sample"] == sum(mixed) / 5
+    assert feats["rms"] == math.sqrt(sum(x * x for x in mixed) / 5)
+    assert feats["peak"] == 32768  # the clipped right channel, not the mean
+    ge = [x >= 0 for x in mixed]
+    assert feats["zero_crossings"] == sum(
+        1 for i in range(1, 5) if ge[i] != ge[i - 1]
+    )
+
+
+def test_wav_decode_16bit_sine_rms():
+    """Full-scale 16-bit sine: RMS ≈ A/√2 and two midline crossings per
+    cycle — the textbook identities an independent check can predict."""
+    import math
+
+    from git_etl_spark.operators.multimodal import decode_wav
+
+    amp, cycles, spc = 20000, 10, 64  # samples per cycle
+    vals = [
+        round(amp * math.sin(2 * math.pi * i / spc))
+        for i in range(cycles * spc)
+    ]
+    feats = decode_wav(_make_wav(8000, 2, [(v,) for v in vals]))
+    assert abs(feats["rms"] - amp / math.sqrt(2)) / (amp / math.sqrt(2)) < 0.01
+    assert feats["peak"] == amp
+    assert feats["zero_crossings"] == 2 * cycles - 1
+    assert abs(feats["mean_sample"]) < 1.0
+
+
+def test_wav_decode_24bit_and_32bit_signed():
+    """24-bit packing (the no-dtype width) and 32-bit both decode to
+    the signed values the encoder wrote, including negative extremes."""
+    from git_etl_spark.operators.multimodal import decode_wav
+
+    for sw, lo, hi in ((3, -(1 << 23), (1 << 23) - 1), (4, -(1 << 31), (1 << 31) - 1)):
+        frames = [(lo,), (hi,), (0,), (-1,), (12345,)]
+        feats = decode_wav(_make_wav(44100, sw, frames))
+        assert feats["n_samples"] == 5
+        assert feats["peak"] == -lo  # |lo| > hi for two's complement
+        assert feats["mean_sample"] == sum(f[0] for f in frames) / 5
+
+
+def test_wav_decode_8bit_multichannel_and_mono_identity():
+    """8-bit mono must stay on the original pure-stdlib arithmetic
+    (frozen oracle), and 8-bit stereo mixes down around midline 128."""
+    import math
+
+    from git_etl_spark.operators.multimodal import decode_wav
+
+    mono = [(40,), (200,), (128,), (127,), (255,)]
+    feats = decode_wav(_make_wav(8000, 1, mono))
+    vals = [f[0] for f in mono]
+    assert feats["mean_sample"] == sum(vals) / 5
+    assert feats["rms"] == math.sqrt(sum((v - 128) ** 2 for v in vals) / 5)
+    assert feats["peak"] == 255
+    ge = [v >= 128 for v in vals]
+    assert feats["zero_crossings"] == sum(
+        1 for i in range(1, 5) if ge[i] != ge[i - 1]
+    )
+
+    stereo = [(0, 255), (255, 255), (0, 0)]
+    feats2 = decode_wav(_make_wav(8000, 1, stereo))
+    assert feats2["mean_sample"] == (127.5 + 255 + 0) / 3
+    assert feats2["peak"] == 255
+
+
 def test_ahash_collision_and_locality():
     """Exact-duplicate pixel grids collide on all 64 bits; a single
     changed pixel flips at most a handful of block bits (the locality
@@ -798,3 +897,199 @@ def test_png_palette_resolved_through_plte():
     )
     with pytest.raises(ValueError, match="out of PLTE range"):
         decode_png(short_plte)
+
+
+def _make_png_depth(
+    width, height, samples, color_type, bit_depth, filters=None, plte=b"",
+    interlace=0,
+):
+    """Depth-aware stdlib PNG writer for fixtures: packs per-pixel
+    ``samples`` (height × width·channels raw values) at any legal bit
+    depth — MSB-first bit packing below 8, big-endian pairs at 16 —
+    and FORWARD-applies the per-row filter at the spec's byte distance
+    ``max(1, bits_per_pixel // 8)`` so decode must reverse it."""
+    import struct
+    import zlib
+
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    bits_pp = ch * bit_depth
+    fbpp = max(1, bits_pp // 8)
+    filters = filters or [0] * height
+
+    def pack_row(vals):
+        if bit_depth == 8:
+            return bytearray(vals)
+        if bit_depth == 16:
+            out = bytearray()
+            for v in vals:
+                out += bytes([(v >> 8) & 0xFF, v & 0xFF])
+            return out
+        per_byte = 8 // bit_depth
+        out = bytearray((len(vals) + per_byte - 1) // per_byte)
+        for k, v in enumerate(vals):
+            shift = 8 - bit_depth * (k % per_byte + 1)
+            out[k // per_byte] |= (v & ((1 << bit_depth) - 1)) << shift
+        return out
+
+    def filter_rows(rows, filters):
+        stride = len(rows[0])
+        raw = bytearray()
+        prev = bytearray(stride)
+        for row, filt in zip(rows, filters):
+            enc = bytearray(row)
+            if filt == 1:  # Sub
+                for i in range(stride - 1, fbpp - 1, -1):
+                    enc[i] = (row[i] - row[i - fbpp]) & 0xFF
+            elif filt == 2:  # Up
+                for i in range(stride):
+                    enc[i] = (row[i] - prev[i]) & 0xFF
+            elif filt == 3:  # Average
+                for i in range(stride):
+                    left = row[i - fbpp] if i >= fbpp else 0
+                    enc[i] = (row[i] - ((left + prev[i]) >> 1)) & 0xFF
+            elif filt == 4:  # Paeth
+                for i in range(stride):
+                    a = row[i - fbpp] if i >= fbpp else 0
+                    b, c = prev[i], prev[i - fbpp] if i >= fbpp else 0
+                    pr = a + b - c
+                    pa, pb, pc = abs(pr - a), abs(pr - b), abs(pr - c)
+                    best = (
+                        a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    )
+                    enc[i] = (row[i] - best) & 0xFF
+            raw += bytes([filt]) + enc
+            prev = row
+        return raw
+
+    if interlace == 0:
+        rows = [
+            pack_row(samples[r * width * ch : (r + 1) * width * ch])
+            for r in range(height)
+        ]
+        raw = filter_rows(rows, filters)
+    else:  # Adam7: extract, pack, and filter each pass independently
+        passes = [
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        ]
+        raw = bytearray()
+        for x0, y0, dx, dy in passes:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            rows = []
+            for j in range(ph):
+                vals = []
+                for i in range(pw):
+                    o = ((y0 + j * dy) * width + x0 + i * dx) * ch
+                    vals += samples[o : o + ch]
+                rows.append(pack_row(vals))
+            raw += filter_rows(rows, (filters * ph)[:ph])
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, bit_depth, color_type, 0, 0, interlace
+    )
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if plte:
+        out += chunk(b"PLTE", plte)
+    return out + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+
+
+def test_png_decode_subbyte_grayscale_rescales_exactly():
+    """1/2/4-bit grayscale: MSB-first unpacking (incl. a partial
+    trailing byte when width·depth isn't byte-aligned), then the exact
+    v·255/(2^d−1) rescale — equal to the 8-bit PNG of the same image."""
+    from git_etl_spark.operators.multimodal import decode_png
+
+    for depth in (1, 2, 4):
+        mx = (1 << depth) - 1
+        w, h = 5, 3  # 5·depth bits per row → partial byte at every depth
+        samples = [(r * 3 + c) % (mx + 1) for r in range(h) for c in range(w)]
+        png = _make_png_depth(w, h, samples, 0, depth, filters=[0, 1, 2])
+        out = decode_png(png)
+        scaled = bytes(v * (255 // mx) for v in samples)
+        assert out["n_bytes"] == w * h
+        assert out["mean_byte"] == sum(scaled) / len(scaled)
+        assert out["max_byte"] == max(scaled)
+        eight = _make_png(w, h, scaled, color_type=0)
+        assert out == decode_png(eight)
+
+
+def test_png_decode_16bit_high_byte_reduction():
+    """16-bit grayscale and RGB: big-endian sample pairs, filters at
+    byte distance 2·channels, and the spec's high-byte reduction."""
+    from git_etl_spark.operators.multimodal import decode_png
+
+    w, h = 4, 3
+    samples = [((r * 7919 + c * 104729) * 31) % 65536 for r in range(h) for c in range(w)]
+    png = _make_png_depth(w, h, samples, 0, 16, filters=[0, 2, 4])
+    out = decode_png(png)
+    hi = [v >> 8 for v in samples]
+    assert out["n_bytes"] == w * h
+    assert out["mean_byte"] == sum(hi) / len(hi)
+    assert out["max_byte"] == max(hi)
+
+    rgb = [((r * 131 + c * 17 + k) * 257 + 12345) % 65536
+           for r in range(h) for c in range(w) for k in range(3)]
+    png3 = _make_png_depth(w, h, rgb, 2, 16, filters=[1, 3, 4])
+    out3 = decode_png(png3)
+    hi3 = [v >> 8 for v in rgb]
+    assert out3["n_bytes"] == w * h * 3
+    assert out3["mean_byte"] == sum(hi3) / len(hi3)
+    assert out3["max_byte"] == max(hi3)
+
+
+def test_png_decode_subbyte_palette_resolves_plte():
+    """2-bit palette: packed indices resolve through PLTE unscaled —
+    an index is an index at every depth, never a gray level."""
+    from git_etl_spark.operators.multimodal import decode_png
+
+    w, h = 6, 2
+    idx = [0, 1, 2, 3, 3, 0, 1, 1, 2, 2, 3, 0]
+    plte = bytes([5, 6, 7, 100, 110, 120, 200, 201, 202, 250, 251, 252])
+    png = _make_png_depth(w, h, idx, 3, 2, filters=[0, 1], plte=plte)
+    out = decode_png(png)
+    rgb = b"".join(plte[3 * i : 3 * i + 3] for i in idx)
+    assert out["n_bytes"] == len(rgb) == w * h * 3
+    assert out["mean_byte"] == sum(rgb) / len(rgb)
+    assert out["max_byte"] == max(rgb)
+
+
+def test_png_decode_interlaced_subbyte_and_16bit():
+    """Adam7 at 2-bit and 16-bit: each pass is packed and filtered
+    with its own row geometry; the scatter is per-sample, so results
+    equal the non-interlaced encoding of the same image."""
+    from git_etl_spark.operators.multimodal import decode_png
+
+    w, h = 9, 10  # partial passes on both axes
+    mx = 3
+    s2 = [(r * 5 + c * 3) % (mx + 1) for r in range(h) for c in range(w)]
+    a = decode_png(_make_png_depth(w, h, s2, 0, 2, filters=[0, 1, 2], interlace=1))
+    b = decode_png(_make_png_depth(w, h, s2, 0, 2, filters=[2] * h))
+    assert a == b
+
+    s16 = [((r * 523 + c * 331) * 191) % 65536 for r in range(h) for c in range(w)]
+    a16 = decode_png(_make_png_depth(w, h, s16, 0, 16, filters=[0, 4], interlace=1))
+    b16 = decode_png(_make_png_depth(w, h, s16, 0, 16, filters=[3] * h))
+    assert a16 == b16
+
+
+def test_png_decode_rejects_illegal_ihdr_combination():
+    """Depth/type pairs outside the spec's table (e.g. 2-bit RGB,
+    16-bit palette) are malformed files, not unsupported features."""
+    import pytest
+
+    from git_etl_spark.operators.multimodal import decode_png
+
+    png = _make_png_depth(2, 1, [1, 2, 3, 0, 1, 2], 2, 2)
+    with pytest.raises(ValueError, match="not a legal IHDR"):
+        decode_png(png)
