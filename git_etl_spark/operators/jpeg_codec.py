@@ -538,7 +538,12 @@ class _BitReader:
             v = (v << 1) | self.read_bit()
         return v
 
-    def read_symbol(self, table: dict[tuple[int, int], int]) -> int:
+    def read_symbol(self, table: dict[tuple[int, int], int] | None) -> int:
+        if table is None:
+            # a scan can legally omit a table it won't use (DC/AC
+            # refinement); needing one that was never defined is a
+            # malformed stream, not an internal error
+            raise ValueError("scan references an undefined Huffman table")
         code = 0
         for length in range(1, 17):
             code = (code << 1) | self.read_bit()
@@ -667,6 +672,32 @@ def _ycbcr_to_rgb_bytes(
     return bytes(out)
 
 
+def _malformed_boundary(fn):
+    """Decoder-boundary guard: a corrupt stream may trip any of the
+    hundreds of index/table/unpack operations inside the walk
+    (truncated segment → struct.error, bit-flipped table id → KeyError,
+    short entropy data → IndexError). At the public entry point those
+    all mean the same thing — a malformed container — and the decode
+    contract promises a diagnosable ValueError for that, never a stray
+    internal exception (a mapInPandas task dying on a bare KeyError
+    would fail the whole stage undiagnosed at corpus scale). The
+    original exception is chained for debugging; ValueError and
+    NotImplementedError pass through untouched."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(payload: bytes) -> dict:
+        try:
+            return fn(payload)
+        except (IndexError, KeyError, struct.error, OverflowError) as exc:
+            raise ValueError(
+                f"malformed JPEG stream ({type(exc).__name__}: {exc})"
+            ) from exc
+
+    return wrapper
+
+
+@_malformed_boundary
 def decode_jpeg(payload: bytes) -> dict:
     """Decode a baseline-sequential (SOF0) JPEG with only the stdlib —
     grayscale OR interleaved YCbCr color, with arbitrary 1–4 h/v

@@ -149,6 +149,8 @@ def decode_png(payload: bytes) -> dict:
         ctype = payload[pos + 4 : pos + 8]
         data = payload[pos + 8 : pos + 8 + clen]
         if ctype == b"IHDR":
+            if len(data) < 13:
+                raise ValueError("truncated IHDR chunk")
             width, height, bit_depth, color_type = struct.unpack(
                 ">IIBB", data[:10]
             )
@@ -398,6 +400,8 @@ def decode_image(payload: bytes) -> dict:
     if payload[:8] == PNG_SIGNATURE:
         return decode_png(payload)
     if payload[:4] == SIMG_MAGIC:
+        if len(payload) < 8:
+            raise ValueError("truncated SIMG header")
         width, height = struct.unpack(">HH", payload[4:8])
         body = payload[8:]
         mv = memoryview(body)
@@ -672,7 +676,18 @@ def decode_wav(payload: bytes) -> dict:
             # recognized RIFF/WAVE but a compressed codec id
             # (µ-law/ADPCM/float): decoding needs a real codec
             raise NotImplementedError(f"compressed WAV: {exc}") from exc
-        raise
+        raise ValueError(f"malformed WAV container ({exc})") from exc
+    except (EOFError, RuntimeError) as exc:
+        # the stdlib wave reader raises bare RuntimeError (chunk seek
+        # past EOF) and EOFError on some truncations — same diagnosis
+        raise ValueError("malformed WAV container (truncated)") from exc
+    if rate <= 0 or nch <= 0 or sw <= 0:
+        raise ValueError("malformed WAV header (non-positive fmt field)")
+    # a truncated data chunk yields fewer frames than the header claims:
+    # derive n from the bytes actually present so every feature is
+    # computed over the same (complete) frames
+    n = min(n, len(samples) // (nch * sw))
+    samples = samples[: n * nch * sw]
     if sw == 1 and nch == 1:
         mv = memoryview(samples)
         total = sum(mv)

@@ -1,0 +1,158 @@
+"""Decoder-boundary robustness: corrupt media payloads must fail with
+the diagnosable contract exceptions (ValueError / NotImplementedError /
+zlib.error), never a stray internal IndexError/KeyError/struct.error —
+inside mapInPandas a bare internal exception fails the whole stage
+undiagnosed, so at 100 TB ingest scale the failure mode of a malformed
+payload is part of the operator's contract.
+
+Deterministic fuzz: seeded truncation / byte-flip / garbage-insertion
+sweeps over valid fixtures from every encoder family this repo ships
+(PNG at several depths, WAV widths, baseline gray/color JPEG,
+progressive JPEG). Counterexamples shrink to a reproducible seed.
+"""
+
+from __future__ import annotations
+
+import io
+import random
+import struct
+import wave
+import zlib
+
+import pytest
+
+from git_etl_spark.operators.jpeg_codec import (
+    decode_jpeg,
+    encode_jpeg_color_coeffs,
+    encode_jpeg_gray_coeffs,
+    encode_jpeg_gray_coeffs_progressive,
+)
+from git_etl_spark.operators.multimodal import (
+    decode_image,
+    decode_png,
+    decode_wav,
+)
+
+ALLOWED = (ValueError, NotImplementedError, zlib.error)
+TRIALS = 1200
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data))
+    )
+
+
+def _png_fixture(depth: int, color_type: int) -> bytes:
+    ch = {0: 1, 2: 3, 3: 1}[color_type]
+    w, h = 6, 4
+    bits = w * ch * depth
+    rb = (bits + 7) // 8
+    raw = bytearray()
+    for r in range(h):
+        raw += bytes([0]) + bytes((r * 31 + i * 7) % 256 for i in range(rb))
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(
+            b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
+        )
+    )
+    if color_type == 3:
+        png += _png_chunk(b"PLTE", bytes(range(3 * (1 << min(depth, 8)))[:768]))
+    return (
+        png
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _wav_fixture(sampwidth: int, nch: int) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(nch)
+        w.setsampwidth(sampwidth)
+        w.setframerate(8000)
+        w.writeframes(bytes((i * 13) % 256 for i in range(sampwidth * nch * 50)))
+    return buf.getvalue()
+
+
+def _jpeg_fixtures() -> list[bytes]:
+    blk = [0] * 64
+    blk[0], blk[1], blk[8], blk[10] = 50, -3, 7, 2
+    return [
+        encode_jpeg_gray_coeffs([blk], 8, 8),
+        encode_jpeg_color_coeffs(
+            [[blk], [blk], [blk]], 8, 8, [(1, 1), (1, 1), (1, 1)]
+        ),
+        encode_jpeg_gray_coeffs_progressive([blk], 8, 8),
+    ]
+
+
+def _mutate(payload: bytes, rng: random.Random) -> bytes:
+    b = bytearray(payload)
+    mode = rng.randrange(3)
+    if mode == 0:  # truncate
+        return bytes(b[: rng.randrange(len(b))])
+    if mode == 1:  # flip bytes
+        for _ in range(rng.randrange(1, 4)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        return bytes(b)
+    pos = rng.randrange(len(b))  # insert garbage
+    return bytes(
+        b[:pos]
+        + bytes(rng.randrange(256) for _ in range(rng.randrange(1, 9)))
+        + b[pos:]
+    )
+
+
+def _sweep(name: str, payload: bytes, fn, seed: int) -> None:
+    rng = random.Random(seed)
+    for trial in range(TRIALS):
+        mutated = _mutate(payload, rng)
+        try:
+            fn(mutated)
+        except ALLOWED:
+            pass
+        except Exception as exc:  # noqa: BLE001 - the assertion target
+            pytest.fail(
+                f"{name} seed={seed} trial={trial}: non-contract "
+                f"{type(exc).__name__}: {exc}"
+            )
+
+
+def test_png_decode_contract_under_corruption():
+    for i, (depth, ctype) in enumerate([(8, 2), (8, 0), (2, 0), (16, 0), (4, 3)]):
+        _sweep(f"png d{depth} t{ctype}", _png_fixture(depth, ctype), decode_png, 100 + i)
+
+
+def test_wav_decode_contract_under_corruption():
+    for i, (sw, nch) in enumerate([(1, 1), (2, 2), (3, 1), (4, 2)]):
+        _sweep(f"wav w{sw} c{nch}", _wav_fixture(sw, nch), decode_wav, 200 + i)
+
+
+def test_jpeg_decode_contract_under_corruption():
+    for i, fixture in enumerate(_jpeg_fixtures()):
+        _sweep(f"jpeg variant {i}", fixture, decode_jpeg, 300 + i)
+
+
+def test_decode_image_router_contract_under_corruption():
+    """The mapInPandas-facing router inherits the same contract for
+    every payload family it dispatches (incl. SIMG and raw fallback)."""
+    simg = b"SIMG" + (4).to_bytes(2, "big") + (3).to_bytes(2, "big") + bytes(range(12))
+    fixtures = [_png_fixture(8, 2), _jpeg_fixtures()[0], simg, b"plain text payload"]
+    for i, fixture in enumerate(fixtures):
+        _sweep(f"router variant {i}", fixture, decode_image, 400 + i)
+
+
+def test_valid_fixtures_still_decode():
+    """The sweep's base fixtures are genuinely valid — the robustness
+    net must not be satisfied vacuously by everything raising."""
+    for depth, ctype in [(8, 2), (2, 0), (16, 0), (4, 3)]:
+        assert decode_png(_png_fixture(depth, ctype))["magic"] == "PNG"
+    for sw, nch in [(1, 1), (2, 2), (3, 1), (4, 2)]:
+        assert decode_wav(_wav_fixture(sw, nch))["n_samples"] == 50
+    for fixture in _jpeg_fixtures():
+        assert decode_jpeg(fixture)["width"] == 8
