@@ -20,7 +20,9 @@ RIFF/WAVE integer PCM audio at every width ``wave`` frames —
 decode, dequantize, de-zigzag, IDCT; round 8 added progressive SOF2
 with spectral selection + successive approximation, baseline YCbCr
 color — interleaved MCUs, 4:2:0/4:2:2 subsampling, restart
-intervals, JFIF YCbCr→RGB — and progressive color). The loud
+intervals, JFIF YCbCr→RGB — and progressive color). GIF87a/GIF89a
+decode for real too (``gif_codec``: full LZW with deferred clear,
+global/local palettes, interlace, multi-frame). The loud
 NotImplementedError list is down to what genuinely needs an external
 codec: lossless/arithmetic/12-bit JPEG and RIFF video (ffmpeg) — a
 silent fake decode of real media would be worse than a loud gap.
@@ -370,8 +372,9 @@ def decode_image(payload: bytes) -> dict:
     """Pure-Python deterministic decode inside the Arrow-batched
     ``mapInPandas`` plumbing: SIMG containers are struct-parsed, PNGs
     are decoded for real via ``decode_png`` (stdlib zlib + filter
-    reversal), baseline AND progressive grayscale JPEGs for real via
-    ``jpeg_codec`` (stdlib huffman + IDCT), RIFF video
+    reversal), baseline AND progressive JPEGs for real via
+    ``jpeg_codec`` (stdlib huffman + IDCT), GIFs for real via
+    ``gif_codec`` (stdlib LZW + palette resolution), RIFF video
     raises loudly (ffmpeg absent), and any other payload falls back to
     raw byte statistics so the pipeline stays total."""
     import struct
@@ -399,6 +402,12 @@ def decode_image(payload: bytes) -> dict:
         }
     if payload[:8] == PNG_SIGNATURE:
         return decode_png(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif_codec import decode_gif
+
+        # real LZW decode; statistics over palette-resolved RGB of all
+        # frames (animation content, not just frame 1)
+        return decode_gif(payload)
     if payload[:4] == SIMG_MAGIC:
         if len(payload) < 8:
             raise ValueError("truncated SIMG header")

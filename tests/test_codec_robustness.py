@@ -21,6 +21,7 @@ import zlib
 
 import pytest
 
+from git_etl_spark.operators.gif_codec import decode_gif, encode_gif
 from git_etl_spark.operators.jpeg_codec import (
     decode_jpeg,
     encode_jpeg_color_coeffs,
@@ -138,6 +139,21 @@ def test_jpeg_decode_contract_under_corruption():
         _sweep(f"jpeg variant {i}", fixture, decode_jpeg, 300 + i)
 
 
+def _gif_fixture(interlaced: bool = False) -> bytes:
+    rng = random.Random(31)
+    w, h, n = 9, 7, 8
+    palette = bytes(((13 * i + c * 7) % 256) for i in range(n) for c in range(3))
+    indices = bytes(rng.randrange(n) for _ in range(w * h))
+    return encode_gif(
+        w, h, [{"indices": indices, "interlaced": interlaced}], gct=palette
+    )
+
+
+def test_gif_decode_contract_under_corruption():
+    _sweep("gif plain", _gif_fixture(False), decode_gif, 500)
+    _sweep("gif interlaced", _gif_fixture(True), decode_gif, 501)
+
+
 def test_decode_image_router_contract_under_corruption():
     """The mapInPandas-facing router inherits the same contract for
     every payload family it dispatches (incl. SIMG and raw fallback)."""
@@ -156,3 +172,5 @@ def test_valid_fixtures_still_decode():
         assert decode_wav(_wav_fixture(sw, nch))["n_samples"] == 50
     for fixture in _jpeg_fixtures():
         assert decode_jpeg(fixture)["width"] == 8
+    for interlaced in (False, True):
+        assert decode_gif(_gif_fixture(interlaced))["magic"] == "GIF"
