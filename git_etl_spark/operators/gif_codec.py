@@ -178,6 +178,16 @@ def lzw_encode(min_code_size: int, indices: bytes) -> bytes:
 _INTERLACE_PASSES = [(0, 8), (4, 8), (2, 4), (1, 2)]
 
 
+def interlace_row_order(height: int) -> list[int]:
+    """Row indices in four-pass storage order (GIF89a appendix E):
+    position k in the stored stream is image row
+    ``interlace_row_order(h)[k]``. Used by the decoder to scatter rows
+    back and by encoders to lay rows out."""
+    return [
+        y for start, step in _INTERLACE_PASSES for y in range(start, height, step)
+    ]
+
+
 def _sub_blocks(payload: bytes, pos: int) -> tuple[bytes, int]:
     """Concatenate a length-prefixed sub-block chain; returns (data,
     next offset past the 0 terminator)."""
@@ -267,13 +277,10 @@ def decode_gif_frames(payload: bytes) -> dict:
         interlaced = bool(fpacked & 0x40)
         if interlaced:
             deinter = bytearray(fw * fh)
-            src_row = 0
-            for start, step in _INTERLACE_PASSES:
-                for y in range(start, fh, step):
-                    deinter[y * fw : (y + 1) * fw] = indices[
-                        src_row * fw : (src_row + 1) * fw
-                    ]
-                    src_row += 1
+            for src_row, y in enumerate(interlace_row_order(fh)):
+                deinter[y * fw : (y + 1) * fw] = indices[
+                    src_row * fw : (src_row + 1) * fw
+                ]
             indices = deinter
         rgb = bytearray(fw * fh * 3)
         for k, ix in enumerate(indices):

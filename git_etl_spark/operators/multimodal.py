@@ -1292,3 +1292,175 @@ def multimodal_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield out
 
     return jpegs.mapInPandas(dec, schema=JPEG_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real GIF decode (pure stdlib LZW — operators/gif_codec.py)
+# ---------------------------------------------------------------------------
+
+GIF_SCHEMA = (
+    "doc_id long, width int, height int, interlaced boolean, n_bytes long,"
+    " pixel_sum long, weighted_r long, mean_byte double, max_byte int"
+)
+
+GIF_COLORS = 16
+
+
+def encode_gif_payload(doc_id: int, body: bytes) -> bytes:
+    """Deterministic single-frame GIF for one row: a (doc_id%5+3) ×
+    (doc_id%4+3) image whose pixel k carries palette index
+    ``byte_k % 16`` (padded past the end by (doc_id + 7·k) mod 256),
+    under a 16-entry palette whose channel values are linear in
+    (doc_id, index). Odd doc_ids store rows in four-pass interlaced
+    order; every third doc ships the palette as a LOCAL color table
+    (no global one) — both container variants flow through the same
+    decoder. GIF's palette indirection is lossless, so unlike JPEG no
+    quantization pinning is needed for the oracle to predict every
+    decoded RGB byte from hex-pair arithmetic."""
+    from .gif_codec import encode_gif, interlace_row_order
+
+    w = doc_id % 5 + 3
+    h = doc_id % 4 + 3
+    idx = bytes(
+        (body[k] if k < len(body) else (doc_id + 7 * k) % 256) % GIF_COLORS
+        for k in range(w * h)
+    )
+    palette = bytes(
+        c % 256
+        for i in range(GIF_COLORS)
+        for c in (doc_id * 7 + i * 13, doc_id * 11 + i * 17, doc_id * 3 + i * 29)
+    )
+    interlaced = doc_id % 2 == 1
+    stored = (
+        b"".join(idx[y * w : (y + 1) * w] for y in interlace_row_order(h))
+        if interlaced
+        else idx
+    )
+    frame: dict = {"indices": stored, "interlaced": interlaced}
+    gct = palette
+    if doc_id % 3 == 0:
+        frame["lct"] = palette
+        gct = b""
+    return encode_gif(w, h, [frame], gct=gct)
+
+
+def gif_features(payload: bytes) -> dict:
+    """Decode a GIF (`gif_codec.decode_gif_frames`) and derive curation
+    features from the actual palette-resolved pixels: dimensions, the
+    parsed interlace flag, full RGB byte sum (witness that every pixel
+    decoded), a position-weighted red-channel sum (witness of pixel
+    ORDER — a deinterlace slip flips it), mean and max byte."""
+    from .gif_codec import decode_gif_frames
+
+    d = decode_gif_frames(payload)
+    f = d["frames"][0]
+    rgb = memoryview(f["rgb"])
+    n_px = f["width"] * f["height"]
+    total = sum(rgb)
+    return {
+        "width": d["width"],
+        "height": d["height"],
+        "interlaced": f["interlaced"],
+        "n_bytes": len(rgb),
+        "pixel_sum": total,
+        "weighted_r": sum((k + 1) * rgb[3 * k] for k in range(n_px)),
+        "mean_byte": total / len(rgb),
+        "max_byte": max(rgb),
+    }
+
+
+@query(
+    "multimodal_gif_features",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id, hex(encode(text)) AS h,
+               octet_length(encode(text)) AS n,
+               CAST(doc_id % 5 + 3 AS INT) AS w,
+               CAST(doc_id % 4 + 3 AS INT) AS ht
+        FROM documents
+    ),
+    v AS (
+        SELECT doc_id, w, ht, w * ht AS np,
+               list_transform(range(0, w * ht),
+                   k -> (CASE WHEN k < n
+                              THEN CAST('0x' || substr(h, 2*k + 1, 2) AS INT)
+                              ELSE CAST((doc_id + 7 * k) % 256 AS INT) END)
+                        % {GIF_COLORS}) AS idx
+        FROM b
+    ),
+    p AS (
+        SELECT doc_id, w, ht, np,
+               list_transform(idx, i -> CAST((doc_id * 7 + i * 13) % 256
+                                             AS BIGINT)) AS r,
+               list_transform(idx, i -> CAST((doc_id * 11 + i * 17) % 256
+                                             AS BIGINT)) AS g,
+               list_transform(idx, i -> CAST((doc_id * 3 + i * 29) % 256
+                                             AS BIGINT)) AS bl
+        FROM v
+    )
+    SELECT doc_id,
+           w AS width,
+           ht AS height,
+           doc_id % 2 = 1 AS interlaced,
+           CAST(np * 3 AS BIGINT) AS n_bytes,
+           CAST(list_aggregate(r, 'sum') + list_aggregate(g, 'sum')
+                + list_aggregate(bl, 'sum') AS BIGINT) AS pixel_sum,
+           CAST(list_aggregate(list_transform(range(1, np + 1),
+                    k -> k * r[k]), 'sum') AS BIGINT) AS weighted_r,
+           (list_aggregate(r, 'sum') + list_aggregate(g, 'sum')
+            + list_aggregate(bl, 'sum')) * 1.0 / (np * 3) AS mean_byte,
+           CAST(greatest(list_aggregate(r, 'max'), list_aggregate(g, 'max'),
+                         list_aggregate(bl, 'max')) AS INT) AS max_byte
+    FROM p
+    """,
+)
+def multimodal_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 GIF path made REAL with only the stdlib: rows are encoded
+    into genuine GIF89a files (logical screen descriptor, global OR
+    local color table, real LZW compression with clear/EOI framing —
+    `gif_codec.encode_gif`), shipped as a binary column across an
+    Arrow batch boundary, then parsed back by the fully general
+    decoder (`gif_codec.decode_gif_frames`: block walk, LZW
+    decompression with code-width growth, four-pass deinterlacing,
+    palette resolution). Encode and decode are separate ``mapInPandas``
+    stages sharing no Python state. Half the corpus is stored
+    interlaced and a third carries its palette as a local table, so
+    both container variants and the row-scatter path are exercised
+    under the oracle — which, because GIF's palette indirection is
+    lossless (no quantization to pin, unlike the JPEG twin),
+    reconstructs every decoded RGB byte from hex-pair arithmetic.
+
+    Scale: same shape as the other decode queries — opaque binary
+    column, per-item CPU inside Arrow-batched ``mapInPandas``,
+    parallelism ∝ partitions, no shuffle at all."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.encode("text", "UTF-8").alias("body"))
+        # one small parquet file → one input split; spread the per-item
+        # codec CPU over every core (explicit N — exempt from AQE's
+        # byte-based coalescer), same treatment as the JPEG twin
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": [
+                        encode_gif_payload(int(i), bytes(b))
+                        for i, b in zip(pdf["doc_id"], pdf["body"])
+                    ],
+                }
+            )
+
+    gifs = docs.mapInPandas(enc, schema="doc_id long, payload binary")
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [gif_features(p) for p in pdf["payload"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    return gifs.mapInPandas(dec, schema=GIF_SCHEMA)
