@@ -239,3 +239,58 @@ def test_gif_malformed_diagnosed():
     )
     with pytest.raises(ValueError, match="decodes to"):
         decode_gif_frames(short)
+
+
+# ---------------------------------------------------------------------------
+# Property-based invariants (hypothesis)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    min_cs=st.integers(min_value=2, max_value=8),
+    data=st.data(),
+)
+def test_lzw_roundtrip_property(min_cs, data):
+    """∀ index streams within the alphabet: decode(encode(x)) == x."""
+    nsym = 1 << min_cs
+    xs = data.draw(
+        st.binary(max_size=3000).map(
+            lambda b: bytes(v % nsym for v in b)
+        )
+    )
+    assert bytes(lzw_decode(min_cs, lzw_encode(min_cs, xs))) == xs
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=20),
+    h=st.integers(min_value=1, max_value=20),
+    interlaced=st.booleans(),
+    data=st.data(),
+)
+def test_gif_container_roundtrip_property(w, h, interlaced, data):
+    """∀ (dims, palette, pixels, interlace): the container roundtrips
+    to exactly the palette-mapped RGB, independent of storage order."""
+    from git_etl_spark.operators.gif_codec import interlace_row_order
+
+    n = data.draw(st.sampled_from([2, 4, 16, 256]))
+    palette = _palette(n)
+    indices = bytes(
+        data.draw(st.integers(min_value=0, max_value=n - 1))
+        for _ in range(w * h)
+    )
+    stored = (
+        b"".join(indices[y * w : (y + 1) * w] for y in interlace_row_order(h))
+        if interlaced
+        else indices
+    )
+    gif = encode_gif(
+        w, h, [{"indices": stored, "interlaced": interlaced}], gct=palette
+    )
+    assert decode_gif_frames(gif)["frames"][0]["rgb"] == _map_rgb(
+        indices, palette
+    )
