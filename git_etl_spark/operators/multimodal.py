@@ -200,7 +200,19 @@ def decode_png(payload: bytes) -> dict:
             out.append((b >> shift) & mask)
         return out
 
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"malformed PNG zlib stream: {exc}") from exc
+    # Bound the header's pixel claim against what the decompressed
+    # stream can actually carry BEFORE any width·height allocation —
+    # a bit-flipped IHDR must raise, not trigger a multi-GB list.
+    # Each pixel needs bits_pp bits of filtered data (filter bytes
+    # only add to the stream), so this bound is conservative-safe.
+    if width * height * bits_pp > len(raw) * 8:
+        raise ValueError(
+            "PNG header claims more pixels than the IDAT stream carries"
+        )
     if interlace == 0:
         rb = _row_bytes(width)
         recon_b, p = _png_unfilter(raw, 0, rb, height, fbpp)
@@ -686,9 +698,15 @@ def decode_wav(payload: bytes) -> dict:
             # (µ-law/ADPCM/float): decoding needs a real codec
             raise NotImplementedError(f"compressed WAV: {exc}") from exc
         raise ValueError(f"malformed WAV container ({exc})") from exc
-    except (EOFError, RuntimeError) as exc:
-        # the stdlib wave reader raises bare RuntimeError (chunk seek
-        # past EOF) and EOFError on some truncations — same diagnosis
+    except EOFError as exc:
+        raise ValueError("malformed WAV container (truncated)") from exc
+    except RuntimeError as exc:
+        # the stdlib wave chunk reader raises a BARE RuntimeError (no
+        # message) on a seek past the chunk end — convert only that
+        # exact shape; a RuntimeError carrying a message is a genuine
+        # programming error and must not be relabeled as bad input
+        if str(exc):
+            raise
         raise ValueError("malformed WAV container (truncated)") from exc
     if rate <= 0 or nch <= 0 or sw <= 0:
         raise ValueError("malformed WAV header (non-positive fmt field)")

@@ -1,6 +1,6 @@
 """Decoder-boundary robustness: corrupt media payloads must fail with
-the diagnosable contract exceptions (ValueError / NotImplementedError /
-zlib.error), never a stray internal IndexError/KeyError/struct.error —
+the diagnosable contract exceptions (ValueError / NotImplementedError),
+never a stray internal IndexError/KeyError/struct.error/zlib.error —
 inside mapInPandas a bare internal exception fails the whole stage
 undiagnosed, so at 100 TB ingest scale the failure mode of a malformed
 payload is part of the operator's contract.
@@ -34,7 +34,7 @@ from git_etl_spark.operators.multimodal import (
     decode_wav,
 )
 
-ALLOWED = (ValueError, NotImplementedError, zlib.error)
+ALLOWED = (ValueError, NotImplementedError)
 TRIALS = 1200
 
 
@@ -59,6 +59,41 @@ def _png_fixture(depth: int, color_type: int) -> bytes:
         b"\x89PNG\r\n\x1a\n"
         + _png_chunk(
             b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
+        )
+    )
+    if color_type == 3:
+        png += _png_chunk(b"PLTE", bytes(range(3 * (1 << min(depth, 8)))[:768]))
+    return (
+        png
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _png_fixture_adam7(depth: int, color_type: int) -> bytes:
+    """Adam7-interlaced PNG: seven independently filtered passes,
+    each pass's scanlines carrying only its own (sub-sampled) pixels."""
+    ch = {0: 1, 2: 3, 3: 1}[color_type]
+    w, h = 9, 7  # non-multiple-of-8 dims so every pass is non-trivial
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        rb = (pw * ch * depth + 7) // 8
+        for r in range(ph):
+            raw += bytes([0]) + bytes((r * 31 + i * 7) % 256 for i in range(rb))
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(
+            b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 1)
         )
     )
     if color_type == 3:
@@ -127,6 +162,16 @@ def _sweep(name: str, payload: bytes, fn, seed: int) -> None:
 def test_png_decode_contract_under_corruption():
     for i, (depth, ctype) in enumerate([(8, 2), (8, 0), (2, 0), (16, 0), (4, 3)]):
         _sweep(f"png d{depth} t{ctype}", _png_fixture(depth, ctype), decode_png, 100 + i)
+
+
+def test_png_adam7_decode_contract_under_corruption():
+    # interlaced fixtures decode clean, then survive the same sweep —
+    # covers the Adam7 pre-allocation bound (bit-flipped IHDR dims must
+    # raise ValueError before any width·height allocation)
+    for i, (depth, ctype) in enumerate([(8, 2), (4, 0), (16, 0), (4, 3)]):
+        fixture = _png_fixture_adam7(depth, ctype)
+        assert decode_png(fixture)["magic"] == "PNG"
+        _sweep(f"png adam7 d{depth} t{ctype}", fixture, decode_png, 150 + i)
 
 
 def test_wav_decode_contract_under_corruption():
