@@ -119,26 +119,63 @@ def udf_python_rot13(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", rot13("source").alias("source_rot13"))
 
 
-@query("udf_mapinpandas_batch_stats")  # rows-only: batch boundaries are runtime-dependent
-def udf_mapinpandas_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``mapInPandas`` pass-through with per-batch introspection:
-    emits one row per Arrow batch (size, min/max id) — the tool for
-    verifying batch shaping (``spark.sql.execution.arrow.maxRecordsPerBatch``)
-    before pointing a heavy decode UDF at 100 TB."""
+def batch_partials(docs: DataFrame) -> DataFrame:
+    """One row per Arrow batch of ``docs.doc_id``: (rows, min, max,
+    sum). The raw per-batch view — batch boundaries depend on
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` and partition
+    layout, so this frame is NOT deterministic across runs; consumers
+    either fold it (udf_mapinpandas_batch_stats) or assert shape
+    invariants (the batch-shape pytest)."""
 
     def batch_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for i, pdf in enumerate(batches):
+        for pdf in batches:
             yield pd.DataFrame(
                 {
                     "batch_rows": [len(pdf)],
                     "min_doc_id": [int(pdf["doc_id"].min())],
                     "max_doc_id": [int(pdf["doc_id"].max())],
+                    "sum_doc_id": [int(pdf["doc_id"].sum())],
                 }
             )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return docs.mapInPandas(
-        batch_stats, schema="batch_rows long, min_doc_id long, max_doc_id long"
+        batch_stats,
+        schema=(
+            "batch_rows long, min_doc_id long, max_doc_id long, sum_doc_id long"
+        ),
+    )
+
+
+@query(
+    "udf_mapinpandas_batch_stats",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS total_rows,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+    FROM documents
+    """,
+)
+def udf_mapinpandas_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInPandas`` per-Arrow-batch introspection, made verifiable:
+    each batch emits one PARTIAL row (its size, min/max/sum of ids) —
+    the same per-batch view you'd use to validate batch shaping
+    (``spark.sql.execution.arrow.maxRecordsPerBatch``) before pointing
+    a heavy decode UDF at 100 TB — and the partials then fold through a
+    normal global aggregate. The folded result is exactly the classic
+    map-side partial-aggregation identity: COUNT = Σ batch_rows,
+    MIN = min of batch minima, MAX = max of batch maxima,
+    SUM = Σ batch sums — invariant to WHERE the Arrow batch boundaries
+    fall, so the query finally carries a hash oracle (any partial
+    dropped, duplicated, or mis-merged breaks it) while the raw
+    per-batch frames stay covered by the batch-shape pytest
+    (tests/test_rows_only.py)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return batch_partials(docs).agg(
+        F.sum("batch_rows").alias("total_rows"),
+        F.min("min_doc_id").alias("min_doc_id"),
+        F.max("max_doc_id").alias("max_doc_id"),
+        F.sum("sum_doc_id").alias("sum_doc_id"),
     )
 
 

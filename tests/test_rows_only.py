@@ -1093,3 +1093,36 @@ def test_png_decode_rejects_illegal_ihdr_combination():
     png = _make_png_depth(2, 1, [1, 2, 3, 0, 1, 2], 2, 2)
     with pytest.raises(ValueError, match="not a legal IHDR"):
         decode_png(png)
+
+
+def test_mapinpandas_batch_partials_shape_and_fold(spark):
+    """The raw per-Arrow-batch partial frame (batch_partials) respects
+    the configured batch cap and folds to the exact global aggregate —
+    the partial-aggregation identity the oracled
+    udf_mapinpandas_batch_stats query hash-checks at the driver."""
+    from git_etl_spark.io import load_table
+    from git_etl_spark.operators.udfs import batch_partials
+
+    docs = load_table(spark, SF_CORRECTNESS, "documents").select("doc_id")
+    expected = docs.groupBy().agg(
+        {"doc_id": "count"}
+    ).collect()[0][0], docs.groupBy().min("doc_id").collect()[0][0]
+
+    cap = 64
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(cap))
+    try:
+        rows = batch_partials(docs).collect()
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    assert rows, "at least one batch"
+    assert all(1 <= r.batch_rows <= cap for r in rows), "batch cap violated"
+    assert all(r.min_doc_id <= r.max_doc_id for r in rows)
+    # fold identity: partials recombine to the global aggregate
+    n, mn = expected
+    assert sum(r.batch_rows for r in rows) == n
+    assert min(r.min_doc_id for r in rows) == mn
