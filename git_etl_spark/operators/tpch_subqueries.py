@@ -473,40 +473,45 @@ def tpch_q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: suppliers who were the *sole* late shipper in a
     multi-supplier order (late = shipped >90 days after the order
-    date). EXISTS → left-semi, NOT EXISTS → left-anti, both self-joins
-    on the per-(order, supplier) aggregate with a non-equi
-    different-supplier term riding the order-key equi join."""
+    date).
+
+    The EXISTS/NOT EXISTS pair decorrelates to per-order counts
+    instead of two self-joins: for a late supplier row, "another
+    supplier exists" ⇔ n_suppliers ≥ 2, and "no OTHER late supplier"
+    ⇔ n_late = 1 (its own flag) — and since n_late = 1 makes the late
+    supplier unique, ``max(when(late=1, suppkey))`` extracts it with
+    no join-back at all. The textbook semi+anti plan recomputes the
+    lineitem⋈orders aggregate THREE times and shuffles it for each
+    self-join; here the whole reduction is ONE exchange on
+    l_orderkey: hash-partitioning on l_orderkey satisfies the
+    clustered distribution of both the (l_orderkey, l_suppkey) and
+    the l_orderkey aggregates, so Catalyst pipelines the two
+    aggregations in a single post-shuffle stage (measured 1.67 s
+    semi+anti → 1.77 s window sort → this form at sf0.1; the window
+    variant loses to its per-partition sort). The oracle keeps the
+    EXISTS formulation, so the decorrelation itself is hash-checked."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
-    late_flag = F.max(
-        F.when(
-            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"),
-            1,
-        ).otherwise(0)
-    )
-    lines = (
+    late_line = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"),
+        1,
+    ).otherwise(0)
+    per_supp = (
         li.join(o, li.l_orderkey == o.o_orderkey)
+        .select("l_orderkey", "l_suppkey", late_line.alias("late_line"))
+        .repartition("l_orderkey")
         .groupBy("l_orderkey", "l_suppkey")
-        .agg(late_flag.alias("late"))
+        .agg(F.max("late_line").alias("late"))
     )
-    l1 = lines.filter(F.col("late") == 1).alias("l1")
-    l2 = lines.alias("l2")
-    l3 = lines.filter(F.col("late") == 1).alias("l3")
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum("late").alias("n_late"),
+        F.max(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias("late_supp"),
+    )
     s = load_table(spark, sf_dir, "supplier")
     return (
-        l1.join(
-            l2,
-            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
-            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
-            "left_semi",
-        )
-        .join(
-            l3,
-            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
-            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
-            "left_anti",
-        )
-        .join(F.broadcast(s), F.col("l1.l_suppkey") == F.col("s_suppkey"))
+        per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .join(F.broadcast(s), F.col("late_supp") == F.col("s_suppkey"))
         .groupBy(F.col("s_name").alias("supp_name"))
         .agg(F.count("*").alias("numwait"))
     )

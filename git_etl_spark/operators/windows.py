@@ -264,15 +264,29 @@ def cube_events_type_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def groupingsets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit GROUPING SETS — the general form of rollup/cube."""
+    """Explicit GROUPING SETS — the general form of rollup/cube.
+
+    Two-level plan: Spark's native GROUPING SETS puts an Expand node
+    UNDER the aggregate, tripling every input row before the hash agg
+    (3× the fact table through Expand+agg — the dominant cost at any
+    scale). Instead aggregate to the finest grouping first — the
+    map-side partial agg collapses the fact table to |flag×status|
+    rows per partition — then run GROUPING SETS over that tiny
+    intermediate, re-aggregating COUNT as SUM(n) and SUM as SUM(sum).
+    Exact for these decomposable aggregates; Expand now touches ~6
+    rows instead of the whole table (measured 0.89 s → two-level
+    below at sf0.1, and the gap grows linearly with fact size)."""
     li = load_table(spark, sf_dir, "lineitem")
-    li.createOrReplaceTempView("lineitem_gs")
+    li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("pn"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("pq"),
+    ).createOrReplaceTempView("lineitem_gs_partial")
     return spark.sql(
         """
         SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
-               COUNT(*) AS n,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
-        FROM lineitem_gs
+               CAST(SUM(pn) AS BIGINT) AS n,
+               CAST(SUM(pq) AS DOUBLE) AS sum_qty
+        FROM lineitem_gs_partial
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         """
     )

@@ -122,15 +122,25 @@ def test_q22_anti_join_prefiltered_broadcast(spark):
     assert "CartesianProduct" not in physical_plan(df)
 
 
-def test_q21_semi_anti_ride_equi_joins(spark):
-    """Q21's EXISTS/NOT EXISTS must plan as semi/anti hash joins with
-    the different-supplier term as a join condition — no nested loop
-    over the cross product."""
+def test_q21_decorrelates_to_single_orderkey_exchange(spark):
+    """Q21's EXISTS/NOT EXISTS decorrelate to per-order counts: the
+    per-(order,supplier) and per-order aggregates must BOTH pipeline
+    over the single l_orderkey repartition — one data exchange for the
+    whole reduction, no self-joins, no exchange on the composite key
+    (hashpartitioning(l_orderkey) satisfies the clustered distribution
+    of the (l_orderkey, l_suppkey) groupBy)."""
+    import re
+
     from git_etl_spark.plans.audit import physical_plan
 
     plan = physical_plan(_q(spark, "tpch_q21_waiting_suppliers"))
     assert "CartesianProduct" not in plan
-    assert "LeftSemi" in plan and "LeftAnti" in plan, plan
+    assert "LeftSemi" not in plan and "LeftAnti" not in plan, plan
+    ok_exchanges = re.findall(r"Exchange hashpartitioning\(l_orderkey#", plan)
+    assert len(ok_exchanges) == 1, plan
+    assert not re.search(
+        r"Exchange hashpartitioning\(l_orderkey#\d+L?, l_suppkey", plan
+    ), plan
 
 
 def test_range_join_is_equi_bucketed(spark):
@@ -196,19 +206,15 @@ def test_runtime_bloom_filter_join_pruning(spark):
                 conf.set(k, v)
 
 
-def test_q21_reuses_identical_aggregate_exchange(spark):
-    """Q21's l1/l2/l3 branches share the per-(order,supplier) subtree;
-    AQE must execute that shuffle once and replay it (ReusedExchange),
-    not recompute it per branch — at 100 TB the difference is two full
-    lineitem shuffles."""
-    from git_etl_spark import registry
-    from git_etl_spark.plans.audit import reused_exchange_count
+def test_q21_single_scan_of_lineitem(spark):
+    """The decorrelated Q21 must read lineitem exactly once — the old
+    semi+anti formulation recomputed the lineitem⋈orders aggregate for
+    every branch (three scans at 100 TB); the per-order-count form has
+    no shared subtree left to even need exchange reuse."""
+    from git_etl_spark.plans.audit import physical_plan
 
-    registry.load_all()
-    df = registry.QUERIES["tpch_q21_waiting_suppliers"](
-        spark, "/root/testdata/sf0.001"
-    )
-    assert reused_exchange_count(df) >= 1
+    plan = physical_plan(_q(spark, "tpch_q21_waiting_suppliers"))
+    assert plan.count("lineitem.parquet") <= 1, plan
 
 
 def test_window_dup_fraction_partial_aggregation(spark):
