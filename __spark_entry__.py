@@ -207,43 +207,22 @@ def _changed_since_green(
     return changed
 
 
-# Queries rewritten during round 7 AFTER the r07 verification rotation
-# had already run (VERDICT r7 "process-level exposure"): their driver
-# greens predate their current definitions, and the per-query
-# fingerprint can't see it because QUERY_FINGERPRINTS.json didn't exist
-# at their green rounds. Front-loaded until each has a hash-green row
-# recorded in round >= 8; the tier then self-deactivates.
-_REVERIFY_FIRST_ROUND = 8
+# Queries rewritten in a round but whose latest driver green predates
+# QUERY_FINGERPRINTS.json (the fingerprint as-of lookup returns None
+# for pre-file green rounds, so the exact changed-since-green tier
+# can't flag them) — front-loaded until each has a hash-green row
+# recorded in round >= _REVERIFY_FIRST_ROUND; the tier then
+# self-deactivates. The round-7/8 cohort (23 queries: the qsum TPC-H
+# pack, window-count text rewrites, CC/simhash/PageRank family,
+# minhash rewrites) all re-greened in r08 and dropped off; the current
+# entries are the round-9 rewrites with pre-fingerprint-file greens.
+_REVERIFY_FIRST_ROUND = 9
 _REVERIFY_FIRST = [
-    # qsum TPC-H pack (commit cd62972)
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_stock",
-    "tpch_q14_promo_share",
-    "tpch_q15_top_supplier",
-    "tpch_q19_disjunctive_predicates",
-    "agg_corr_price_quantity",
-    "agg_stats_moments",
-    # window-count text rewrites (514d6ca / a4a273c / 27a65e0)
-    "text_tfidf_top_terms",
-    "text_winnowing_pairs",
-    "text_containment_pairs",
-    "text_window_dup_fraction",
-    # other post-rotation rewrites
-    "dedup_ngram_jaccard",
-    "graph_components_large_star",
-    "dedup_simhash_clusters",
-    "multimodal_audio_silence_segments",
-    "graph_pagerank_ppm",
-    # round-8 rewrites whose r06 greens predate QUERY_FINGERPRINTS.json
-    # (fingerprint as-of lookup returns None for pre-file green rounds,
-    # so the exact tier can't flag them — front-load explicitly)
-    "dedup_minhash_lsh",
-    "dedup_minhash_estimate_audit",
+    # round-9 rewrites: q21 decorrelation, itemset array expansion
+    # (greens r05), audio decode repartition (green r06)
+    "tpch_q21_waiting_suppliers",
+    "agg_frequent_itemset_pairs",
+    "multimodal_audio_features",
 ]
 
 
