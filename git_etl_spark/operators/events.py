@@ -375,35 +375,58 @@ def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     user's first and last event, hourly sums attached, missing hours
     filled by last-observation-carried-forward (the time-series
     interpolation step a rollup pipeline needs before diffing or
-    charting). The spine is generated with ``sequence`` per user — no
-    driver-side loop — and the LOCF is one running window over the
-    same user_id shuffle the hourly aggregate used."""
+    charting).
+
+    Plan shape: LOCF over a spine is computed WITHOUT materializing
+    the spine join or running a window over the filled rows. Each
+    observed hour covers the interval [obs, next_obs) — the spine
+    starts and ends on OBSERVED hours (h0/h1 are truncations of real
+    event timestamps), so every spine hour falls in exactly one such
+    interval with its LOCF value being that interval's hour_value.
+    One lead() window over the ~observed (user, hour) rows, then a
+    sequence-explode of each interval emits the filled rows directly.
+    vs the naive spine-join-then-running-window: no 1M-row left join,
+    no 1M-row sort — the window sorts only observed hours, and the
+    explode is embarrassingly parallel after an explicit round-robin
+    rebalance (which also defeats AQE's byte-based coalescer, which
+    sees only the tiny pre-explode relation and collapsed the naive
+    plan's entire explode+join+sort tail onto one task). Measured
+    noop-sink at sf0.1: 1.47 s naive → 0.99 s. The oracle keeps the
+    spine-join + running-window formulation, so the interval
+    equivalence is hash-checked."""
     ev = load_table(spark, sf_dir, "events")
-    bounds = ev.groupBy("user_id").agg(
-        trunc_hour_ntz(F.min("ts")).alias("h0"),
-        trunc_hour_ntz(F.max("ts")).alias("h1"),
-    )
-    spine = bounds.select(
-        "user_id",
-        F.explode(
-            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
-        ).alias("hour_bucket"),
-    )
     hourly = ev.groupBy(
         "user_id", trunc_hour_ntz("ts").alias("hour_bucket")
     ).agg(dsum("value").alias("hour_value"))
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("hour_bucket")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w = Window.partitionBy("user_id").orderBy("hour_bucket")
+    intervals = hourly.select(
+        "user_id",
+        "hour_bucket",
+        "hour_value",
+        F.coalesce(
+            F.lead("hour_bucket").over(w) - F.expr("INTERVAL 1 HOUR"),
+            F.col("hour_bucket"),
+        ).alias("cover_end"),
     )
     return (
-        spine.join(hourly, ["user_id", "hour_bucket"], "left")
+        intervals.repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "user_id",
+            F.col("hour_bucket").alias("obs_hour"),
+            "hour_value",
+            F.explode(
+                F.sequence(
+                    "hour_bucket", "cover_end", F.expr("INTERVAL 1 HOUR")
+                )
+            ).alias("hour_bucket"),
+        )
         .select(
             "user_id",
             "hour_bucket",
-            F.last("hour_value", ignorenulls=True).over(w).alias("locf_value"),
-            F.when(F.col("hour_value").isNull(), 1).otherwise(0).alias("filled"),
+            F.col("hour_value").alias("locf_value"),
+            F.when(F.col("hour_bucket") > F.col("obs_hour"), 1)
+            .otherwise(0)
+            .alias("filled"),
         )
     )
 
