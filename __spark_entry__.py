@@ -223,6 +223,8 @@ _REVERIFY_FIRST = [
     "tpch_q21_waiting_suppliers",
     "agg_frequent_itemset_pairs",
     "multimodal_audio_features",
+    # gap-fill interval-explode rewrite (green r06)
+    "events_gapfill_locf",
 ]
 
 
