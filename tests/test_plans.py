@@ -408,3 +408,60 @@ def test_partitioning_invariance_of_float_sensitive_queries(spark):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     for n, (a, b) in results.items():
         assert a == b, f"{n} drifted under repartitioning"
+
+
+def test_groupingsets_expand_above_preaggregate(spark):
+    """The two-level GROUPING SETS plan must keep Expand ABOVE the
+    finest-grouping aggregate (Expand touches ~6 rows), never between
+    the fact scan and the aggregate (3× the fact table through
+    Expand — Spark's native single-level plan)."""
+    from git_etl_spark.plans.audit import physical_plan
+
+    plan = physical_plan(_q(spark, "groupingsets_lineitem"))
+    assert "Expand" in plan, plan
+    below_expand = plan[plan.index("Expand"):]
+    # tree strings print parent-first: the subtree under Expand must
+    # reach another HashAggregate before it reaches the parquet scan
+    assert below_expand.index("HashAggregate") < below_expand.index(
+        "FileScan"
+    ), plan
+
+
+def test_equidepth_single_percentile_buffer(spark):
+    """All three quartile boundaries must come from ONE exact
+    percentile aggregate (array form) — three separate calls triple
+    the value buffer — and the boundary join must be the one-row
+    broadcast (IdentityBroadcastMode), not a data-sized side."""
+    from git_etl_spark.plans.audit import physical_plan
+
+    plan = physical_plan(_q(spark, "agg_equidepth_histogram"))
+    assert plan.count("partial_percentile") == 1, plan
+    assert "[0.25,0.5,0.75]" in plan, plan
+    assert "IdentityBroadcastMode" in plan, plan
+
+
+def test_itemset_pairs_no_self_join(spark):
+    """Candidate pairs must expand from per-order arrays (Generate),
+    never a basket self-join: no sort-merge join anywhere, and the
+    only joins are the two broadcast metric lookups."""
+    from git_etl_spark.plans.audit import physical_plan
+
+    plan = physical_plan(_q(spark, "agg_frequent_itemset_pairs"))
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Generate explode" in plan, plan
+    assert plan.count("BroadcastHashJoin") == 2, plan
+
+
+def test_gapfill_locf_no_join_single_window(spark):
+    """Interval-explode LOCF: no join of the spine against the hourly
+    aggregate (the intervals ARE the fill), exactly one window (the
+    lead over observed hours), and an explicit round-robin rebalance
+    ahead of the explode so the expansion parallelizes."""
+    from git_etl_spark.plans.audit import physical_plan
+
+    plan = physical_plan(_q(spark, "events_gapfill_locf"))
+    assert "Join" not in plan, plan
+    assert plan.count("Window") == 1, plan
+    assert "RoundRobinPartitioning" in plan, plan
+    assert "Generate explode(sequence" in plan, plan
