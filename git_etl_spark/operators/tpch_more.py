@@ -165,31 +165,30 @@ def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18 shape: IN-subquery over a grouped HAVING → semi join
-    against the aggregated key set (Catalyst decorrelates it the same
-    way this plan states explicitly)."""
+    """TPC-H Q18 shape: IN-subquery over a grouped HAVING.
+
+    The textbook decorrelation (semi join the key set, then re-join
+    lineitem and re-aggregate) computes the SAME per-order quantity
+    sum twice and scans lineitem twice. Here the HAVING aggregate's
+    value is carried through: each output group (custkey, orderkey,
+    orderdate) is exactly one order, so its total_qty IS the q the
+    filter already computed — one lineitem scan, one aggregation, two
+    dim joins, no re-aggregation. The oracle keeps the IN +
+    re-aggregation formulation, so the equivalence is hash-checked."""
     li = load_table(spark, sf_dir, "lineitem")
-    big_orders = (
-        li.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"))
-        .filter(F.col("q") > 150)
-        .select(F.col("l_orderkey").alias("big_orderkey"))
-    )
+    big_orders = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q")
+    ).filter(F.col("q") > 150)
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     return (
-        o.join(big_orders, o.o_orderkey == F.col("big_orderkey"), "left_semi")
+        big_orders.join(o, F.col("l_orderkey") == o.o_orderkey)
         .join(c, F.col("o_custkey") == c.c_custkey)
-        .join(li, F.col("o_orderkey") == li.l_orderkey)
-        .groupBy(
+        .select(
             F.col("c_custkey").alias("custkey"),
             F.col("o_orderkey").alias("orderkey"),
             F.col("o_orderdate").alias("orderdate"),
-        )
-        .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("total_qty")
+            F.col("q").cast("double").alias("total_qty"),
         )
     )
 
