@@ -225,6 +225,8 @@ _REVERIFY_FIRST = [
     "multimodal_audio_features",
     # gap-fill interval-explode rewrite (green r06)
     "events_gapfill_locf",
+    # q18 single-scan rewrite (green r05)
+    "tpch_q18_large_orders",
 ]
 
 
