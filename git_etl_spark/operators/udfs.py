@@ -129,6 +129,8 @@ def batch_partials(docs: DataFrame) -> DataFrame:
 
     def batch_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if not len(pdf):  # an empty batch has no min/max to report
+                continue
             yield pd.DataFrame(
                 {
                     "batch_rows": [len(pdf)],
