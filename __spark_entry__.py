@@ -227,6 +227,10 @@ _REVERIFY_FIRST = [
     "events_gapfill_locf",
     # q18 single-scan rewrite (green r05)
     "tpch_q18_large_orders",
+    # media single-task sweep repartitions (greens r05/r06)
+    "multimodal_image_ahash",
+    "multimodal_decode_features",
+    "multimodal_frame_sample",
 ]
 
 

@@ -487,8 +487,14 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     reconstructs every feature independently from the text column —
     byte sums via hex-pair arithmetic — so the full wrap→ship→decode
     loop is value-verified, not just shape-checked."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", encode_simg("doc_id", "text").alias("payload")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        # single-file corpus → one input split; spread the per-item
+        # decode CPU over every core before the Python stage (same
+        # treatment as the JPEG/GIF/WAV twins — the 10× corpus ran
+        # single-task without it)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", encode_simg("doc_id", "text").alias("payload"))
     )
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -594,8 +600,12 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-frame byte mean, strided thumbnail hex — is independently
     reconstructed by the DuckDB oracle from the text column, so the
     expansion is value-verified, not just shape-checked."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        # spread the per-item frame walk across cores (see the
+        # decode-features twin above for the single-split rationale)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     )
 
     def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -941,8 +951,13 @@ def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     batches, parallelism ∝ partitions), output one 64-bit key per
     image; the dedup join is then a plain shuffle on the hash — the
     same X1 exact-dedup shape, applied to pixels instead of text."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", encode_simg("doc_id", "text").alias("payload")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        # the per-byte aHash grid walk is the heaviest pure-Python
+        # per-item loop in the media family — spread it (10× corpus
+        # measured 4.5 s single-task without this)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", encode_simg("doc_id", "text").alias("payload"))
     )
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
