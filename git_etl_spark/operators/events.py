@@ -378,41 +378,75 @@ def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     charting).
 
     Plan shape: LOCF over a spine is computed WITHOUT materializing
-    the spine join or running a window over the filled rows. Each
-    observed hour covers the interval [obs, next_obs) — the spine
-    starts and ends on OBSERVED hours (h0/h1 are truncations of real
-    event timestamps), so every spine hour falls in exactly one such
-    interval with its LOCF value being that interval's hour_value.
-    One lead() window over the ~observed (user, hour) rows, then a
-    sequence-explode of each interval emits the filled rows directly.
+    the spine join or running a window over the filled rows. The LOCF
+    generators are the hours with a NON-NULL aggregated value (the
+    running window's IGNORE NULLS skips null-sum hours, so they carry
+    like gaps); each generator covers [its hour, next generator) and
+    the LAST one extends to the user's spine end h1. A per-user
+    virtual NULL generator at the spine start h0 covers the leading
+    segment when the first value-bearing hour is later than h0 (or
+    absent entirely) — locf NULL, filled 1, exactly the running
+    window's leading-null behavior. ``filled`` is 0 only on a
+    generator's own non-null hour (the oracle's
+    ``h.hour_value IS NULL`` flag is true for gap hours AND observed
+    hours whose sum is NULL). One lead() window over the generator
+    rows, then a sequence-explode emits the filled rows directly.
     vs the naive spine-join-then-running-window: no 1M-row left join,
     no 1M-row sort — the window sorts only observed hours, and the
     explode is embarrassingly parallel after an explicit round-robin
     rebalance (which also defeats AQE's byte-based coalescer, which
     sees only the tiny pre-explode relation and collapsed the naive
     plan's entire explode+join+sort tail onto one task). Measured
-    noop-sink at sf0.1: 1.47 s naive → 0.99 s. The oracle keeps the
+    noop-sink at sf0.1: 1.47 s naive → ~1 s. The oracle keeps the
     spine-join + running-window formulation, so the interval
-    equivalence is hash-checked."""
+    equivalence is hash-checked; the null-sum edge (absent from the
+    driver corpus) carries a planted-NULL pytest against the same
+    oracle SQL."""
     ev = load_table(spark, sf_dir, "events")
     hourly = ev.groupBy(
         "user_id", trunc_hour_ntz("ts").alias("hour_bucket")
     ).agg(dsum("value").alias("hour_value"))
+    # spine bounds derive from the hourly aggregate, not a second
+    # events scan: trunc(min ts) IS the minimum observed hour (and
+    # likewise for max), so one re-aggregation of the small hourly
+    # relation yields h0, h1, and the first value-bearing hour v1
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("hour_bucket").alias("h0"),
+        F.max("hour_bucket").alias("h1"),
+        F.min(
+            F.when(F.col("hour_value").isNotNull(), F.col("hour_bucket"))
+        ).alias("v1"),
+    )
+    valued = hourly.filter(F.col("hour_value").isNotNull())
+    lead_gen = (
+        bounds.filter(F.col("v1").isNull() | (F.col("v1") > F.col("h0")))
+        .select(
+            "user_id",
+            F.col("h0").alias("hour_bucket"),
+            F.lit(None).cast("double").alias("hour_value"),
+        )
+    )
+    gens = valued.select(
+        "user_id", "hour_bucket", "hour_value"
+    ).unionByName(lead_gen)
     w = Window.partitionBy("user_id").orderBy("hour_bucket")
-    intervals = hourly.select(
-        "user_id",
-        "hour_bucket",
-        "hour_value",
-        F.coalesce(
-            F.lead("hour_bucket").over(w) - F.expr("INTERVAL 1 HOUR"),
-            F.col("hour_bucket"),
-        ).alias("cover_end"),
+    intervals = (
+        gens.withColumn("nxt", F.lead("hour_bucket").over(w))
+        .join(bounds.select("user_id", "h1"), "user_id")
+        .select(
+            "user_id",
+            "hour_bucket",
+            "hour_value",
+            F.coalesce(
+                F.col("nxt") - F.expr("INTERVAL 1 HOUR"), F.col("h1")
+            ).alias("cover_end"),
+        )
     )
     return (
         intervals.repartition(spark.sparkContext.defaultParallelism)
         .select(
             "user_id",
-            F.col("hour_bucket").alias("obs_hour"),
+            F.col("hour_bucket").alias("gen_hour"),
             "hour_value",
             F.explode(
                 F.sequence(
@@ -424,7 +458,8 @@ def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "hour_bucket",
             F.col("hour_value").alias("locf_value"),
-            F.when(F.col("hour_bucket") > F.col("obs_hour"), 1)
+            F.when(F.col("hour_bucket") > F.col("gen_hour"), 1)
+            .when(F.col("hour_value").isNull(), 1)
             .otherwise(0)
             .alias("filled"),
         )

@@ -200,10 +200,30 @@ def decode_png(payload: bytes) -> dict:
             out.append((b >> shift) & mask)
         return out
 
+    # The header (already validated) fixes the EXACT filtered-stream
+    # length: one filter byte plus row_bytes per scanline, per pass.
+    # Decompress with that as a hard cap so a decompression bomb (tiny
+    # IDAT inflating to gigabytes against a small claimed geometry) is
+    # cut off at expected+1 bytes instead of ballooning executor
+    # memory — the inverse of the bit-flipped-IHDR bound below.
+    if interlace == 0:
+        expected = height * (1 + _row_bytes(width))
+    else:
+        expected = sum(
+            ph * (1 + _row_bytes(pw))
+            for x0, y0, dx, dy in _ADAM7
+            for pw in [(width - x0 + dx - 1) // dx]
+            for ph in [(height - y0 + dy - 1) // dy]
+            if pw > 0 and ph > 0
+        )
     try:
-        raw = zlib.decompress(bytes(idat))
+        raw = zlib.decompressobj().decompress(bytes(idat), expected + 1)
     except zlib.error as exc:
         raise ValueError(f"malformed PNG zlib stream: {exc}") from exc
+    if len(raw) > expected:
+        raise ValueError(
+            "PNG IDAT stream inflates past the header's scanline claim"
+        )
     # Bound the header's pixel claim against what the decompressed
     # stream can actually carry BEFORE any width·height allocation —
     # a bit-flipped IHDR must raise, not trigger a multi-GB list.

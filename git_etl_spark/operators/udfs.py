@@ -174,7 +174,12 @@ def udf_mapinpandas_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_rows_only.py)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return batch_partials(docs).agg(
-        F.sum("batch_rows").alias("total_rows"),
+        # COALESCE: the oracle's COUNT(*) over an empty table is 0,
+        # but the fold's SUM over zero partials would be NULL
+        # (min/max/sum stay NULL on empty in both engines)
+        F.coalesce(F.sum("batch_rows"), F.lit(0).cast("long")).alias(
+            "total_rows"
+        ),
         F.min("min_doc_id").alias("min_doc_id"),
         F.max("max_doc_id").alias("max_doc_id"),
         F.sum("sum_doc_id").alias("sum_doc_id"),

@@ -284,7 +284,10 @@ def groupingsets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
-               CAST(SUM(pn) AS BIGINT) AS n,
+               -- COALESCE: on an EMPTY fact table the () grouping set
+               -- still emits one row, where native COUNT(*) is 0 but
+               -- a re-aggregated SUM over zero partials is NULL
+               CAST(COALESCE(SUM(pn), 0) AS BIGINT) AS n,
                CAST(SUM(pq) AS DOUBLE) AS sum_qty
         FROM lineitem_gs_partial
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())

@@ -59,18 +59,6 @@ def has_take_ordered(df: DataFrame) -> bool:
     return "TakeOrderedAndProject" in physical_plan(df)
 
 
-def reused_exchange_count(df: DataFrame) -> int:
-    """Number of ReusedExchange nodes in the *final* (post-AQE) plan —
-    proof that identical shuffle subtrees (e.g. TPC-H Q21's l1/l2/l3
-    branches over the same per-(order,supplier) aggregate) executed
-    once and were replayed, not recomputed. AQE only marks reuse after
-    an action finalizes the plan, so this runs one."""
-    df.collect()
-    return df._jdf.queryExecution().executedPlan().toString().count(
-        "ReusedExchange"
-    )
-
-
 def codegen_stage_count(df: DataFrame) -> int:
     """Distinct WholeStageCodegen stages in the *final* plan. Under AQE
     the executed plan (with codegen wrappers) only exists after an

@@ -219,3 +219,22 @@ def test_valid_fixtures_still_decode():
         assert decode_jpeg(fixture)["width"] == 8
     for interlaced in (False, True):
         assert decode_gif(_gif_fixture(interlaced))["magic"] == "GIF"
+
+
+def test_png_decompression_bomb_bounded():
+    """A tiny IDAT inflating far past the header's scanline claim must
+    raise at the cap (expected+1 bytes), never allocate the full
+    decompressed stream — a 64 MB bomb compresses to ~64 KB and would
+    otherwise balloon executor memory inside mapInPandas."""
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(64 * 1024 * 1024)))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="inflates past"):
+        decode_png(bomb)

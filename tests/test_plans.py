@@ -453,15 +453,18 @@ def test_itemset_pairs_no_self_join(spark):
     assert plan.count("BroadcastHashJoin") == 2, plan
 
 
-def test_gapfill_locf_no_join_single_window(spark):
-    """Interval-explode LOCF: no join of the spine against the hourly
-    aggregate (the intervals ARE the fill), exactly one window (the
-    lead over observed hours), and an explicit round-robin rebalance
-    ahead of the explode so the expansion parallelizes."""
+def test_gapfill_locf_no_spine_join_single_window(spark):
+    """Interval-explode LOCF: the EXPLODED (spine-sized) relation is
+    never joined — the only joins sit below the Generate, stitching
+    the per-user bounds onto the small generator rows; exactly one
+    window (the lead over observed hours), and an explicit round-robin
+    rebalance ahead of the explode so the expansion parallelizes."""
     from git_etl_spark.plans.audit import physical_plan
 
     plan = physical_plan(_q(spark, "events_gapfill_locf"))
-    assert "Join" not in plan, plan
+    # tree prints parent-first: any Join node must appear AFTER (below)
+    # the Generate — nothing joins the exploded rows
+    gen_at = plan.index("Generate explode(sequence")
+    assert "Join" not in plan[:gen_at], plan
     assert plan.count("Window") == 1, plan
     assert "RoundRobinPartitioning" in plan, plan
-    assert "Generate explode(sequence" in plan, plan

@@ -1126,3 +1126,59 @@ def test_mapinpandas_batch_partials_shape_and_fold(spark):
     n, mn = expected
     assert sum(r.batch_rows for r in rows) == n
     assert min(r.min_doc_id for r in rows) == mn
+
+
+def test_gapfill_locf_null_hour_parity(spark, tmp_path):
+    """The interval-explode LOCF must match the frozen spine-join +
+    running-window oracle when observed hours aggregate to NULL — the
+    driver corpus has no NULL values, so this edge (null-sum hours
+    carry like gaps: locf = previous non-null value, filled = 1, and
+    leading/all-null users emit NULL/filled=1 spines) is proven here
+    against the SAME oracle SQL on a planted-NULL corpus."""
+    import duckdb
+
+    from git_etl_spark import registry
+
+    from pyspark.sql import functions as F
+
+    registry.load_all()
+    rows = [
+        # user 1: value, then a null-sum observed hour, gap, value
+        ("2024-01-01 01:10:00", 1, 5.0),
+        ("2024-01-01 03:20:00", 1, None),
+        ("2024-01-01 03:30:00", 1, None),
+        ("2024-01-01 06:00:00", 1, 7.0),
+        # user 2: LEADING null-sum hour before the first value
+        ("2024-01-01 01:05:00", 2, None),
+        ("2024-01-01 02:10:00", 2, 3.0),
+        # user 3: every observed hour null-sum
+        ("2024-01-01 01:00:00", 3, None),
+        ("2024-01-01 04:00:00", 3, None),
+        # user 4: trailing null-sum hour after the last value
+        ("2024-01-01 01:00:00", 4, 2.0),
+        ("2024-01-01 05:00:00", 4, None),
+    ]
+    df = spark.createDataFrame(
+        [(r[0], r[1], r[2]) for r in rows],
+        schema="ts string, user_id long, value double",
+    ).select(
+        F.col("ts").cast("timestamp_ntz").alias("ts"), "user_id", "value"
+    )
+    sf_dir = str(tmp_path)
+    df.coalesce(1).write.parquet(f"{sf_dir}/events.parquet")
+
+    got = sorted(
+        tuple(map(repr, r))
+        for r in registry.QUERIES["events_gapfill_locf"](spark, sf_dir).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet/*.parquet')"
+    )
+    want = sorted(
+        tuple(map(repr, r))
+        for r in con.execute(registry.ORACLES["events_gapfill_locf"]).fetchall()
+    )
+    assert len(got) == len(want)
+    assert got == want
