@@ -212,26 +212,14 @@ def _changed_since_green(
 # for pre-file green rounds, so the exact changed-since-green tier
 # can't flag them) — front-loaded until each has a hash-green row
 # recorded in round >= _REVERIFY_FIRST_ROUND; the tier then
-# self-deactivates. The round-7/8 cohort (23 queries: the qsum TPC-H
-# pack, window-count text rewrites, CC/simhash/PageRank family,
-# minhash rewrites) all re-greened in r08 and dropped off; the current
-# entries are the round-9 rewrites with pre-fingerprint-file greens.
-_REVERIFY_FIRST_ROUND = 9
-_REVERIFY_FIRST = [
-    # round-9 rewrites: q21 decorrelation, itemset array expansion
-    # (greens r05), audio decode repartition (green r06)
-    "tpch_q21_waiting_suppliers",
-    "agg_frequent_itemset_pairs",
-    "multimodal_audio_features",
-    # gap-fill interval-explode rewrite (green r06)
-    "events_gapfill_locf",
-    # q18 single-scan rewrite (green r05)
-    "tpch_q18_large_orders",
-    # media single-task sweep repartitions (greens r05/r06)
-    "multimodal_image_ahash",
-    "multimodal_decode_features",
-    "multimodal_frame_sample",
-]
+# self-deactivates. The round-7/8 cohort (23 queries) re-greened in
+# r08 and the round-9 cohort (8 rewrites: q21/q18/itemset/gap-fill +
+# four media repartitions) re-greened in r09, so the list is empty;
+# repopulate only for round-10+ edits whose green predates the edit
+# AND whose green round predates the fingerprint file (otherwise the
+# exact fingerprint tier already catches them).
+_REVERIFY_FIRST_ROUND = 10
+_REVERIFY_FIRST: list[str] = []
 
 
 def _cost_hint() -> dict[str, float]:

@@ -557,6 +557,14 @@ def agg_frequent_itemset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ib = item.select(
         F.col("l_partkey").alias("item_b"), F.col("c_item").alias("c_b")
     )
+    # The broadcast hint is CATALOG-sized, not fact-sized: ia/ib carry
+    # one (partkey, count) row per distinct part, so at sf0.1 they're
+    # ~20k rows / <1 MB. At 100 TB a part catalog can exceed the 8 GB
+    # broadcast hard limit — if the catalog outgrows
+    # autoBroadcastJoinThreshold, drop the hints and let AQE pick
+    # shuffled hash join on (item_a)/(item_b); the plan stays one
+    # exchange per side and the metrics math is unchanged. The hint
+    # documents intent at bench scale, it is not load-bearing.
     return (
         pair.join(F.broadcast(ia), "item_a")
         .join(F.broadcast(ib), "item_b")

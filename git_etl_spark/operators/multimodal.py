@@ -217,13 +217,22 @@ def decode_png(payload: bytes) -> dict:
             if pw > 0 and ph > 0
         )
     try:
-        raw = zlib.decompressobj().decompress(bytes(idat), expected + 1)
+        dec = zlib.decompressobj()
+        raw = dec.decompress(bytes(idat), expected + 1)
     except zlib.error as exc:
         raise ValueError(f"malformed PNG zlib stream: {exc}") from exc
     if len(raw) > expected:
         raise ValueError(
             "PNG IDAT stream inflates past the header's scanline claim"
         )
+    # decompressobj().decompress returns partial output on a TRUNCATED
+    # stream without raising (unlike one-shot zlib.decompress), so a
+    # short stream would otherwise fall through to the geometry checks
+    # and be misreported as a pixel-claim mismatch. Diagnose it at the
+    # codec boundary: short output with no end-of-stream marker means
+    # the deflate stream itself was cut off.
+    if len(raw) < expected and not dec.eof:
+        raise ValueError("truncated PNG zlib stream")
     # Bound the header's pixel claim against what the decompressed
     # stream can actually carry BEFORE any width·height allocation —
     # a bit-flipped IHDR must raise, not trigger a multi-GB list.

@@ -238,3 +238,23 @@ def test_png_decompression_bomb_bounded():
     )
     with pytest.raises(ValueError, match="inflates past"):
         decode_png(bomb)
+
+
+def test_png_truncated_zlib_stream_diagnosed_at_codec_boundary():
+    """decompressobj().decompress returns PARTIAL output on a truncated
+    deflate stream without raising (unlike one-shot zlib.decompress),
+    so a cut-off IDAT used to fall through to the geometry checks and
+    be misreported as 'header claims more pixels than the IDAT stream
+    carries'. It must instead be diagnosed as truncation at the codec
+    boundary (ADVICE r9)."""
+    good = _png_fixture(8, 2)
+    # Locate the IDAT chunk and cut its deflate payload in half,
+    # re-framing the chunk (length + CRC) so ONLY the zlib stream is
+    # damaged — chunk-level integrity stays intact.
+    i = good.index(b"IDAT") - 4
+    (dlen,) = struct.unpack(">I", good[i : i + 4])
+    payload = good[i + 8 : i + 8 + dlen]
+    cut = payload[: dlen // 2]
+    truncated = good[:i] + _png_chunk(b"IDAT", cut) + good[i + 12 + dlen :]
+    with pytest.raises(ValueError, match="truncated PNG zlib stream"):
+        decode_png(truncated)
