@@ -121,7 +121,20 @@ def main() -> None:
     cold: dict[str, float] = {}
     timings: dict[str, float] = {}
     spread: dict[str, dict[str, float]] = {}
-    for name in sorted(registry.QUERIES):
+    # Mid-sweep canary TIMELINE: endpoint canaries alone proved blind
+    # to contention bursts confined to the middle of a ~20-minute sweep
+    # (round 10: a run with quiet 0.21/0.16 endpoints carried a burst
+    # that inflated the alphabetically-early half — dedup/events — by
+    # 20–40% while the late half matched the quiet-window numbers). One
+    # single-shot canary after every ~30 queries timestamps the regime
+    # ACROSS the sweep, so a reader can map any query's elevated time
+    # to the probe nearest its position instead of trusting two
+    # endpoint samples. Cost: ~8 probes × ~0.2 s quiet ≈ 1.6 s.
+    canary_timeline: list[dict[str, float]] = []
+    ordered = sorted(registry.QUERIES)
+    for i, name in enumerate(ordered):
+        if i % 30 == 0:
+            canary_timeline.append({"after_n": i, "sec": canary()})
         cold[name] = run(name)
         times = [cold[name]] + [run(name) for _ in range(reps - 1)]
         timings[name] = round(min(times), 4)
@@ -129,6 +142,7 @@ def main() -> None:
         # host-tenancy noise (wide spread, unchanged min) from a real
         # regression (min itself moved) without re-running the bench
         spread[name] = {"min": round(min(times), 4), "max": round(max(times), 4)}
+    canary_timeline.append({"after_n": len(ordered), "sec": canary()})
 
     canary_after = min(canary(), canary(), canary())
 
@@ -144,6 +158,7 @@ def main() -> None:
             "reps": reps,
             "cold_value": round(sum(cold.values()), 4),
             "canary_sec": {"before": canary_before, "after": canary_after},
+            "canary_timeline": canary_timeline,
             "spread": spread,
         }
     )
