@@ -37,6 +37,24 @@ TOP_K = 5
 N_QUERIES = 10  # query set = vec_id < 10
 
 
+def _spread_corpus(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Spread the corpus scan across every core before map-side scoring.
+
+    The embeddings corpus at bench scale is ONE small parquet file →
+    one input split, so a broadcast-crossJoin cosine scan runs as a
+    SINGLE task on one core — data-linear serialization at any corpus
+    size (the round-10 cores sweep measured simsearch_topk_bruteforce
+    flat at ~4.6 s from local[4] to local[32] on a 10× corpus; the
+    same failure mode the round-9 media sweep fixed for the decode
+    stages). The explicit-N repartition is exempt from AQE's
+    byte-based coalescer (which reads this corpus as "small" and
+    would re-serialize the CPU-heavy lambda math); on a multi-split
+    estate the exchange is redundant but costs one narrow corpus
+    pass (~0.05 s at sf0.1) — kept for scale correctness, matching
+    the media-family and dedup `_unit_cols` precedents."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 @query(
     "simsearch_topk_bruteforce",
     oracle=f"""
@@ -68,7 +86,7 @@ def simsearch_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         F.broadcast(q)
-        .crossJoin(emb)
+        .crossJoin(_spread_corpus(spark, emb))
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",
@@ -123,6 +141,13 @@ def simsearch_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("vec_id")
         .select(F.col("vec_id").alias("h_id"), F.col("embedding").alias("h"))
     )
+    # NO _spread_corpus here, deliberately: the map-side work is 8
+    # dot products per row (light, vectorized codegen), and the heavy
+    # lifting (signature groupBy) already shuffles — measured at sf0.1
+    # the exchange costs +0.29 s against ~0 spread benefit, and the 10×
+    # corpus runs flat ~0.8 s at every core count (floor-dominated).
+    # Same left-as-is reasoning as the three scalar pandas_udf sites
+    # (PERFORMANCE.md round 9).
     joined = emb.crossJoin(F.broadcast(planes))
     from ..functions.vector import dot
 
@@ -893,16 +918,18 @@ def simsearch_range_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ≥ τ comparison decides identically in both engines.
 
     At 100 TB the probe side stays broadcast and the corpus scan
-    shards freely (no shuffle at all — scan → filter); with a large
-    probe set the same query routes through the LSH/IVF bucketed
-    candidate generation instead (simsearch_lsh_bucketed)."""
+    shards freely (the _spread_corpus exchange exists for the
+    single-split bench artifact; on a sharded estate scan → filter
+    needs no shuffle); with a large probe set the same query routes
+    through the LSH/IVF bucketed candidate generation instead
+    (simsearch_lsh_bucketed)."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < RANGE_N_PROBES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
     return (
         F.broadcast(q)
-        .crossJoin(emb)
+        .crossJoin(_spread_corpus(spark, emb))
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",

@@ -468,3 +468,28 @@ def test_gapfill_locf_no_spine_join_single_window(spark):
     assert "Join" not in plan[:gen_at], plan
     assert plan.count("Window") == 1, plan
     assert "RoundRobinPartitioning" in plan, plan
+
+
+def test_simsearch_bruteforce_corpus_scoring_spread(spark):
+    """The exact-cosine scoring must run over a SPREAD corpus, never
+    map-side on the raw single-split scan: the round-10 cores sweep
+    measured the unspread plan FLAT (~4.6 s) from local[4] to
+    local[32] on a 10x corpus — a data-linear single-task stage. The
+    explicit-N repartition (RoundRobinPartitioning, AQE-coalesce-
+    exempt) must sit between the corpus scan and the broadcast
+    cross-join scoring in both exact-tier queries."""
+    from git_etl_spark.plans.audit import physical_plan
+
+    for name in ("simsearch_topk_bruteforce", "simsearch_range_cosine"):
+        plan = physical_plan(_q(spark, name))
+        assert "RoundRobinPartitioning" in plan, (name, plan)
+        join_at = plan.index("BroadcastNestedLoopJoin")
+        # tree strings print parent-first and the broadcast (query)
+        # branch prints before the corpus branch, so the corpus scan is
+        # the LAST FileScan: the round-robin exchange must sit in the
+        # join's subtree above that corpus scan
+        below = plan[join_at:]
+        assert "RoundRobinPartitioning" in below[: below.rindex("FileScan")], (
+            name,
+            plan,
+        )
