@@ -413,9 +413,15 @@ def simsearch_ann_ml_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", array_to_vector("embedding").alias("features")
-    )
+    # _spread_corpus: the per-row hash projections (numHashTables × d
+    # dot products via the ml Vector UDT) otherwise run on the single
+    # input split — the round-10 cores screen measured this query
+    # data-growing (0.83 → 2.09 s at 10×) but flat in cores. Hash
+    # values depend only on (features, seed), so the spread cannot
+    # change the result set.
+    emb = _spread_corpus(
+        spark, load_table(spark, sf_dir, "embeddings")
+    ).select("vec_id", array_to_vector("embedding").alias("features"))
     lsh = BucketedRandomProjectionLSH(
         inputCol="features",
         outputCol="hashes",
@@ -492,6 +498,16 @@ def pq_codebooks_and_codes(
             ).alias("sv")
         )
     )
+    # Measured and NOT spread (round-10 cores screen): explicit
+    # repartitions on subvecs/codes parallelize the ADC scoring at 10×
+    # (2.11 → 1.50 s) but cost +0.58 s at sf0.1 — two extra exchanges
+    # on an already exchange-heavy pipeline whose fixed costs dominate
+    # at bench byte sizes. The 10× serialization is the AQE coalescer
+    # folding kilobyte shuffle outputs; at real corpus size the codes
+    # table is TBs and coalescing itself yields thousands of
+    # partitions, so the artifact is bench-local. Rejected with
+    # numbers, same discipline as PERFORMANCE.md round 9's
+    # "measured and left alone" tier.
     subvecs = iter_checkpoint(subvecs)
     codebooks = iter_checkpoint(
         subvecs.filter(F.col("vec_id") < PQ_K).select(
@@ -727,9 +743,22 @@ def _pca_power_solve(
     import math
 
     emb = load_table(spark, sf_dir, "embeddings")
-    elems = emb.select(
-        "vec_id", F.posexplode("embedding").alias("pos", "raw")
-    ).select("vec_id", "pos", F.col("raw").cast("double").alias("val"))
+    # The explicit vec_id repartition spreads the moment pass: the
+    # self-join below expands every vector into d(d+1)/2 = 2080 cell
+    # products, CPU that AQE's byte-based coalescer would fold onto
+    # 1-2 tasks (the exploded elems are only ~10 MB at 10× sf0.1 —
+    # bytes are a poor proxy for a 2080× expansion). The explicit-N
+    # exchange is coalesce-exempt, satisfies BOTH sides of the vec_id
+    # self-join (no further shuffle before the cell aggregation), and
+    # the round-10 cores sweep measured the unspread plan flat at
+    # ~3.2 s from local[4] to local[32] on the 10× corpus. DECIMAL
+    # cell sums are order-independent, so partitioning cannot move
+    # the oracled ppm output.
+    elems = (
+        emb.select("vec_id", F.posexplode("embedding").alias("pos", "raw"))
+        .select("vec_id", "pos", F.col("raw").cast("double").alias("val"))
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    )
     means_rows = (
         elems.groupBy("pos")
         .agg(sum14(F.col("val")).alias("s14"), F.count("*").alias("n"))
