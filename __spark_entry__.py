@@ -118,7 +118,10 @@ def _fp_changed_since_green(
     import json
 
     try:
-        from git_etl_spark.fingerprints import current_fingerprints
+        from git_etl_spark.fingerprints import (
+            current_fingerprints,
+            fingerprints_differ,
+        )
 
         live = current_fingerprints()
     except Exception:
@@ -155,7 +158,12 @@ def _fp_changed_since_green(
         if fps is None or name not in fps or name not in live:
             out[name] = None
         else:
-            out[name] = fps[name] != live[name]
+            # fingerprints_differ handles the round-11 format change:
+            # pre-r11 stored values are shallow-only and compare
+            # shallow-vs-shallow; r11+ values carry a deep component
+            # (helper-closure hash) and compare deep-vs-deep, so
+            # helper-only edits flag the queries that call them.
+            out[name] = fingerprints_differ(fps[name], live[name])
     return out
 
 
@@ -207,19 +215,44 @@ def _changed_since_green(
     return changed
 
 
-# Queries rewritten in a round but whose latest driver green predates
-# QUERY_FINGERPRINTS.json (the fingerprint as-of lookup returns None
-# for pre-file green rounds, so the exact changed-since-green tier
-# can't flag them) — front-loaded until each has a hash-green row
-# recorded in round >= _REVERIFY_FIRST_ROUND; the tier then
-# self-deactivates. The round-7/8 cohort (23 queries) re-greened in
-# r08 and the round-9 cohort (8 rewrites: q21/q18/itemset/gap-fill +
-# four media repartitions) re-greened in r09, so the list is empty;
-# repopulate only for round-10+ edits whose green predates the edit
-# AND whose green round predates the fingerprint file (otherwise the
-# exact fingerprint tier already catches them).
-_REVERIFY_FIRST_ROUND = 10
-_REVERIFY_FIRST: list[str] = []
+# Queries rewritten in a round but whose latest driver green the
+# fingerprint tier cannot flag — either the green predates
+# QUERY_FINGERPRINTS.json (the as-of lookup returns None for pre-file
+# green rounds) or, before round 11, the edit touched only a SHARED
+# HELPER (fingerprints hashed each query's own source only, so
+# _pca_power_solve's round-10 repartition left the PCA fingerprints
+# unchanged — ADVICE r10). Round 11 closes the second gap structurally
+# (deep fingerprints include called-helper sources,
+# git_etl_spark/fingerprints.py), but deep comparison only applies to
+# greens recorded against r11+ fingerprint files, so the round-10
+# helper-edit cohort still needs this explicit front-load. Entries
+# drop out once each has a driver row in round >= _REVERIFY_FIRST_ROUND.
+_REVERIFY_FIRST_ROUND = 11
+_REVERIFY_FIRST: list[str] = [
+    # round-10 helper-only edits (fingerprints unchanged by design of
+    # the old shallow hash): _pca_power_solve gained a repartition
+    "embedding_pca_loading_ppm",
+    "embedding_pca_top_component",
+    # round-10 own-source edits whose r10 driver green may have been
+    # recorded BEFORE the edit landed (commits acfc535 13:50 /
+    # bf69209 14:28 vs an unknown driver verification time) — the fine
+    # tier catches lsh_bucketed (green pre-r10), but topk/range/ml_lsh
+    # carry r10 greens whose as-of point is the START of round 10, so
+    # they are already fine-flagged too; listing them here just makes
+    # the front-load deterministic and auditable.
+    "simsearch_lsh_bucketed",
+    "simsearch_topk_bruteforce",
+    "simsearch_range_cosine",
+    "simsearch_ann_ml_lsh",
+    # round-11 helper-only edit: decode_png gained the length-exact
+    # zlib-truncation rejection (ADVICE r10); the only query with
+    # decode_png in its helper closure carries an r10 green whose
+    # as-of fingerprint file is shallow-only, so the deep tier can't
+    # flag it for one more round. (The deep fingerprint DID catch this
+    # edit live — tests/test_fingerprints.py went stale the moment
+    # decode_png changed — which is the r11 mechanism working.)
+    "multimodal_decode_features",
+]
 
 
 def _cost_hint() -> dict[str, float]:

@@ -229,9 +229,15 @@ def decode_png(payload: bytes) -> dict:
     # stream without raising (unlike one-shot zlib.decompress), so a
     # short stream would otherwise fall through to the geometry checks
     # and be misreported as a pixel-claim mismatch. Diagnose it at the
-    # codec boundary: short output with no end-of-stream marker means
-    # the deflate stream itself was cut off.
-    if len(raw) < expected and not dec.eof:
+    # codec boundary: output at-or-below the expected length with no
+    # end-of-stream marker means the deflate stream was cut off — the
+    # == case (all scanline bytes emitted, but the stream ends before
+    # the BFINAL block close / adler32 trailer, ADVICE r10) matters
+    # because eof=True is also what guarantees zlib VERIFIED the
+    # adler32 checksum: a cap of expected+1 was never hit at <=
+    # expected bytes of output, so an un-reached trailer can only mean
+    # missing input, never an early stop.
+    if len(raw) <= expected and not dec.eof:
         raise ValueError("truncated PNG zlib stream")
     # Bound the header's pixel claim against what the decompressed
     # stream can actually carry BEFORE any width·height allocation —

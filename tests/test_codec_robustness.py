@@ -258,3 +258,52 @@ def test_png_truncated_zlib_stream_diagnosed_at_codec_boundary():
     truncated = good[:i] + _png_chunk(b"IDAT", cut) + good[i + 12 + dlen :]
     with pytest.raises(ValueError, match="truncated PNG zlib stream"):
         decode_png(truncated)
+
+
+def test_png_length_exact_truncation_without_eof_diagnosed():
+    """ADVICE r10: a deflate stream cut off after emitting exactly the
+    expected number of filtered bytes — but before the BFINAL block
+    close / adler32 trailer — used to decode silently (the old check
+    fired only on len(raw) < expected), so a corrupted-but-length-exact
+    stream passed as valid and its checksum was never verified. The
+    boundary must reject it: output <= expected with dec.eof False is
+    missing input, and eof=True is also the only state in which zlib
+    has actually verified the adler32."""
+    good = _png_fixture(8, 2)
+    i = good.index(b"IDAT") - 4
+    (dlen,) = struct.unpack(">I", good[i : i + 4])
+    payload = good[i + 8 : i + 8 + dlen]
+    # Find a cut point where ALL expected bytes come out but the
+    # end-of-stream marker is never reached (cutting the 4-byte adler
+    # trailer alone usually suffices; scan backwards to be robust to
+    # codec/level differences in where the last literal lands).
+    full = zlib.decompress(payload)
+    cut_payload = None
+    for t in range(1, min(len(payload), 64)):
+        dec = zlib.decompressobj()
+        try:
+            raw = dec.decompress(payload[:-t], len(full) + 1)
+        except zlib.error:
+            continue
+        if len(raw) == len(full) and not dec.eof:
+            cut_payload = payload[:-t]
+            break
+    assert cut_payload is not None, "no length-exact truncation point found"
+    damaged = good[:i] + _png_chunk(b"IDAT", cut_payload) + good[i + 12 + dlen :]
+    with pytest.raises(ValueError, match="truncated PNG zlib stream"):
+        decode_png(damaged)
+
+
+def test_png_corrupted_adler32_rejected():
+    """The companion guarantee: when the trailer IS present but the
+    adler32 mismatches, zlib raises during decompression and the codec
+    maps it to the malformed-stream diagnosis — so a bit-flipped
+    checksum can't pass either."""
+    good = _png_fixture(8, 2)
+    i = good.index(b"IDAT") - 4
+    (dlen,) = struct.unpack(">I", good[i : i + 4])
+    payload = good[i + 8 : i + 8 + dlen]
+    bad = payload[:-1] + bytes([payload[-1] ^ 0xFF])
+    damaged = good[:i] + _png_chunk(b"IDAT", bad) + good[i + 12 + dlen :]
+    with pytest.raises(ValueError, match="malformed PNG zlib stream"):
+        decode_png(damaged)

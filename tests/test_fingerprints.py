@@ -10,9 +10,16 @@ the registry: on failure, regenerate with
 """
 
 import json
+import re
 
 import __spark_entry__  # noqa: F401  (populates the registry)
-from git_etl_spark.fingerprints import FINGERPRINT_FILE, current_fingerprints
+from git_etl_spark import registry
+from git_etl_spark.fingerprints import (
+    FINGERPRINT_FILE,
+    current_fingerprints,
+    fingerprints_differ,
+    referenced_helper_sources,
+)
 
 
 def test_fingerprint_file_is_fresh():
@@ -51,3 +58,42 @@ def test_rotation_orders_fingerprint_changed_before_stale():
     assert helper_changed < untouched
     assert unknown_changed < untouched
     assert stale_untouched < untouched  # staleness still orders tier 4
+
+
+def test_fingerprint_format_is_shallow_colon_deep():
+    """Round-11 format: every value is '<shallow md5>:<deep md5>'."""
+    live = current_fingerprints()
+    pat = re.compile(r"^[0-9a-f]{32}:[0-9a-f]{32}$")
+    bad = sorted(n for n, v in live.items() if not pat.match(v))
+    assert not bad, f"malformed fingerprints: {bad[:5]}"
+
+
+def test_deep_fingerprint_covers_shared_helpers():
+    """ADVICE r10 regression: the round-10 repartition landed in the
+    shared helper _pca_power_solve, leaving the PCA queries' own-source
+    (shallow) hashes unchanged and invisible to the changed-since-green
+    tier. The deep component must include called-helper sources so a
+    helper-only edit flags every query that calls it."""
+    fn = registry.QUERIES["embedding_pca_loading_ppm"]
+    helpers = referenced_helper_sources(fn)
+    assert "git_etl_spark.operators.similarity._pca_power_solve" in helpers
+    # transitive closure, not just direct calls: the helper's own
+    # callees participate too (io.load_table is reached via the query,
+    # vector helpers via the moment pass)
+    assert any(k.startswith("git_etl_spark.functions.vector.") for k in helpers)
+    # and the round-10 spread helper is in the brute-force closure
+    fn2 = registry.QUERIES["simsearch_topk_bruteforce"]
+    assert (
+        "git_etl_spark.operators.similarity._spread_corpus"
+        in referenced_helper_sources(fn2)
+    )
+
+
+def test_fingerprints_differ_legacy_and_deep():
+    """Stored pre-r11 values are shallow-only: compare shallow-vs-
+    shallow (same rule their greens were recorded under). Two-component
+    values compare deep-vs-deep so helper edits count."""
+    assert fingerprints_differ("aaa", "aaa:deep1") is False  # legacy match
+    assert fingerprints_differ("old", "new:deep1") is True   # legacy drift
+    assert fingerprints_differ("s:d1", "s:d2") is True       # helper edit
+    assert fingerprints_differ("s1:d", "s2:d") is False      # deep rules
