@@ -1259,11 +1259,20 @@ def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     maximum is the capacity-planning number load tests are sized
     against.
 
-    The sweep is one ordered pass over 2·|sessions| boundary rows —
-    session *boundaries*, not events, so the window input is already
-    thousands of times smaller than the log; at 100 TB the same sweep
-    runs per day-partition with a carried-in opening count. Session
-    derivation reuses events_sessionize's gaps-and-islands shuffle."""
+    The sweep runs per DAY-partition with a carried-in opening count
+    (round 11 — the r11 cores screen caught the original single global
+    ordered window flat at 3.2-3.8 s from local[4] to local[32] on the
+    10x corpus while growing 4.0x with data: a textbook serialized
+    stage). Distributed prefix-sum shape: (1) a running boundary sum
+    WITHIN each day partition, spread across days; (2) per-day delta
+    totals cumulated over the tiny day-level table (bounded by the
+    calendar, not the data — the one deliberately single-task window);
+    (3) peak(day) = opening + max(within-day running sum), valid
+    because the opening is constant inside a day so max commutes with
+    the shift. Boundaries are 2·|sessions| rows — session boundaries,
+    not events, already thousands of times smaller than the log.
+    Session derivation reuses events_sessionize's gaps-and-islands
+    shuffle."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gapped = ev.select(
@@ -1284,25 +1293,63 @@ def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("s_start"),
         F.expr(f"MAX(ts) + INTERVAL {SESSION_GAP_SEC} SECOND").alias("s_end"),
     )
-    starts = sessions.select(
-        F.col("s_start").alias("t"),
-        F.lit(1).alias("delta"),
-        F.lit(0).alias("is_end"),
+    # explode-to-two-rows, not UNION of two selects: a union would
+    # evaluate the whole sessionize subtree twice (no cache between
+    # the branches) — one generator pass emits both boundaries.
+    boundaries = sessions.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("s_start").alias("t"),
+                    F.lit(1).alias("delta"),
+                    F.lit(0).alias("is_end"),
+                ),
+                F.struct(
+                    F.col("s_end").alias("t"),
+                    F.lit(-1).alias("delta"),
+                    F.lit(1).alias("is_end"),
+                ),
+            )
+        ).alias("b")
+    ).select("b.t", "b.delta", "b.is_end", F.date_trunc("day", "b.t").alias("day"))
+    w_in_day = (
+        Window.partitionBy("day")
+        .orderBy("t", "is_end", "delta")
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
-    ends = sessions.select(
-        F.col("s_end").alias("t"),
-        F.lit(-1).alias("delta"),
-        F.lit(1).alias("is_end"),
+    # One day-shuffle computes BOTH the running sweep and the whole-day
+    # delta total (full-frame sum over the same partition key — no
+    # second sort, and crucially no second evaluation of the sessionize
+    # subtree: a join-of-two-aggregates shape was A/B-measured at +63%
+    # on local[4] at 10x because it re-ran the session derivation).
+    w_full_day = Window.partitionBy("day")
+    day_level = (
+        boundaries.select(
+            "day",
+            F.sum("delta").over(w_in_day).alias("live_in_day"),
+            F.sum("delta").over(w_full_day).alias("day_delta"),
+        )
+        .groupBy("day")
+        .agg(
+            F.max("live_in_day").alias("peak_in_day"),
+            F.max("day_delta").alias("day_delta"),
+        )
     )
-    w_sweep = Window.orderBy("t", "is_end", "delta").rowsBetween(
-        Window.unboundedPreceding, 0
+    # opening count carried into each day: cumulative sum of whole-day
+    # deltas over all STRICTLY EARLIER days. The day-level table is
+    # calendar-bounded (one row per day), so this global window is a
+    # deliberate tiny single task, not a data-sized one.
+    w_prior_days = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    swept = starts.unionByName(ends).select(
-        F.date_trunc("day", "t").alias("day"),
-        F.sum("delta").over(w_sweep).alias("live"),
-    )
-    return swept.groupBy("day").agg(
-        F.max("live").cast("long").alias("max_concurrent_sessions")
+    return day_level.select(
+        "day",
+        (
+            F.coalesce(F.sum("day_delta").over(w_prior_days), F.lit(0))
+            + F.col("peak_in_day")
+        )
+        .cast("long")
+        .alias("max_concurrent_sessions"),
     )
 
 

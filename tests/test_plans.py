@@ -493,3 +493,23 @@ def test_simsearch_bruteforce_corpus_scoring_spread(spark):
             name,
             plan,
         )
+
+
+def test_max_concurrency_sweep_partitioned_by_day(spark):
+    """The boundary sweep must run per DAY-partition with a carried-in
+    opening count, never as one global ordered window over all
+    boundary rows: the r11 cores screen measured the global form flat
+    (3.2-3.8 s, local[4] to local[32]) while growing 4.0x with data —
+    and unlike an AQE-coalesced exchange, a global running sum is
+    SEMANTICALLY single-task at any scale. The plan must contain a
+    window partitioned by day over the boundaries (hashpartitioning on
+    day) and exactly one explode generator (union-of-selects would
+    evaluate the sessionize subtree twice)."""
+    from git_etl_spark.plans.audit import physical_plan
+
+    plan = physical_plan(_q(spark, "events_max_concurrency"))
+    # the day-partitioned sweep shuffle
+    assert "hashpartitioning(day" in plan, plan
+    # one generator pass for both boundaries, not a double-scan union
+    assert plan.count("Generate explode") == 1, plan
+    assert "Union" not in plan, plan
