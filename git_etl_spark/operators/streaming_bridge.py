@@ -19,7 +19,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import dataset_fingerprint, load_table
+from ..io import dataset_fingerprint, load_table, table_path
 from ..registry import query
 from ..streaming.events_stream import hourly_counts, sessionized
 
@@ -50,9 +50,61 @@ import atexit  # noqa: E402  (registration belongs right next to the memo)
 atexit.register(_cleanup_replay_sources)
 
 
-def _replay_source(spark: SparkSession, sf_dir: str, events: DataFrame) -> str:
+def _replay_partitions(
+    spark: SparkSession, sf_dir: str, sized: bool = False
+) -> int:
+    """Shuffle/state partition count for a bounded replay.
+
+    Two measured regimes (r11 cores screen, 10x events corpus,
+    local[4] vs local[32]):
+
+    - ``sized=False`` (JVM windowed/session/dedup/stream-join state):
+      stay PINNED at 4. Raising to 16 was measured WORSE or flat for
+      all four such replays (hourly 1.33->2.15 s, session 4.96->6.0,
+      attribution 3.09->4.19, dedup 1.94->2.25 at 32 cores on 10x):
+      their per-partition state is tiny, so extra partitions buy only
+      extra HDFSBackedStateStore snapshot/commit cost per micro-batch.
+      Their data growth is micro-batch machinery, not partition-starved
+      compute — on a real cluster this knob follows STATE volume.
+    - ``sized=True`` (Python-CPU-bound state folds and stateless
+      foreachBatch sinks): follow SOURCE volume, ~512 KB of source
+      parquet per partition, floor 4 (keeps sf0.1's 2 MB source at
+      exactly 4), capped at the executor thread count. The pin of 4
+      serialized the applyInPandasWithState fold 4-wide on 32 cores:
+      10.2 s flat; sizing gives 5.4 s at 16-23 partitions and the A/B
+      curve kept improving to 3.7 s at 32 — the fold is Arrow+pandas
+      CPU, the opposite cost shape from the JVM state stores.
+
+    ``SPARK_GRAFT_REPLAY_PARTITIONS`` overrides both for experiments.
+    """
+    env = os.environ.get("SPARK_GRAFT_REPLAY_PARTITIONS")
+    if env:
+        return int(env)
+    if not sized:
+        return 4
+    path = table_path(sf_dir, "events")
+    if os.path.isdir(path):
+        size = sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(path)
+            for f in files
+        )
+    else:
+        size = os.path.getsize(path)
+    return max(
+        4,
+        min(spark.sparkContext.defaultParallelism, size // (1 << 19)),
+    )
+
+
+def _replay_source(
+    spark: SparkSession, sf_dir: str, events: DataFrame, n_parts: int
+) -> str:
     """The replay source parquet is identical for every streaming query
-    over the same (session, sf_dir) — write it once and reuse."""
+    over the same (session, sf_dir) — write it once and reuse.
+    ``n_parts`` files so the file-source pre-shuffle stage has as many
+    splits as the stateful stage has partitions (n_parts is derived
+    from sf_dir, so the memo key stays valid)."""
     import uuid as _uuid
 
     memo_key = (
@@ -65,7 +117,7 @@ def _replay_source(spark: SparkSession, sf_dir: str, events: DataFrame) -> str:
         src_dir = os.path.join(
             tempfile.gettempdir(), f"ges-stream-{_uuid.uuid4().hex[:8]}"
         )
-        events.repartition(4).write.parquet(src_dir)
+        events.repartition(n_parts).write.parquet(src_dir)
         _SRC_MEMO[memo_key] = src_dir
     return src_dir
 
@@ -76,6 +128,7 @@ def _replay(
     transform: Callable[[DataFrame], DataFrame],
     out_cols: list[str],
     output_mode: str = "complete",
+    sized_partitions: bool = False,
 ) -> DataFrame:
     """Deterministic replay harness: events → parquet file stream →
     ``transform`` (a streaming/events_stream pipeline) → memory sink,
@@ -85,17 +138,23 @@ def _replay(
     Streaming aggregations ignore AQE: every micro-batch commits one
     state-store instance per shuffle partition, so the session's 32
     partitions would mean 32 HDFSBackedStateStore snapshots per trigger
-    for a result of a few hundred groups. The stateful shuffle is
-    pinned to 4 partitions for this bounded replay (restored after) —
-    on a real cluster this knob is sized to state volume, not to the
-    batch default."""
+    for a result of a few hundred groups at sf0.1. The stateful
+    shuffle count comes from _replay_partitions — pinned 4 for JVM
+    state (measured optimum at BOTH corpus scales), source-volume-
+    sized for Python-CPU-bound folds (``sized_partitions=True``); see
+    that docstring for the r11 A/B numbers behind the split. The
+    source parquet is always written volume-sized so the pre-shuffle
+    scan has splits regardless of which class reads it first."""
     events = load_table(spark, sf_dir, "events")
     run_id = uuid.uuid4().hex[:8]
-    src_dir = _replay_source(spark, sf_dir, events)
+    n_parts = _replay_partitions(spark, sf_dir, sized=sized_partitions)
+    src_dir = _replay_source(
+        spark, sf_dir, events, _replay_partitions(spark, sf_dir, sized=True)
+    )
     stream = spark.readStream.schema(events.schema).parquet(src_dir)
     name = f"stream_replay_{run_id}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
     try:
         q = (
             transform(stream)
@@ -210,6 +269,11 @@ def streaming_stateful_counts_replay(spark: SparkSession, sf_dir: str) -> DataFr
         running_user_totals,
         ["user_id", "n_events"],
         output_mode="update",
+        # the state fold is Arrow+pandas CPU in Python workers — the
+        # one replay class where partitions = parallelism, not
+        # state-store overhead (r11 A/B: 10.2 s pinned -> 5.4 s sized
+        # at 32 cores on the 10x corpus)
+        sized_partitions=True,
     )
     return updates.groupBy("user_id").agg(
         F.max("n_events").cast("long").alias("n_events")
@@ -311,18 +375,23 @@ def streaming_foreachbatch_upsert_replay(spark: SparkSession, sf_dir: str) -> Da
 
     At 100 TB the identical pipeline runs partition-scoped
     (upsert_parquet_partitioned): a micro-batch rewrites only the
-    date/tenant partitions it touches. The replay pins the stateless
-    shuffle to 4 partitions like the other replays."""
+    date/tenant partitions it touches. The replay sizes the stateless
+    shuffle from source volume like the other replays
+    (_replay_partitions)."""
     from ..streaming.events_stream import stream_upsert_to_parquet
 
     events = load_table(spark, sf_dir, "events")
     run_id = uuid.uuid4().hex[:8]
-    src_dir = _replay_source(spark, sf_dir, events)
+    # stateless sink: no state store at all, so partitions are pure
+    # merge/write parallelism — volume-sized (r11: 1.67 -> 1.20 s at
+    # 32 cores on the 10x corpus)
+    n_parts = _replay_partitions(spark, sf_dir, sized=True)
+    src_dir = _replay_source(spark, sf_dir, events, n_parts)
     stream = spark.readStream.schema(events.schema).parquet(src_dir)
     target = os.path.join(tempfile.gettempdir(), f"ges-upsert-{run_id}")
     ckpt = os.path.join(tempfile.gettempdir(), f"ges-upsert-cp-{run_id}")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
     try:
         q = stream_upsert_to_parquet(spark, stream, target, ckpt)
         q.awaitTermination(300)
