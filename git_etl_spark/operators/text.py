@@ -889,11 +889,25 @@ def text_surprisal_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     term; per-doc totals partial-aggregate. The only global order is
     the final NTILE over per-DOC rows — at 100 TB you'd swap it for
     approx-quantile cut points broadcast back (the document table is
-    corpus-sized but the sort is range-partitioned by Spark anyway)."""
+    corpus-sized but the sort is range-partitioned by Spark anyway).
+
+    The corpus token total comes from SUMMING THE UNIGRAM TABLE
+    rather than re-aggregating the token stream: same number,
+    vocabulary-sized input, one fewer full tokenize pass (tok was
+    evaluated three times — vocab, total, score join; r11 A/B: pure
+    win at every scale, 2.95 -> 2.76 s at 10x/32c, -0.04 s at sf0.1).
+    A hash-spread of the scan (the pattern the sibling tokenizing
+    queries use) was ALSO measured and REJECTED here: it trades
+    +0.2 s at sf0.1 (23%) for -0.6 s at 10x (27%) — but the flat
+    stage it fixes is the tokenize fused onto a 1-2-split scan of a
+    5.8 MB bench file, and at real corpus sizes the scan splits at
+    maxPartitionBytes boundaries and the fused tokenize spreads with
+    it (unlike the simsearch corpus spread, which cleared a 5.3x win
+    for +0.06 s and was kept)."""
     docs = with_tokens(load_table(spark, sf_dir, "documents"))
     tok = docs.select("doc_id", F.explode("toks").alias("tk"))
     vocab = tok.groupBy("tk").agg(F.count("*").alias("cnt"))
-    tot = tok.agg(F.count("*").alias("n"))
+    tot = vocab.agg(F.sum("cnt").alias("n"))
     per = (
         tok.join(vocab, "tk")
         .crossJoin(F.broadcast(tot))
