@@ -704,12 +704,18 @@ def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     text_quality_score applies, so the curriculum consumes an existing
     audited signal rather than inventing a parallel notion of quality.
 
-    The global ROW_NUMBER over a partitionless window funnels the
-    ordered rows through one task for the final numbering (Spark 3.5+'s
-    InferWindowGroupLimit prunes rows past the LIMIT before that
-    exchange, but the numbering itself is single-partition) — bounded
-    here because only the LIMIT-ed prefix reaches it. At 100 TB you'd
-    publish the full order by writing the range-sorted table out with
+    The prefix is cut by an EXPLICIT distributed top-k (orderBy +
+    limit → TakeOrderedAndProject: per-partition bounded heaps, then a
+    driver-side merge of k-row heads) and only then numbered, so the
+    single-partition window sees exactly CURRICULUM_HEAD rows by
+    construction. Round 11 found the previous shape numbering EVERY
+    row through one task: it leaned on Spark's InferWindowGroupLimit
+    to prune past-the-limit rows, but that rule caps at
+    spark.sql.optimizer.windowGroupLimitThreshold (default 1000) <
+    CURRICULUM_HEAD (2000), so it never fired — a plan audit, not a
+    bench delta, caught it (the claim had been asserted in a
+    docstring, never in a test; now it is). At 100 TB you'd publish
+    the FULL order by writing the range-sorted table with
     zipWithIndex-style partition offsets instead of numbering a
     prefix."""
     docs = load_table(spark, sf_dir, "documents")
@@ -728,10 +734,10 @@ def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     band_rank = F.when(F.col("quality_band") == "good", 0).otherwise(1)
     shuffle_key = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
     w = Window.orderBy(band_rank, shuffle_key, F.col("doc_id"))
-    return (
-        banded.withColumn("train_pos", F.row_number().over(w).cast("long"))
-        .filter(F.col("train_pos") <= CURRICULUM_HEAD)
+    head = banded.orderBy(band_rank, shuffle_key, F.col("doc_id")).limit(
+        CURRICULUM_HEAD
     )
+    return head.withColumn("train_pos", F.row_number().over(w).cast("long"))
 
 
 MIXTURE_EPOCH_BUDGET = 10_000  # sampled docs per training epoch

@@ -513,3 +513,24 @@ def test_max_concurrency_sweep_partitioned_by_day(spark):
     # one generator pass for both boundaries, not a double-scan union
     assert plan.count("Generate explode") == 1, plan
     assert "Union" not in plan, plan
+
+
+def test_curriculum_prefix_is_explicit_topk(spark):
+    """The curriculum head must be cut by a distributed top-k
+    (TakeOrderedAndProject: bounded per-partition heaps) BEFORE the
+    single-partition numbering window ever sees a row. Round 11 found
+    the previous shape numbering EVERY document through one task: it
+    relied on InferWindowGroupLimit to prune past-the-LIMIT rows, but
+    that rule caps at windowGroupLimitThreshold (default 1000) <
+    CURRICULUM_HEAD (2000), so it never fired. The explicit form is
+    version-insensitive: no full global Sort+Exchange(range), and the
+    window's input is the k-row merge by construction."""
+    from git_etl_spark.plans.audit import physical_plan
+
+    plan = physical_plan(_q(spark, "pipeline_curriculum_order"))
+    topk_at = plan.index("TakeOrderedAndProject")
+    # the numbering window sits ABOVE the top-k (tree prints parent
+    # first), so it consumes the bounded prefix, not the full table
+    assert "Window" in plan[:topk_at], plan
+    # and no full global range-sort ever materializes below the top-k
+    assert "rangepartitioning" not in plan[topk_at:], plan
