@@ -952,10 +952,17 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One shuffle aggregates events to one row per user; the three
     ntile windows run over that per-user aggregate (|users| rows, not
-    |events|). At extreme user counts the exact global ntile would be
-    replaced by percentile-boundary binning (compute 4 cut points,
-    broadcast, bucket by comparison) — same output contract, no
-    global sort; here the exact form doubles as the oracle."""
+    |events|). |users| is data-linear, so at extreme scale each ntile
+    swaps MECHANICALLY for ``functions.ranking.global_ntile`` — the
+    two-phase zipWithIndex-style ranking (range exchange +
+    per-partition numbering + broadcast offsets), bit-identical SQL
+    ntile semantics with no single-task window. The swap was measured
+    HERE and REJECTED below the crossover: 0.77 -> 3.00 s at sf0.1
+    and 1.07 -> 3.88 s at 10x/32c (three sequential rankings, each
+    paying the primitive's fixed checkpoint + offsets-collect jobs on
+    a ~20k-row aggregate the single-task sort handles in
+    milliseconds). See ranking.py's crossover microbench for where
+    the trade inverts."""
     ev = load_table(spark, sf_dir, "events")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", F.col("value").cast("decimal(18,2)").alias("v")

@@ -887,9 +887,16 @@ def text_surprisal_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale plan: the unigram table is a per-term partial-aggregated
     count (shuffle ∝ vocabulary); the score join is token→cnt keyed by
     term; per-doc totals partial-aggregate. The only global order is
-    the final NTILE over per-DOC rows — at 100 TB you'd swap it for
-    approx-quantile cut points broadcast back (the document table is
-    corpus-sized but the sort is range-partitioned by Spark anyway).
+    the final NTILE over per-DOC rows — data-linear, so at extreme
+    scale it swaps MECHANICALLY for
+    ``functions.ranking.global_ntile`` (two-phase zipWithIndex-style
+    ranking, bit-identical ntile semantics, no single-task window and
+    no approx-quantile fallback). The swap was measured HERE and
+    REJECTED below the crossover: 0.74 -> 1.49 s at sf0.1 and
+    2.34 -> 3.61 s at 10x/32c — the per-doc table is ~50k rows at
+    10x, milliseconds for the single-task sort, while the primitive
+    pays fixed checkpoint + offsets-collect jobs. See ranking.py's
+    crossover microbench for where the trade inverts.
 
     The corpus token total comes from SUMMING THE UNIGRAM TABLE
     rather than re-aggregating the token stream: same number,

@@ -1,0 +1,93 @@
+"""Distributed global ranking (functions/ranking.py) must be
+bit-identical to the single-task global window it replaces, for every
+shape that exercises the bucket arithmetic: n % k == 0, n % k != 0,
+n < k, duplicate sort values under a unique tie-break, and any input
+partitioning (range boundaries may land anywhere without changing a
+rank)."""
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from git_etl_spark.functions.ranking import global_ntile, global_row_number
+
+
+def _rows(n, dup_every=7):
+    # duplicate `v` values every dup_every ids — ties the tie-break on
+    # id must resolve identically in both forms
+    return [(i, (i * 2654435761 % 1000) // dup_every) for i in range(n)]
+
+
+def _df(spark, n, parts):
+    return spark.createDataFrame(
+        _rows(n), "id long, v long"
+    ).repartition(parts)
+
+
+def test_row_number_matches_window(spark):
+    df = _df(spark, 503, 7)
+    order = [F.col("v").desc(), F.col("id").asc()]
+    got = {
+        (r["id"], r["rn"])
+        for r in global_row_number(df, order, "rn").collect()
+    }
+    w = Window.orderBy(F.col("v").desc(), F.col("id").asc())
+    want = {
+        (r["id"], r["rn"])
+        for r in df.select("id", F.row_number().over(w).alias("rn")).collect()
+    }
+    assert got == want
+
+
+def test_ntile_matches_window_all_shapes(spark):
+    for n, k in [(500, 5), (503, 5), (503, 10), (3, 5), (1, 4)]:
+        df = _df(spark, n, 5)
+        order = [F.col("v").asc(), F.col("id").asc()]
+        got = {
+            (r["id"], r["t"])
+            for r in global_ntile(df, k, order, "t").collect()
+        }
+        w = Window.orderBy(F.col("v").asc(), F.col("id").asc())
+        want = {
+            (r["id"], r["t"])
+            for r in df.select(
+                "id", F.ntile(k).over(w).cast("long").alias("t")
+            ).collect()
+        }
+        assert got == want, (n, k)
+
+
+def test_partitioning_invariance(spark):
+    # the rank must not depend on where sampled range boundaries land:
+    # rerun with pathological input partitioning and partition counts
+    order = [F.col("v").asc(), F.col("id").asc()]
+    base = None
+    for in_parts, n_parts in [(1, 32), (13, 3), (32, 1), (5, 8)]:
+        df = _df(spark, 211, in_parts)
+        got = sorted(
+            (r["id"], r["rn"])
+            for r in global_row_number(
+                df, order, "rn", num_partitions=n_parts
+            ).collect()
+        )
+        if base is None:
+            base = got
+        assert got == base, (in_parts, n_parts)
+
+
+def test_empty_input(spark):
+    df = spark.createDataFrame([], "id long, v long")
+    assert global_row_number(df, [F.col("v")], "rn").count() == 0
+    assert global_ntile(df, 5, [F.col("v")], "t").count() == 0
+
+
+def test_no_global_window_in_plan(spark):
+    """The whole point: the consumer's physical plan must contain a
+    rangepartitioning exchange and NO Window node at all — ranks come
+    from checkpoint-pinned ids plus a broadcast offsets join."""
+    df = _df(spark, 100, 4)
+    ranked = global_ntile(df, 5, [F.col("v").asc(), F.col("id").asc()], "t")
+    from git_etl_spark.plans.audit import physical_plan
+
+    plan = physical_plan(ranked)
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
