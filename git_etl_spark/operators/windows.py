@@ -158,7 +158,9 @@ def window_moving_7day_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE bucketing (global window — acceptable only because the
     result is immediately re-aggregated; the 100 TB shape is
-    percentile_approx, see agg_percentiles_approx)."""
+    ``functions.ranking.global_ntile`` when exact tiles are required
+    — crossover ~1M rows at 32 cores — or percentile_approx when
+    approximate cut points suffice, see agg_percentiles_approx)."""
     cust = load_table(spark, sf_dir, "customer")
     w = Window.orderBy("c_acctbal", "c_custkey")
     return (
