@@ -299,10 +299,25 @@ def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     (map-side combine) keeps the shuffle ∝ distinct (doc, bigram), and
     nothing is corpus-global, so the plan is embarrassingly scalable.
 
+    The r11 cores screen caught this query dead flat (5.73/5.58 s,
+    local[4] -> local[32]) while growing ~5.6x with data: BOTH scan
+    branches (the bigram transform+explode and the array_distinct
+    token stats) fused their per-doc CPU onto the corpus file's single
+    bench-local split. The explicit doc_id repartition below spreads
+    both branches off the scan and lets them share one exchange
+    subtree — a pure win at every measured point (10x: 5.73 -> 2.04 s
+    at 4c, 5.58 -> 1.22 s at 32c; sf0.1: 0.99 -> 0.65 s), unlike the
+    same spread at text_rake_keywords, which was measured and
+    rejected (numbers at that site).
+
     Determinism: both fractions are exact-integer ratios divided once
     as doubles, computed identically by the oracle, so the boolean
     thresholds compare identical bit patterns."""
-    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    docs = with_tokens(
+        load_table(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism, "doc_id"
+        )
+    )
     big = docs.filter(F.size("toks") >= 2).select(
         "doc_id",
         F.size("toks").cast("long").alias("n_toks"),
@@ -1104,6 +1119,13 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     into TakeOrdered top-k. Everything is built-in codegen expressions;
     the whole operator is three keyed shuffles regardless of corpus
     size."""
+    # scan spread measured and REJECTED here (r11 cores screen): a
+    # pre-explode repartition(doc_id) helps only the 4-core level
+    # (2.62 -> 1.67 s at 10x) — at 32c the query is floor-bound
+    # either way (2.33 -> 2.22 s, and the spread form scales
+    # NEGATIVELY 1.67 -> 2.22 from 4 to 32) and sf0.1 pays +0.37 s
+    # for the extra exchange. The doc-window shuffle right below
+    # already spreads everything downstream of the explode.
     docs = with_tokens(load_table(spark, sf_dir, "documents"))
     tok = docs.select(
         "doc_id",

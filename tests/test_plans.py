@@ -534,3 +534,21 @@ def test_curriculum_prefix_is_explicit_topk(spark):
     assert "Window" in plan[:topk_at], plan
     # and no full global range-sort ever materializes below the top-k
     assert "rangepartitioning" not in plan[topk_at:], plan
+
+
+def test_repetition_metrics_scan_spread_shared(spark):
+    """text_repetition_metrics must spread its per-doc CPU (bigram
+    explode + array_distinct) off the corpus scan: the r11 cores
+    screen measured the unspread form dead flat (5.73/5.58 s from
+    local[4] to local[32]) while growing ~5.6x with data — both scan
+    branches fused onto the single bench-local split. The plan must
+    hash-exchange the documents scan on doc_id BELOW the explode
+    (Generate), so the explode consumes spread rows."""
+    from git_etl_spark.plans.audit import physical_plan
+
+    plan = physical_plan(_q(spark, "text_repetition_metrics"))
+    assert "hashpartitioning(doc_id" in plan, plan
+    gen_at = plan.index("Generate explode")
+    # tree prints parent-first: the spread exchange must appear below
+    # (after) the Generate, between it and the scan
+    assert "hashpartitioning(doc_id" in plan[gen_at:], plan
