@@ -50,9 +50,18 @@ surprisal deciles ~50k docs, PPJoin sid ~20k shingles) measured the
 swap and REJECTED it (numbers at each site, PERFORMANCE.md round 11):
 their docstrings point here for the mechanical swap the moment the
 aggregate cardinality crosses ~1M.
+
+``grouped_weighted_quantile_rows`` below handles the DUAL failure —
+``Window.partitionBy(group)`` over a LOW-cardinality group column,
+where parallelism is capped at the group count at any cluster size —
+with an integer-bucket boundary search that needs no exchange of the
+data at all (kept in production at agg_weighted_median_price:
+10x data 5.25 -> 1.52 s at 32 cores, numbers in PERFORMANCE.md).
 """
 
 from __future__ import annotations
+
+import functools
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -119,6 +128,128 @@ def global_row_number(
     module docstring. ``order_cols`` must be a total order."""
     ranked, _ = _ranked(df, order_cols, out, num_partitions)
     return ranked
+
+
+_MAX_BUCKET_ROWS = 1_000_000  # (group, bucket) subtotal collect guard
+
+
+def grouped_weighted_quantile_rows(
+    df: DataFrame,
+    group_cols: list[str],
+    value_int_col: str,
+    tie_cols: list[str],
+    weight_col: str,
+    q_num: int = 1,
+    q_den: int = 2,
+    bucket_shift: int = 12,
+) -> DataFrame:
+    """All rows at-or-after a group's weighted q-quantile crossing,
+    restricted to the crossing's value bucket — the scale-safe core of
+    an exact weighted median/quantile over LOW-cardinality groups.
+
+    ``Window.partitionBy(group)`` caps parallelism at the number of
+    groups: with 3 groups, three tasks each sort a data-linear third
+    of the corpus forever — a stage class no cluster size rescues
+    (the dual failure mode to the partitionless window, which
+    ``global_row_number`` above addresses). The fix is a two-pass
+    bucket search in PURE INTEGER arithmetic — no sort, no range
+    exchange, no sampling pass, no checkpoint:
+
+    1. quantize the integer order value (``value_int_col``, e.g.
+       price in cents) to buckets ``v >> bucket_shift`` and aggregate
+       ONE weight subtotal per (group, bucket) — an ordinary
+       partial-aggregated groupBy whose output is bounded by
+       |groups| × (value domain >> shift), never by row count,
+    2. walk the subtotals in bucket order on the driver: per group
+       the first bucket where ``q_den·cum ≥ q_num·total`` holds the
+       crossing, and the cum before it is that bucket's exact entry
+       offset (bucket identity is a pure function of the VALUE, so
+       nothing depends on partitioning and no pin is needed; bucket
+       granularity affects only pass-3 size, never correctness),
+    3. re-filter the SOURCE to each group's crossing bucket — the
+       same integer expression, a pushdown-friendly scan predicate —
+       and run the exact cumulative window only inside it
+       (~mass of one bucket; shrink with a smaller shift).
+
+    Returns the crossing bucket's rows with ``_cw`` (exact global
+    cumulative weight through each row) and ``_tw`` (exact group
+    total) appended; rows before the crossing are filtered out. The
+    caller takes MIN of the order key per group for the lower
+    quantile — the first crossing row is always in the selected
+    bucket, and every surviving row sorts at-or-after it, so the MIN
+    over this subset equals the MIN over the whole relation.
+
+    Weights must be non-negative integers and ``tie_cols`` must make
+    (value, ties) a total order per group (exact arithmetic —
+    ``q_den·cw ≥ q_num·tw`` is integer-only, no float boundary).
+    ``group_cols`` must be low-cardinality; for HIGH-cardinality
+    groups use the plain partitioned window — per-group data is small
+    exactly when group count is large. A fully skewed value (one
+    giant equal-value run) degrades pass 3 to that run's size, the
+    irreducible floor for an exact boundary statistic.
+    """
+    spark = df.sparkSession
+    bucket = F.shiftright(F.col(value_int_col), bucket_shift).alias("_qb")
+    per = (
+        df.groupBy(*group_cols, bucket)
+        .agg(F.sum(weight_col).alias("_w"))
+        .limit(_MAX_BUCKET_ROWS + 1)
+        .collect()
+    )
+    if len(per) > _MAX_BUCKET_ROWS:
+        raise ValueError(
+            f"grouped_weighted_quantile_rows: more than {_MAX_BUCKET_ROWS}"
+            " (group, bucket) subtotals — raise bucket_shift to coarsen"
+            " the quantization (granularity affects only performance)"
+        )
+    by_group: dict[tuple, list] = {}
+    for r in per:
+        by_group.setdefault(tuple(r[c] for c in group_cols), []).append(r)
+    conds: list[Column] = []
+    sel_rows = []
+    for gkey, rows in by_group.items():
+        rows.sort(key=lambda r: r["_qb"])
+        total = sum(r["_w"] for r in rows)
+        cum = 0
+        for r in rows:
+            if q_den * (cum + r["_w"]) >= q_num * total:
+                g_eq = [
+                    F.col(c) == F.lit(v) for c, v in zip(group_cols, gkey)
+                ]
+                in_bucket = F.shiftright(
+                    F.col(value_int_col), bucket_shift
+                ) == F.lit(r["_qb"])
+                conds.append(
+                    functools.reduce(lambda a, b: a & b, g_eq + [in_bucket])
+                )
+                sel_rows.append((*gkey, cum, total))
+                break
+            cum += r["_w"]
+    if not sel_rows:
+        return df.withColumn("_cw", F.lit(0).cast("long")).withColumn(
+            "_tw", F.lit(0).cast("long")
+        ).limit(0)
+    sel = spark.createDataFrame(
+        sel_rows,
+        ", ".join(f"{c} string" for c in group_cols)
+        + ", _entry long, _tw long",
+    )
+    cand = df.filter(functools.reduce(lambda a, b: a | b, conds)).join(
+        F.broadcast(sel), group_cols
+    )
+    from pyspark.sql import Window as _W
+
+    w = (
+        _W.partitionBy(*group_cols)
+        .orderBy(F.col(value_int_col), *[F.col(c) for c in tie_cols])
+        .rowsBetween(_W.unboundedPreceding, 0)
+    )
+    cum = cand.withColumn(
+        "_cw", F.sum(weight_col).over(w) + F.col("_entry")
+    )
+    return cum.filter(q_den * F.col("_cw") >= q_num * F.col("_tw")).drop(
+        "_entry"
+    )
 
 
 def _floor_div(c: Column, d: int) -> Column:

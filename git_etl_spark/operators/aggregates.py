@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.exact import count_if, davg, dsum
+from ..functions.ranking import grouped_weighted_quantile_rows
 from ..io import load_table
 from ..registry import query
 
@@ -737,36 +738,38 @@ def agg_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     (price, orderkey, linenumber)), and the selected value is a raw
     column passthrough — nothing float-derived, hash-stable.
 
-    Scale: one partitioned window cumsum (the per-group sort is
-    partition-local — no global sort) and a boundary-filtered MIN;
-    at 100 TB the same question routes through the sketch tier first
-    and this exact plan confirms on the slices that matter."""
+    Scale: l_returnflag has THREE values, so the naive
+    ``Window.partitionBy(l_returnflag)`` cumsum caps parallelism at 3
+    tasks each sorting a data-linear third of the corpus — the r11
+    cores screen measured it dead flat (5.88/5.25 s, local[4] ->
+    local[32]) at ~5x data growth, the low-cardinality dual of the
+    partitionless-window failure. Since r11 the crossing comes from
+    ``functions.ranking.grouped_weighted_quantile_rows``: quantize
+    price-in-cents to integer buckets (cents >> 12), aggregate one
+    weight subtotal per (flag, bucket), locate each flag's half-weight
+    bucket on the driver, and run the exact cumulative window only
+    INSIDE that one bucket (~1/2500 of the data) — bit-identical
+    result, no sort, no stage capped below cluster width. Measured:
+    10x 5.88 -> 1.50 s at 4c, 5.25 -> 1.52 s at 32c; sf0.1 pays
+    +0.22 s (0.88 -> 1.10, the second scan) — kept, like the
+    max-concurrency rewrite, because the removed stage class is the
+    one a bigger cluster can never rescue. Two range/checkpoint-based
+    intermediates were measured and rejected on the way (numbers in
+    PERFORMANCE.md round 11)."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         F.col("l_extendedprice").alias("price"),
+        (F.col("l_extendedprice") * 100).cast("long").alias("cents"),
         F.col("l_quantity").cast("long").alias("wt"),
         "l_orderkey",
         "l_linenumber",
     )
-    wcum = (
-        Window.partitionBy("l_returnflag")
-        .orderBy("price", "l_orderkey", "l_linenumber")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    crossing = grouped_weighted_quantile_rows(
+        li, ["l_returnflag"], "cents", ["l_orderkey", "l_linenumber"], "wt"
     )
-    wtot = Window.partitionBy("l_returnflag")
-    cum = li.select(
-        "l_returnflag",
-        "price",
-        F.sum("wt").over(wcum).alias("cw"),
-        F.sum("wt").over(wtot).alias("tw"),
-    )
-    return (
-        cum.filter(2 * F.col("cw") >= F.col("tw"))
-        .groupBy("l_returnflag")
-        .agg(
-            F.min("price").cast("double").alias("weighted_median_price"),
-            F.any_value("tw").cast("long").alias("total_weight"),
-        )
+    return crossing.groupBy("l_returnflag").agg(
+        F.min("price").cast("double").alias("weighted_median_price"),
+        F.any_value("_tw").cast("long").alias("total_weight"),
     )
 
 

@@ -91,3 +91,102 @@ def test_no_global_window_in_plan(spark):
     plan = physical_plan(ranked)
     assert "Window" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_grouped_weighted_quantile_matches_window(spark):
+    """Bit-identity of the bucket-search weighted median with the
+    naive grouped window, across bucket granularities — including
+    shift=0 (every value its own bucket) and a shift so large all
+    values share one bucket (degenerates to the full window): bucket
+    granularity must affect performance only, never the result."""
+    from pyspark.sql import Window
+    from git_etl_spark.functions.ranking import (
+        grouped_weighted_quantile_rows,
+    )
+
+    rows = [
+        (f"g{i % 3}", (i * 2654435761 % 997), (i % 7) + (i % 3 == 0), i)
+        for i in range(1, 1200)
+    ]  # duplicate values, zero weights for some i%7==0 rows, 3 groups
+    df = spark.createDataFrame(rows, "g string, v long, wt long, id long")
+
+    w = (
+        Window.partitionBy("g")
+        .orderBy("v", "id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("g")
+    naive = (
+        df.select(
+            "g",
+            "v",
+            F.sum("wt").over(w).alias("cw"),
+            F.sum("wt").over(wt).alias("tw"),
+        )
+        .filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("g")
+        .agg(F.min("v").alias("med"), F.max("tw").alias("tw"))
+    )
+    want = sorted(map(tuple, naive.collect()))
+    for shift in (0, 4, 12, 40):
+        got = sorted(
+            map(
+                tuple,
+                grouped_weighted_quantile_rows(
+                    df, ["g"], "v", ["id"], "wt", bucket_shift=shift
+                )
+                .groupBy("g")
+                .agg(F.min("v").alias("med"), F.max("_tw").alias("tw"))
+                .collect(),
+            )
+        )
+        assert got == want, (shift, got, want)
+
+
+def test_grouped_weighted_quantile_other_quantiles(spark):
+    """q1/q4 and q3/q4 crossings agree with the window form."""
+    from pyspark.sql import Window
+    from git_etl_spark.functions.ranking import (
+        grouped_weighted_quantile_rows,
+    )
+
+    rows = [("a", i * 37 % 211, 1 + i % 5, i) for i in range(1, 500)]
+    df = spark.createDataFrame(rows, "g string, v long, wt long, id long")
+    w = (
+        Window.partitionBy("g")
+        .orderBy("v", "id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("g")
+    for q_num, q_den in ((1, 4), (3, 4)):
+        naive = (
+            df.select(
+                "g", "v",
+                F.sum("wt").over(w).alias("cw"),
+                F.sum("wt").over(wt).alias("tw"),
+            )
+            .filter(q_den * F.col("cw") >= q_num * F.col("tw"))
+            .agg(F.min("v"))
+            .collect()[0][0]
+        )
+        got = (
+            grouped_weighted_quantile_rows(
+                df, ["g"], "v", ["id"], "wt", q_num=q_num, q_den=q_den,
+                bucket_shift=3,
+            )
+            .agg(F.min("v"))
+            .collect()[0][0]
+        )
+        assert got == naive, (q_num, q_den, got, naive)
+
+
+def test_grouped_weighted_quantile_empty(spark):
+    from git_etl_spark.functions.ranking import (
+        grouped_weighted_quantile_rows,
+    )
+
+    df = spark.createDataFrame([], "g string, v long, wt long, id long")
+    assert (
+        grouped_weighted_quantile_rows(df, ["g"], "v", ["id"], "wt").count()
+        == 0
+    )
