@@ -119,15 +119,26 @@ def dedup_exact_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_keep_longest_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed keep-best dedup: one representative per (lang, source),
     preferring the longest document — the K1 last-writer-wins upsert
-    generalized to an explicit quality ordering."""
+    generalized to an explicit quality ordering.
+
+    Keep-ONE-per-group is an argmax, not a ranking: since r11 it is a
+    single ``max_by`` aggregation over the composite order
+    (n_chars DESC, doc_id ASC) instead of a row_number window. The
+    window form sorted each (lang, source) partition — and lang x
+    source is LOW-cardinality here, so at scale that is a handful of
+    tasks each sorting a data-linear shard (the same failure class
+    the weighted-median fix addresses); the aggregate form partial-
+    aggregates map-side (one best row per group per task) and its
+    shuffle carries |groups| rows, not the corpus."""
     docs = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang", "source").orderBy(
-        F.desc("n_chars"), F.asc("doc_id")
+    best = docs.groupBy("lang", "source").agg(
+        F.max_by(
+            F.struct("doc_id", "n_chars"),
+            F.struct(F.col("n_chars"), -F.col("doc_id")),
+        ).alias("best")
     )
-    return (
-        docs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("lang", "source", "doc_id", "n_chars")
+    return best.select(
+        "lang", "source", F.col("best.doc_id"), F.col("best.n_chars")
     )
 
 

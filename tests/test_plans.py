@@ -552,3 +552,17 @@ def test_repetition_metrics_scan_spread_shared(spark):
     # tree prints parent-first: the spread exchange must appear below
     # (after) the Generate, between it and the scan
     assert "hashpartitioning(doc_id" in plan[gen_at:], plan
+
+
+def test_keep_longest_is_partial_argmax_not_window(spark):
+    """Keep-one-per-group must compile to a partial-aggregated argmax
+    (partial_max_by below the group exchange), never a row_number
+    window: lang x source is low-cardinality, so the window form's
+    per-group sort is a handful of tasks each sorting a data-linear
+    shard — the group-count-capped stage class the r11 screen
+    eliminated."""
+    from git_etl_spark.plans.audit import physical_plan
+
+    plan = physical_plan(_q(spark, "dedup_keep_longest_per_group"))
+    assert "Window" not in plan, plan
+    assert "partial_max_by" in plan, plan
