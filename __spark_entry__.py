@@ -252,6 +252,13 @@ _REVERIFY_FIRST: list[str] = [
     # edit live — tests/test_fingerprints.py went stale the moment
     # decode_png changed — which is the r11 mechanism working.)
     "multimodal_decode_features",
+    # round-11 rewrite (integer-bucket weighted median) whose last
+    # green (r06) PREDATES the fingerprint file, so the fine tier
+    # reads None for it and it would sort behind the r05-stale cohort
+    # — near the edge of the driver's ~50-slot budget. Every other
+    # r11-edited query is either fine-flagged (r07+ greens) or
+    # r05-stale and therefore already fronted.
+    "agg_weighted_median_price",
 ]
 
 
