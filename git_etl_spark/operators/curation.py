@@ -373,7 +373,8 @@ def pipeline_decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFram
     oracle="""
     WITH w AS (
         SELECT source, COUNT(*) AS n_src,
-               (CAST(substring(source, 4) AS INT) % 4) + 1 AS w
+               (CAST('0x' || substring(md5(source), 1, 8) AS BIGINT) % 4)
+                 + 1 AS w
         FROM documents GROUP BY source
     ),
     tot AS (
@@ -395,11 +396,18 @@ def pipeline_decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFram
 )
 def pipeline_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-mixture sampling: given per-source target weights (here a
-    deterministic weight 1–4 derived from the source id) and a total
+    deterministic weight 1–4 hashed from the source id) and a total
     token/doc budget (half the corpus), compute each source's target
     count and keep a deterministic hash-based sample of that source at
     the implied rate — the reweighting step that turns a raw crawl into
     a training mixture.
+
+    The weight hash is TOTAL on any source string: the r11 cores
+    screen crashed the previous digit-parsing form
+    (``regexp_replace(source,'src','')::int``, an ANSI cast) on the
+    rotated-source 10x corpus — and it would crash equally on any
+    real source id ('web', 'books'). Same md5 bucket trick as the
+    keep decision, so both engines agree bit-for-bit.
 
     Everything is exact integer arithmetic — budget and per-source
     targets via integer division, the keep decision via
@@ -411,7 +419,12 @@ def pipeline_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     side (the one groupBy is over the tiny source dimension)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     weights = docs.groupBy("source").agg(F.count("*").alias("n_src")).withColumn(
-        "w", (F.regexp_replace("source", "src", "").cast("int") % 4) + 1
+        "w",
+        (
+            F.conv(F.substring(F.md5("source"), 1, 8), 16, 10).cast("long")
+            % 4
+        ).cast("int")
+        + 1,
     )
     tot = weights.agg(
         F.sum("n_src").cast("long").alias("n_total"),
