@@ -2060,13 +2060,17 @@ def dedup_cross_source_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame
     fingerprints already known to span sources — candidates ∝
     syndicated content, never corpus²."""
     docs = load_table(spark, sf_dir, "documents")
+    # materialize the fingerprint ONCE: both consumers below (the
+    # multi-source gate and the pair join) would otherwise re-run the
+    # split + array_sort + md5 tokenize pass; the checkpoint pins a
+    # 3-narrow-column relation, not text
     fp = docs.select(
         "doc_id",
         "source",
         F.md5(
             F.concat_ws(" ", F.array_sort(F.array_distinct(F.split("text", " "))))
         ).alias("fingerprint"),
-    )
+    ).localCheckpoint()
     multi = (
         fp.groupBy("fingerprint")
         .agg(F.countDistinct("source").alias("ns"))
