@@ -259,6 +259,9 @@ _REVERIFY_FIRST: list[str] = [
     # r11-edited query is either fine-flagged (r07+ greens) or
     # r05-stale and therefore already fronted.
     "agg_weighted_median_price",
+    # same r06-green/fine=None gap: rewritten in r11 (checkpoint-once
+    # fingerprint), sat at rotation position 78 without this entry.
+    "dedup_cross_source_duplicates",
 ]
 
 
