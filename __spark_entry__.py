@@ -262,6 +262,10 @@ _REVERIFY_FIRST: list[str] = [
     # same r06-green/fine=None gap: rewritten in r11 (checkpoint-once
     # fingerprint), sat at rotation position 78 without this entry.
     "dedup_cross_source_duplicates",
+    # same gap: its replay partitioning was volume-sized in the r11
+    # cores screen (fix #3) — behavior-identical at sf0.1 by the
+    # sizing floor, but the sizing change deserves a driver row.
+    "streaming_foreachbatch_upsert_replay",
 ]
 
 
