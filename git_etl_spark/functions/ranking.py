@@ -229,9 +229,12 @@ def grouped_weighted_quantile_rows(
         return df.withColumn("_cw", F.lit(0).cast("long")).withColumn(
             "_tw", F.lit(0).cast("long")
         ).limit(0)
+    # transport the group keys with their REAL dtypes so the
+    # offsets join never relies on string coercion
+    gtype = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     sel = spark.createDataFrame(
         sel_rows,
-        ", ".join(f"{c} string" for c in group_cols)
+        ", ".join(f"{c} {gtype[c]}" for c in group_cols)
         + ", _entry long, _tw long",
     )
     cand = df.filter(functools.reduce(lambda a, b: a | b, conds)).join(

@@ -190,3 +190,21 @@ def test_grouped_weighted_quantile_empty(spark):
         grouped_weighted_quantile_rows(df, ["g"], "v", ["id"], "wt").count()
         == 0
     )
+
+
+def test_grouped_weighted_quantile_int_group_key(spark):
+    """Group keys keep their real dtype through the offsets join —
+    an integer group column must work without string coercion."""
+    from git_etl_spark.functions.ranking import (
+        grouped_weighted_quantile_rows,
+    )
+
+    rows = [(i % 4, i * 37 % 211, 1 + i % 5, i) for i in range(1, 400)]
+    df = spark.createDataFrame(rows, "g int, v long, wt long, id long")
+    out = (
+        grouped_weighted_quantile_rows(df, ["g"], "v", ["id"], "wt")
+        .groupBy("g")
+        .agg(F.min("v").alias("med"))
+        .collect()
+    )
+    assert len(out) == 4 and all(r["med"] is not None for r in out)
