@@ -56,7 +56,16 @@ aggregate cardinality crosses ~1M.
 where parallelism is capped at the group count at any cluster size —
 with an integer-bucket boundary search that needs no exchange of the
 data at all (kept in production at agg_weighted_median_price:
-10x data 5.25 -> 1.52 s at 32 cores, numbers in PERFORMANCE.md).
+10x data 5.25 -> 1.52 s at 32 cores). Its synthetic crossover (same
+script, 3 groups, weighted median):
+
+    rows      grouped window    bucket search
+    50k       0.30 s            0.92 s
+    500k      0.48 s            0.82 s    <- crossover ~600k
+    5M        4.02 s            0.91 s
+    20M       19.7 s            0.98 s    <- FLAT: subtotals partial-
+                                             aggregate, pass 2 reads
+                                             one bucket
 """
 
 from __future__ import annotations

@@ -63,6 +63,58 @@ def run_distributed(spark, n: int) -> float:
     return time.monotonic() - t0
 
 
+def wm_base(spark, n: int):
+    # 3 groups (the weighted-median production shape), integer value
+    # in cents with duplicates, positive weights
+    return spark.range(n).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.xxhash64("id") % 1_000_000 + 1_000_000).alias("cents"),
+        (F.col("id") % 7 + 1).alias("wt"),
+        "id",
+    )
+
+
+def run_wm_window(spark, n: int) -> float:
+    from pyspark.sql import Window
+
+    df = wm_base(spark, n)
+    w = (
+        Window.partitionBy("g")
+        .orderBy("cents", "id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("g")
+    t0 = time.monotonic()
+    (
+        df.select(
+            "g", "cents",
+            F.sum("wt").over(w).alias("cw"),
+            F.sum("wt").over(wt).alias("tw"),
+        )
+        .filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("g")
+        .agg(F.min("cents"))
+        .collect()
+    )
+    return time.monotonic() - t0
+
+
+def run_wm_bucket(spark, n: int) -> float:
+    from git_etl_spark.functions.ranking import (
+        grouped_weighted_quantile_rows,
+    )
+
+    df = wm_base(spark, n)
+    t0 = time.monotonic()
+    (
+        grouped_weighted_quantile_rows(df, ["g"], "cents", ["id"], "wt")
+        .groupBy("g")
+        .agg(F.min("cents"))
+        .collect()
+    )
+    return time.monotonic() - t0
+
+
 def main() -> None:
     sizes = [int(a) for a in sys.argv[1:]] or [
         50_000,
@@ -73,6 +125,7 @@ def main() -> None:
     spark = get_spark(app_name="ranking-crossover")
     cores = spark.sparkContext.defaultParallelism
     out: dict[str, dict[str, float]] = {}
+    wm: dict[str, dict[str, float]] = {}
     for n in sizes:
         reps_w = [run_window(spark, n) for _ in range(3)]
         reps_d = [run_distributed(spark, n) for _ in range(3)]
@@ -80,7 +133,13 @@ def main() -> None:
             "window": round(min(reps_w[1:]), 3),
             "distributed": round(min(reps_d[1:]), 3),
         }
-    print(json.dumps({"cores": cores, "rows": out}))
+        wm_w = [run_wm_window(spark, n) for _ in range(3)]
+        wm_b = [run_wm_bucket(spark, n) for _ in range(3)]
+        wm[str(n)] = {
+            "grouped_window": round(min(wm_w[1:]), 3),
+            "bucket_search": round(min(wm_b[1:]), 3),
+        }
+    print(json.dumps({"cores": cores, "rows": out, "weighted_median": wm}))
 
 
 if __name__ == "__main__":
