@@ -195,7 +195,11 @@ def grouped_weighted_quantile_rows(
     groups use the plain partitioned window — per-group data is small
     exactly when group count is large. A fully skewed value (one
     giant equal-value run) degrades pass 3 to that run's size, the
-    irreducible floor for an exact boundary statistic.
+    irreducible floor for an exact boundary statistic. NULL group
+    keys are first-class: the per-group conditions and the offsets
+    join are null-safe (``<=>``), so a null-keyed group produces the
+    same crossing rows the partitioned window would (groupBy and
+    Window.partitionBy both treat NULL as one group).
     """
     spark = df.sparkSession
     bucket = F.shiftright(F.col(value_int_col), bucket_shift).alias("_qb")
@@ -222,8 +226,12 @@ def grouped_weighted_quantile_rows(
         cum = 0
         for r in rows:
             if q_den * (cum + r["_w"]) >= q_num * total:
+                # eqNullSafe, not ==: a NULL key under == makes the
+                # whole condition NULL and the null group's rows would
+                # silently vanish from the candidate set.
                 g_eq = [
-                    F.col(c) == F.lit(v) for c, v in zip(group_cols, gkey)
+                    F.col(c).eqNullSafe(F.lit(v))
+                    for c, v in zip(group_cols, gkey)
                 ]
                 in_bucket = F.shiftright(
                     F.col(value_int_col), bucket_shift
@@ -239,15 +247,23 @@ def grouped_weighted_quantile_rows(
             "_tw", F.lit(0).cast("long")
         ).limit(0)
     # transport the group keys with their REAL dtypes so the
-    # offsets join never relies on string coercion
+    # offsets join never relies on string coercion; join null-safely
+    # (and on RENAMED keys, so <=> never self-resolves) so a
+    # null-keyed group keeps its offsets row.
     gtype = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     sel = spark.createDataFrame(
         sel_rows,
-        ", ".join(f"{c} {gtype[c]}" for c in group_cols)
+        ", ".join(f"_gk_{c} {gtype[c]}" for c in group_cols)
         + ", _entry long, _tw long",
     )
-    cand = df.filter(functools.reduce(lambda a, b: a | b, conds)).join(
-        F.broadcast(sel), group_cols
+    join_cond = functools.reduce(
+        lambda a, b: a & b,
+        [F.col(c).eqNullSafe(F.col(f"_gk_{c}")) for c in group_cols],
+    )
+    cand = (
+        df.filter(functools.reduce(lambda a, b: a | b, conds))
+        .join(F.broadcast(sel), join_cond)
+        .drop(*[f"_gk_{c}" for c in group_cols])
     )
     from pyspark.sql import Window as _W
 
@@ -264,12 +280,6 @@ def grouped_weighted_quantile_rows(
     )
 
 
-def _floor_div(c: Column, d: int) -> Column:
-    """Exact integer floor-division of a non-negative long column by a
-    positive literal — stays in longs (no double rounding past 2^53)."""
-    return ((c - (c % F.lit(d))) / F.lit(d)).cast("long")
-
-
 def global_ntile(
     df: DataFrame,
     k: int,
@@ -283,13 +293,18 @@ def global_ntile(
     rn_col = f"_gr_rn_{out}"
     ranked, n = _ranked(df, order_cols, rn_col, num_partitions)
     bs, rem = divmod(n, k)
-    rn = F.col(rn_col)
     if bs == 0:
         # n < k: tiles 1..n, one row each
-        tile = rn
+        tile = F.col(rn_col)
     else:
+        # SQL `div` is true integral division (stays in longs at any
+        # magnitude); Column `/` on two longs is a DOUBLE divide,
+        # which would round past 2^53. rn_col is a known name, so the
+        # expr form costs nothing.
         cut = rem * (bs + 1)
-        tile = F.when(
-            rn <= F.lit(cut), _floor_div(rn - 1, bs + 1) + 1
-        ).otherwise(F.lit(rem) + _floor_div(rn - F.lit(cut) - 1, bs) + 1)
+        tile = F.expr(
+            f"CASE WHEN {rn_col} <= {cut}"
+            f" THEN ({rn_col} - 1) div {bs + 1} + 1"
+            f" ELSE {rem} + ({rn_col} - {cut} - 1) div {bs} + 1 END"
+        )
     return ranked.withColumn(out, tile.cast("long")).drop(rn_col)

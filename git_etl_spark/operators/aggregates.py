@@ -759,7 +759,16 @@ def agg_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         F.col("l_extendedprice").alias("price"),
-        (F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        # DECIMAL first: (price * 100).cast(long) on a DOUBLE truncates
+        # (4.35 * 100 = 434.999...94 -> 434), so distinct two-decimal
+        # prices would collide in ``cents`` and the (cents, orderkey,
+        # linenumber) order could disagree with the oracle's (price,
+        # orderkey, linenumber) order at the crossing row. decimal(18,2)
+        # round-trips every two-decimal double exactly, making
+        # cents <-> price bijective (same pattern as the Gini sweep).
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
         F.col("l_quantity").cast("long").alias("wt"),
         "l_orderkey",
         "l_linenumber",

@@ -103,14 +103,18 @@ def _replay_source(
     """The replay source parquet is identical for every streaming query
     over the same (session, sf_dir) — write it once and reuse.
     ``n_parts`` files so the file-source pre-shuffle stage has as many
-    splits as the stateful stage has partitions (n_parts is derived
-    from sf_dir, so the memo key stays valid)."""
+    splits as the stateful stage has partitions. ``n_parts`` is part of
+    the memo key: it is usually derived from sf_dir, but the
+    ``SPARK_GRAFT_REPLAY_PARTITIONS`` experiment knob can change it
+    mid-session, and a memoized source written with the old file count
+    would silently defeat the splits-match-partitions intent."""
     import uuid as _uuid
 
     memo_key = (
         spark.sparkContext.applicationId,
         sf_dir,
         dataset_fingerprint(sf_dir, "events"),
+        n_parts,
     )
     src_dir = _SRC_MEMO.get(memo_key)
     if src_dir is None:
