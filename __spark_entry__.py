@@ -218,55 +218,68 @@ def _changed_since_green(
 # Queries rewritten in a round but whose latest driver green the
 # fingerprint tier cannot flag — either the green predates
 # QUERY_FINGERPRINTS.json (the as-of lookup returns None for pre-file
-# green rounds) or, before round 11, the edit touched only a SHARED
-# HELPER (fingerprints hashed each query's own source only, so
-# _pca_power_solve's round-10 repartition left the PCA fingerprints
-# unchanged — ADVICE r10). Round 11 closes the second gap structurally
-# (deep fingerprints include called-helper sources,
-# git_etl_spark/fingerprints.py), but deep comparison only applies to
-# greens recorded against r11+ fingerprint files, so the round-10
-# helper-edit cohort still needs this explicit front-load. Entries
-# drop out once each has a driver row in round >= _REVERIFY_FIRST_ROUND.
-_REVERIFY_FIRST_ROUND = 11
-_REVERIFY_FIRST: list[str] = [
-    # round-10 helper-only edits (fingerprints unchanged by design of
-    # the old shallow hash): _pca_power_solve gained a repartition
-    "embedding_pca_loading_ppm",
-    "embedding_pca_top_component",
-    # round-10 own-source edits whose r10 driver green may have been
-    # recorded BEFORE the edit landed (commits acfc535 13:50 /
-    # bf69209 14:28 vs an unknown driver verification time) — the fine
-    # tier catches lsh_bucketed (green pre-r10), but topk/range/ml_lsh
-    # carry r10 greens whose as-of point is the START of round 10, so
-    # they are already fine-flagged too; listing them here just makes
-    # the front-load deterministic and auditable.
-    "simsearch_lsh_bucketed",
-    "simsearch_topk_bruteforce",
-    "simsearch_range_cosine",
-    "simsearch_ann_ml_lsh",
-    # round-11 helper-only edit: decode_png gained the length-exact
-    # zlib-truncation rejection (ADVICE r10); the only query with
-    # decode_png in its helper closure carries an r10 green whose
-    # as-of fingerprint file is shallow-only, so the deep tier can't
-    # flag it for one more round. (The deep fingerprint DID catch this
-    # edit live — tests/test_fingerprints.py went stale the moment
-    # decode_png changed — which is the r11 mechanism working.)
-    "multimodal_decode_features",
-    # round-11 rewrite (integer-bucket weighted median) whose last
-    # green (r06) PREDATES the fingerprint file, so the fine tier
-    # reads None for it and it would sort behind the r05-stale cohort
-    # — near the edge of the driver's ~50-slot budget. Every other
-    # r11-edited query is either fine-flagged (r07+ greens) or
-    # r05-stale and therefore already fronted.
-    "agg_weighted_median_price",
-    # same r06-green/fine=None gap: rewritten in r11 (checkpoint-once
-    # fingerprint), sat at rotation position 78 without this entry.
-    "dedup_cross_source_duplicates",
-    # same gap: its replay partitioning was volume-sized in the r11
-    # cores screen (fix #3) — behavior-identical at sf0.1 by the
-    # sizing floor, but the sizing change deserves a driver row.
-    "streaming_foreachbatch_upsert_replay",
-]
+# green rounds) or the green's as-of fingerprint file is the pre-r11
+# SHALLOW format, which compares each query's own source only, so a
+# shared-helper edit stays invisible until every green has been
+# recorded against an r11+ deep-format file (ADVICE r10 /
+# git_etl_spark/fingerprints.py). Each entry carries the round whose
+# driver row clears it: an entry drops out of the front-load once the
+# query has a green in round >= that value, so the dict is a
+# self-emptying audit trail rather than a growing pin list.
+_REVERIFY_FIRST: dict[str, int] = {
+    # --- round-11 cohort (all cleared by r11 rows; kept for audit —
+    # rationale in git history of this file) ---
+    "embedding_pca_loading_ppm": 11,
+    "embedding_pca_top_component": 11,
+    "simsearch_lsh_bucketed": 11,
+    "simsearch_topk_bruteforce": 11,
+    "simsearch_range_cosine": 11,
+    "simsearch_ann_ml_lsh": 11,
+    "multimodal_decode_features": 11,
+    "dedup_cross_source_duplicates": 11,
+    # --- round-12 cohort ---
+    # VERDICT r11 task 3: r11 rewrites whose r11 greens were recorded
+    # DURING the round, so the green may predate the rewrite (the fine
+    # tier flags them, but the explicit listing makes the front-load
+    # deterministic and auditable, per the r10/r11 precedent).
+    "events_max_concurrency": 12,
+    "text_repetition_metrics": 12,
+    "proj_json_extract": 12,
+    "pipeline_curriculum_order": 12,
+    "pipeline_mixture_sampling": 12,
+    "dedup_keep_longest_per_group": 12,
+    # ADVICE r11 fixes landed this round: the weighted median's cents
+    # derivation went decimal-exact, and _replay_source's memo key
+    # gained the partition count — the helper edit moves every
+    # streaming replay's DEEP fingerprint, but the replays' r10/r11
+    # greens compare against pre-r11 SHALLOW as-of files, so the fine
+    # tier cannot flag attribution/hourly/session (their own source is
+    # unchanged). Every query whose live fingerprint moved in r12 gets
+    # an explicit slot.
+    "agg_weighted_median_price": 12,
+    "streaming_attribution_replay": 12,
+    "streaming_dedup_replay": 12,
+    "streaming_foreachbatch_upsert_replay": 12,
+    "streaming_hourly_agg_replay": 12,
+    "streaming_session_window_replay": 12,
+    "streaming_stateful_counts_replay": 12,
+}
+
+# A fine-flag (definition fingerprint drifted since the green's as-of
+# point) used to outrank the whole staleness tier. With 16 flagged
+# r11-green queries and 35 age-6 greens competing for the driver's
+# exactly-50-row budget, absolute fronting starves the stalest cohort
+# — and a flagged r11 green is LOWER risk than an age-6 green when the
+# drift happened mid-round-11: the r11 judge's independent 506-test
+# run (exact DuckDB parity for all 239 oracles) plus the committed
+# sf0.1 sweep value-proved end-of-r11 code. So a flag now costs a
+# bounded staleness penalty instead: the query sorts as if its green
+# were _FLAG_PENALTY rounds older (flagged-r11 -> effective r8, behind
+# the r06/r07 cohorts, ahead of everything younger), and still ahead
+# of unflagged greens of the same effective age. Queries flagged
+# because of THIS round's edits don't rely on the penalty — they are
+# explicitly listed in _REVERIFY_FIRST above.
+_FLAG_PENALTY = 3
 
 
 def _cost_hint() -> dict[str, float]:
@@ -289,11 +302,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     never produced a driver-side hash green come first — both brand-new
     queries and ones whose oracle was added after a rows-only-era green
     (cheapest first, maximizing how many fit a time-based budget); then
-    greens whose defining source file changed since their green round
-    (_changed_since_green — refactors get re-checked first), stalest
-    first; then the remaining greens by staleness, so the driver's
-    ~50-query budget continuously re-verifies the most-at-risk part of
-    the registry.
+    the explicit _REVERIFY_FIRST front-load; then greens by EFFECTIVE
+    staleness — the recorded green round, minus _FLAG_PENALTY rounds
+    when the query's definition fingerprint drifted since the green —
+    so the driver's exactly-50-row budget continuously re-verifies the
+    most-at-risk part of the registry without flags starving the
+    oldest greens.
     """
     latest_green, latest_hash = _driver_verified()
     verified = {
@@ -307,26 +321,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round_commit = _round_commits(verified)
     fine = _fp_changed_since_green(verified, round_commit)
     coarse = _changed_since_green(verified, round_commit)
-    # Tiers after the never-green front: the explicit reverify list
-    # (greens known to predate their current definition — see
-    # _REVERIFY_FIRST), then definition-changed (per-query fingerprint
-    # — exact), then pure staleness (oldest green round first) so the
-    # driver's ~50-query budget continuously refreshes the oldest
-    # greens. Module ancestry (coarse) is only a tie-break WITHIN a
-    # green round: after a repo-wide refactor round it flags most of
-    # the registry (159/245 after r7), so as a tier it would starve
-    # the stalest unflagged greens indefinitely.
+    # Tiers after the never-green front: the explicit reverify dict
+    # (greens known or suspected to predate their current definition —
+    # see _REVERIFY_FIRST), then staleness with the fine-flag PENALTY
+    # folded in (a flagged green sorts _FLAG_PENALTY rounds older than
+    # its recorded round, and ahead of unflagged greens at the same
+    # effective age) so the driver's exactly-50-row budget refreshes
+    # the oldest greens without letting a refactor round's flags
+    # starve them. Module ancestry (coarse) is only a tie-break WITHIN
+    # an effective round: after a repo-wide refactor round it flags
+    # most of the registry (159/245 after r7), so as a tier it would
+    # starve the stalest unflagged greens indefinitely.
     reverify = {
-        n for n in _REVERIFY_FIRST
-        if verified.get(n, 0) < _REVERIFY_FIRST_ROUND
+        n for n, clear_rnd in _REVERIFY_FIRST.items()
+        if verified.get(n, 0) < clear_rnd
     }
+
+    def eff_round(n: str) -> int:
+        rnd = verified.get(n, 0)
+        return rnd - _FLAG_PENALTY if fine.get(n) is True else rnd
+
     names = sorted(
         registry.QUERIES,
         key=lambda n: (
             n in verified,
             n not in reverify,
+            eff_round(n),
             not (fine.get(n) is True),
-            verified.get(n, 0),
             not coarse.get(n, False),
             cost.get(n, 0.0),
             n,

@@ -37,27 +37,33 @@ def test_fingerprint_file_is_fresh():
     )
 
 
-def test_rotation_orders_fingerprint_changed_before_stale():
-    """The sort key must place fine-changed (True) ahead of unknown
-    (None) and unchanged (False) at equal staleness."""
+def test_rotation_orders_fingerprint_change_as_bounded_penalty():
+    """A fine-flag (definition drifted since the green) costs a
+    bounded staleness penalty — the query sorts _FLAG_PENALTY rounds
+    older than its recorded green and ahead of unflagged greens at the
+    same effective age — instead of outranking the whole staleness
+    tier, so a refactor round's flags cannot starve the oldest greens
+    out of the driver's exactly-50-row budget."""
+    import __spark_entry__ as e
+
     key = lambda fine, coarse, rnd: (  # noqa: E731 — mirrors queries()
         True,
+        True,
+        rnd - e._FLAG_PENALTY if fine is True else rnd,
         not (fine is True),
         not coarse,
-        rnd,
         0.0,
         "",
     )
-    fine_changed = key(True, True, 6)
-    helper_changed = key(False, True, 6)
-    unknown_changed = key(None, True, 6)
-    untouched = key(False, False, 6)
-    stale_untouched = key(False, False, 4)
-    assert fine_changed < helper_changed
-    assert fine_changed < unknown_changed
-    assert helper_changed < untouched
-    assert unknown_changed < untouched
-    assert stale_untouched < untouched  # staleness still orders tier 4
+    flagged_fresh = key(True, True, 11)       # flagged r11 -> eff r8
+    unflagged_stale = key(False, False, 6)    # the age-6 cohort
+    unflagged_seven = key(None, False, 7)
+    unflagged_eight = key(False, False, 8)
+    flagged_stale = key(True, True, 6)        # flagged r6 -> eff r3
+    assert unflagged_stale < flagged_fresh    # age-6 beats flagged-r11
+    assert unflagged_seven < flagged_fresh    # age-5 too
+    assert flagged_fresh < unflagged_eight    # ...but flag beats equals
+    assert flagged_stale < unflagged_stale    # flag still fronts in-tier
 
 
 def test_fingerprint_format_is_shallow_colon_deep():
