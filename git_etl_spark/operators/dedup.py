@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from ..functions.vector import norm
 from ..io import dataset_fingerprint, load_table
 from ..registry import query
-from ..session import iter_checkpoint, loop_shuffle_partitions
+from ..session import iter_checkpoint, loop_shuffle_partitions, memo_disabled
 
 # DuckDB twin of functions.vector.norm over the raw embedding column
 _DUCK_NORM = (
@@ -383,11 +383,12 @@ def _rep_graph_materialized(
         sf_dir,
         dataset_fingerprint(sf_dir, "documents"),
     )
-    pair = _REP_GRAPH_MEMO.get(key)
+    pair = None if memo_disabled() else _REP_GRAPH_MEMO.get(key)
     if pair is None:
         members, rep_pairs = _rep_graph_impl(spark, sf_dir)
         pair = (members.localCheckpoint(), rep_pairs.localCheckpoint())
-        _REP_GRAPH_MEMO[key] = pair
+        if not memo_disabled():
+            _REP_GRAPH_MEMO[key] = pair
     return pair
 
 
@@ -445,7 +446,7 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         dataset_fingerprint(sf_dir, "embeddings"),
     )
-    memoized = _COS_PAIRS_MEMO.get(memo_key)
+    memoized = None if memo_disabled() else _COS_PAIRS_MEMO.get(memo_key)
     if memoized is not None:
         return memoized
 
@@ -453,7 +454,8 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, COSINE_DUP_THRESHOLD
     ).localCheckpoint()  # tiny (near-dup pairs only); reused by the
     # semantic-clustering consumer in the same session
-    _COS_PAIRS_MEMO[memo_key] = pairs
+    if not memo_disabled():
+        _COS_PAIRS_MEMO[memo_key] = pairs
     return pairs
 
 
@@ -1097,7 +1099,7 @@ def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         dataset_fingerprint(sf_dir, "documents"),
     )
-    memoized = _SIMHASH_PAIRS_MEMO.get(memo_key)
+    memoized = None if memo_disabled() else _SIMHASH_PAIRS_MEMO.get(memo_key)
     if memoized is not None:
         return memoized
     docs = load_table(spark, sf_dir, "documents")
@@ -1137,7 +1139,8 @@ def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()  # tiny (verified near-dup pairs); reused by
         # the cluster consumer in the same session
     )
-    _SIMHASH_PAIRS_MEMO[memo_key] = pairs
+    if not memo_disabled():
+        _SIMHASH_PAIRS_MEMO[memo_key] = pairs
     return pairs
 
 
@@ -1484,7 +1487,7 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         dataset_fingerprint(sf_dir, "documents"),
     )
-    memoized = _CLUSTER_MEMO.get(memo_key)
+    memoized = None if memo_disabled() else _CLUSTER_MEMO.get(memo_key)
     if memoized is not None:
         return memoized
     members, rep_pairs = _rep_graph_materialized(spark, sf_dir)
@@ -1560,7 +1563,8 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()  # converged labels; reused by the
         # leakage-safe split consumer in the same session
     )
-    _CLUSTER_MEMO[memo_key] = result
+    if not memo_disabled():
+        _CLUSTER_MEMO[memo_key] = result
     return result
 
 
@@ -1797,12 +1801,13 @@ def semantic_clusters(
             sf_dir,
             dataset_fingerprint(sf_dir, "embeddings"),
         )
-        memoized = _SEM_CLUSTER_MEMO.get(memo_key)
+        memoized = None if memo_disabled() else _SEM_CLUSTER_MEMO.get(memo_key)
         if memoized is not None:
             return memoized
         pairs = dedup_embedding_cosine_pairs(spark, sf_dir)  # memoized
         result = _cluster_vec_pairs(spark, pairs).localCheckpoint()
-        _SEM_CLUSTER_MEMO[memo_key] = result
+        if not memo_disabled():
+            _SEM_CLUSTER_MEMO[memo_key] = result
         return result
     else:
         pairs = _exact_cosine_pairs(spark, sf_dir, threshold)

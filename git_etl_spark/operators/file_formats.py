@@ -35,6 +35,7 @@ from pyspark.sql import types as T
 
 from ..io import dataset_fingerprint, load_table
 from ..registry import query
+from ..session import memo_disabled
 
 # one written copy per (session, sf_dir, format); removed at exit like
 # the streaming replay sources
@@ -72,7 +73,7 @@ def _written_copy(spark: SparkSession, sf_dir: str, fmt: str) -> str:
         fmt,
         dataset_fingerprint(sf_dir, "documents"),
     )
-    path = _FMT_MEMO.get(key)
+    path = None if memo_disabled() else _FMT_MEMO.get(key)
     if path is None:
         path = os.path.join(
             tempfile.gettempdir(), f"ges-fmt-{fmt}-{uuid.uuid4().hex[:8]}"
@@ -110,7 +111,8 @@ def _written_copy(spark: SparkSession, sf_dir: str, fmt: str) -> str:
             ).save(path)
         else:  # pragma: no cover - guarded by callers
             raise ValueError(fmt)
-        _FMT_MEMO[key] = path
+        if not memo_disabled():
+            _FMT_MEMO[key] = path
     return path
 
 
@@ -154,7 +156,7 @@ def source_partitioned_pruned_read(spark: SparkSession, sf_dir: str) -> DataFram
         "part",
         dataset_fingerprint(sf_dir, "documents"),
     )
-    path = _FMT_MEMO.get(key)
+    path = None if memo_disabled() else _FMT_MEMO.get(key)
     if path is None:
         path = os.path.join(
             tempfile.gettempdir(), f"ges-fmt-part-{uuid.uuid4().hex[:8]}"
@@ -162,7 +164,8 @@ def source_partitioned_pruned_read(spark: SparkSession, sf_dir: str) -> DataFram
         load_table(spark, sf_dir, "documents").select(
             "doc_id", "text", "lang", "source", "n_chars"
         ).write.mode("overwrite").partitionBy("lang").parquet(path)
-        _FMT_MEMO[key] = path
+        if not memo_disabled():
+            _FMT_MEMO[key] = path
     back = spark.read.parquet(path).filter(F.col("lang").isin("en", "zh"))
     return _roundtrip_projection(back)
 
@@ -249,7 +252,7 @@ def source_jsonl_malformed_quarantine(spark: SparkSession, sf_dir: str) -> DataF
         "json-corrupt",
         dataset_fingerprint(sf_dir, "documents"),
     )
-    path = _FMT_MEMO.get(key)
+    path = None if memo_disabled() else _FMT_MEMO.get(key)
     if path is None:
         path = os.path.join(
             tempfile.gettempdir(), f"ges-fmt-corrupt-{uuid.uuid4().hex[:8]}"
@@ -265,7 +268,8 @@ def source_jsonl_malformed_quarantine(spark: SparkSession, sf_dir: str) -> DataF
             F.substring(line, 1, 40),
         ).otherwise(line)
         docs.select(broken.alias("value")).write.mode("overwrite").text(path)
-        _FMT_MEMO[key] = path
+        if not memo_disabled():
+            _FMT_MEMO[key] = path
     schema = (
         "doc_id LONG, lang STRING, source STRING, n_chars LONG, text STRING,"
         " _corrupt_record STRING"

@@ -20,7 +20,7 @@ from ..functions.vector import (
 )
 from ..io import dataset_fingerprint, load_table
 from ..registry import query
-from ..session import iter_checkpoint, loop_shuffle_partitions
+from ..session import iter_checkpoint, loop_shuffle_partitions, memo_disabled
 
 PAGERANK_ITERS = 6
 DAMPING = 0.85
@@ -65,7 +65,7 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         dataset_fingerprint(sf_dir, "lineitem", "orders"),
     )
-    memoized = _PAGERANK_MEMO.get(memo_key)
+    memoized = None if memo_disabled() else _PAGERANK_MEMO.get(memo_key)
     if memoized is not None:
         return memoized
     li = load_table(spark, sf_dir, "lineitem")
@@ -123,7 +123,8 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(((1 - DAMPING) + DAMPING * contrib_sum).alias("rank"))
             )
     result = ranks.select(F.col("src").alias("node"), "rank")
-    _PAGERANK_MEMO[memo_key] = result
+    if not memo_disabled():
+        _PAGERANK_MEMO[memo_key] = result
     return result
 
 

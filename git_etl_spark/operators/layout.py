@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from ..io import dataset_fingerprint, load_table
 from ..registry import query
+from ..session import memo_disabled
 
 N_BUCKETS = 8
 
@@ -41,7 +42,7 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         dataset_fingerprint(sf_dir, "lineitem", "orders").encode()
     ).hexdigest()[:12]
     memo_key = (spark.sparkContext.applicationId, sf_dir, fp)
-    memoized = _BUCKETED_MEMO.get(memo_key)
+    memoized = None if memo_disabled() else _BUCKETED_MEMO.get(memo_key)
     if memoized is not None:
         return memoized
     li_name, o_name = f"li_bucketed_{fp}", f"o_bucketed_{fp}"
@@ -63,7 +64,8 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     load_table(spark, sf_dir, "orders").write.bucketBy(
         N_BUCKETS, "o_orderkey"
     ).sortBy("o_orderkey").mode("overwrite").saveAsTable(o_name)
-    _BUCKETED_MEMO[memo_key] = (li_name, o_name)
+    if not memo_disabled():
+        _BUCKETED_MEMO[memo_key] = (li_name, o_name)
     return li_name, o_name
 
 

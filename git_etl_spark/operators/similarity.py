@@ -31,6 +31,7 @@ from ..functions.vector import (
 )
 from ..io import dataset_fingerprint, load_table
 from ..registry import query
+from ..session import memo_disabled
 from ..session import iter_checkpoint, loop_shuffle_partitions
 
 TOP_K = 5
@@ -231,11 +232,12 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
         sf_dir,
         dataset_fingerprint(sf_dir, "embeddings"),
     )
-    memoized = _IVF_INDEX_MEMO.get(memo_key)
+    memoized = None if memo_disabled() else _IVF_INDEX_MEMO.get(memo_key)
     if memoized is not None:
         return memoized
     centroids, posting = _ivf_train(spark, sf_dir)
-    _IVF_INDEX_MEMO[memo_key] = (centroids, posting)
+    if not memo_disabled():
+        _IVF_INDEX_MEMO[memo_key] = (centroids, posting)
     return centroids, posting
 
 
@@ -475,7 +477,7 @@ def pq_codebooks_and_codes(
         sf_dir,
         dataset_fingerprint(sf_dir, "embeddings"),
     )
-    memoized = _PQ_INDEX_MEMO.get(memo_key)
+    memoized = None if memo_disabled() else _PQ_INDEX_MEMO.get(memo_key)
     if memoized is not None:
         return memoized
     emb = load_table(spark, sf_dir, "embeddings")
@@ -546,7 +548,8 @@ def pq_codebooks_and_codes(
         .filter(F.col("rn") == 1)
         .select("vec_id", "m", "code")
     )
-    _PQ_INDEX_MEMO[memo_key] = (codebooks, codes)
+    if not memo_disabled():
+        _PQ_INDEX_MEMO[memo_key] = (codebooks, codes)
     return codebooks, codes
 
 

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from ..io import dataset_fingerprint, load_table, table_path
 from ..registry import query
+from ..session import memo_disabled
 from ..streaming.events_stream import hourly_counts, sessionized
 
 # replay source parquet per (session, sf_dir): written once, reused by
@@ -116,13 +117,14 @@ def _replay_source(
         dataset_fingerprint(sf_dir, "events"),
         n_parts,
     )
-    src_dir = _SRC_MEMO.get(memo_key)
+    src_dir = None if memo_disabled() else _SRC_MEMO.get(memo_key)
     if src_dir is None:
         src_dir = os.path.join(
             tempfile.gettempdir(), f"ges-stream-{_uuid.uuid4().hex[:8]}"
         )
         events.repartition(n_parts).write.parquet(src_dir)
-        _SRC_MEMO[memo_key] = src_dir
+        if not memo_disabled():
+            _SRC_MEMO[memo_key] = src_dir
     return src_dir
 
 

@@ -1251,14 +1251,14 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge loop — this is the architecture HuggingFace tokenizers uses,
     expressed relationally."""
     from ..io import dataset_fingerprint
-    from ..session import iter_checkpoint
+    from ..session import iter_checkpoint, memo_disabled
 
     memo_key = (
         spark.sparkContext.applicationId,
         sf_dir,
         dataset_fingerprint(sf_dir, "documents"),
     )
-    memoized = _BPE_MERGES_MEMO.get(memo_key)
+    memoized = None if memo_disabled() else _BPE_MERGES_MEMO.get(memo_key)
     if memoized is not None:
         return spark.createDataFrame(
             memoized, "rank long, pair string, pair_cnt long"
@@ -1335,7 +1335,8 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         vocab = iter_checkpoint(
             vocab.select("cnt", col.alias("spelled")), eager=False
         )
-    _BPE_MERGES_MEMO[memo_key] = merges
+    if not memo_disabled():
+        _BPE_MERGES_MEMO[memo_key] = merges
     return spark.createDataFrame(
         merges, "rank long, pair string, pair_cnt long"
     )
