@@ -263,6 +263,20 @@ _REVERIFY_FIRST: dict[str, int] = {
     "streaming_hourly_agg_replay": 12,
     "streaming_session_window_replay": 12,
     "streaming_stateful_counts_replay": 12,
+    # NOT listed, deliberately: 19 more queries' deep fingerprints
+    # moved in r12 from the memo-bypass gating alone (VERDICT r11 task
+    # 4) — dedup pair/cluster consumers, both pageranks,
+    # join_bucketed_colocated, the IVF/PQ simsearch quartet, the five
+    # source_* round-trips, text_bpe_merges. That edit is a
+    # measurement knob that is a no-op on the default path (flag off →
+    # identical code), each touched module had a consumer
+    # oracle-MATCHed locally before commit, and fronting all 19 would
+    # displace 15 age-6 greens from the driver's 50-row budget — the
+    # opposite trade from VERDICT r11 task 1. They re-hash-check
+    # through the staleness rotation (all are r07–r11 greens, so
+    # within ~3 rounds), and any green recorded from r12 on compares
+    # deep-vs-deep, making future helper edits visible to the fine
+    # tier automatically.
 }
 
 # A fine-flag (definition fingerprint drifted since the green's as-of
