@@ -239,6 +239,18 @@ def test_grouped_weighted_quantile_null_group_key(spark):
     )
     assert None in {g for g, _ in got}, got
     assert got == want
+    # null-safe equality must stay hash-joinable (Spark plans <=> as
+    # coalesce+isnull hash keys) — a nested-loop fallback here would
+    # be a scale regression hidden behind a correctness fix
+    from git_etl_spark.plans.audit import physical_plan
+
+    plan = physical_plan(
+        grouped_weighted_quantile_rows(
+            df, ["g"], "v", ["id"], "wt", bucket_shift=3
+        )
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "NestedLoop" not in plan, plan
 
 
 def test_weighted_median_cents_exact_on_truncating_prices(spark):
