@@ -263,11 +263,13 @@ _REVERIFY_FIRST: dict[str, int] = {
     "streaming_hourly_agg_replay": 12,
     "streaming_session_window_replay": 12,
     "streaming_stateful_counts_replay": 12,
-    # NOT listed, deliberately: 19 more queries' deep fingerprints
+    # NOT listed, deliberately: 20 more queries' deep fingerprints
     # moved in r12 from the memo-bypass gating alone (VERDICT r11 task
     # 4) — dedup pair/cluster consumers, both pageranks,
-    # join_bucketed_colocated, the IVF/PQ simsearch quartet, the five
-    # source_* round-trips, text_bpe_merges. That edit is a
+    # join_bucketed_colocated, the IVF/PQ simsearch quartet, the six
+    # source_* round-trips, text_bpe_merges. All 27 movers (these 20
+    # plus the 7 fronted above) were hash-verified locally at sf0.01
+    # AND sf0.1 this round (PERFORMANCE.md round 12). That edit is a
     # measurement knob that is a no-op on the default path (flag off →
     # identical code), each touched module had a consumer
     # oracle-MATCHed locally before commit, and fronting all 19 would

@@ -299,12 +299,14 @@ def global_ntile(
     else:
         # SQL `div` is true integral division (stays in longs at any
         # magnitude); Column `/` on two longs is a DOUBLE divide,
-        # which would round past 2^53. rn_col is a known name, so the
-        # expr form costs nothing.
+        # which would round past 2^53. Backtick-quote the generated
+        # name: it embeds the caller's ``out``, which may contain
+        # spaces or reserved words.
         cut = rem * (bs + 1)
+        rn = f"`{rn_col}`"
         tile = F.expr(
-            f"CASE WHEN {rn_col} <= {cut}"
-            f" THEN ({rn_col} - 1) div {bs + 1} + 1"
-            f" ELSE {rem} + ({rn_col} - {cut} - 1) div {bs} + 1 END"
+            f"CASE WHEN {rn} <= {cut}"
+            f" THEN ({rn} - 1) div {bs + 1} + 1"
+            f" ELSE {rem} + ({rn} - {cut} - 1) div {bs} + 1 END"
         )
     return ranked.withColumn(out, tile.cast("long")).drop(rn_col)

@@ -40,12 +40,19 @@ from ..session import memo_disabled
 # one written copy per (session, sf_dir, format); removed at exit like
 # the streaming replay sources
 _FMT_MEMO: dict[tuple[str, str, str, str], str] = {}
+# dirs written while SPARK_GRAFT_DISABLE_MEMO=1 skips the memo PUT:
+# never reused, but still deleted at exit — per-solve measurement
+# loops must not accumulate full-table copies in /tmp
+_FMT_EXTRA_DIRS: list[str] = []
 
 
 def _cleanup_fmt_dirs() -> None:
     for path in _FMT_MEMO.values():
         shutil.rmtree(path, ignore_errors=True)
     _FMT_MEMO.clear()
+    for path in _FMT_EXTRA_DIRS:
+        shutil.rmtree(path, ignore_errors=True)
+    _FMT_EXTRA_DIRS.clear()
 
 
 atexit.register(_cleanup_fmt_dirs)
@@ -111,7 +118,9 @@ def _written_copy(spark: SparkSession, sf_dir: str, fmt: str) -> str:
             ).save(path)
         else:  # pragma: no cover - guarded by callers
             raise ValueError(fmt)
-        if not memo_disabled():
+        if memo_disabled():
+            _FMT_EXTRA_DIRS.append(path)
+        else:
             _FMT_MEMO[key] = path
     return path
 
@@ -164,7 +173,9 @@ def source_partitioned_pruned_read(spark: SparkSession, sf_dir: str) -> DataFram
         load_table(spark, sf_dir, "documents").select(
             "doc_id", "text", "lang", "source", "n_chars"
         ).write.mode("overwrite").partitionBy("lang").parquet(path)
-        if not memo_disabled():
+        if memo_disabled():
+            _FMT_EXTRA_DIRS.append(path)
+        else:
             _FMT_MEMO[key] = path
     back = spark.read.parquet(path).filter(F.col("lang").isin("en", "zh"))
     return _roundtrip_projection(back)
@@ -268,7 +279,9 @@ def source_jsonl_malformed_quarantine(spark: SparkSession, sf_dir: str) -> DataF
             F.substring(line, 1, 40),
         ).otherwise(line)
         docs.select(broken.alias("value")).write.mode("overwrite").text(path)
-        if not memo_disabled():
+        if memo_disabled():
+            _FMT_EXTRA_DIRS.append(path)
+        else:
             _FMT_MEMO[key] = path
     schema = (
         "doc_id LONG, lang STRING, source STRING, n_chars LONG, text STRING,"

@@ -31,8 +31,7 @@ from ..functions.vector import (
 )
 from ..io import dataset_fingerprint, load_table
 from ..registry import query
-from ..session import memo_disabled
-from ..session import iter_checkpoint, loop_shuffle_partitions
+from ..session import iter_checkpoint, loop_shuffle_partitions, memo_disabled
 
 TOP_K = 5
 N_QUERIES = 10  # query set = vec_id < 10

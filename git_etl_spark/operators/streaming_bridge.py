@@ -31,7 +31,7 @@ from ..streaming.events_stream import hourly_counts, sessionized
 # _SINK_DIRS holds the per-run materialized sink outputs (the replay
 # result lives in executor-written parquet, never on the driver) and
 # is cleaned up the same way.
-_SRC_MEMO: dict[tuple[str, str, str], str] = {}
+_SRC_MEMO: dict[tuple[str, str, str, int], str] = {}
 _SINK_DIRS: list[str] = []
 
 
@@ -123,7 +123,13 @@ def _replay_source(
             tempfile.gettempdir(), f"ges-stream-{_uuid.uuid4().hex[:8]}"
         )
         events.repartition(n_parts).write.parquet(src_dir)
-        if not memo_disabled():
+        if memo_disabled():
+            # the knob skips the memo PUT, but the dir must still die
+            # with the interpreter — park it on the unconditional
+            # cleanup list, else repeated per-solve measurement runs
+            # accumulate full-table copies in /tmp
+            _SINK_DIRS.append(src_dir)
+        else:
             _SRC_MEMO[memo_key] = src_dir
     return src_dir
 
