@@ -269,7 +269,19 @@ _REVERIFY_FIRST: dict[str, int] = {
     # join_bucketed_colocated, the IVF/PQ simsearch quartet, the six
     # source_* round-trips, text_bpe_merges. All 27 movers (these 20
     # plus the 7 fronted above) were hash-verified locally at sf0.01
-    # AND sf0.1 this round (PERFORMANCE.md round 12). That edit is a
+    # AND sf0.1 this round (PERFORMANCE.md round 12).
+    #
+    # Also NOT listed: the 5 degenerate-corpus fixes landed later in
+    # r12 (agg_price_histogram, the PCA pair, simsearch_ann_ml_lsh,
+    # source_partitioned_pruned_read — empty/single-row guards, see
+    # tests/test_degenerate_corpus.py). Each was oracle-MATCHed at
+    # sf0.01 AND sf0.1 after the edit (rows-only members via their
+    # executing twins), results bit-identical on non-degenerate data;
+    # source_partitioned_pruned_read additionally sits in the r12
+    # first-50 by staleness. Fronting the other four would displace
+    # age-6 greens from the driver's 50-row budget — same trade, same
+    # resolution: local two-scale proof now, penalty-accelerated
+    # rotation next rounds. That edit is a
     # measurement knob that is a no-op on the default path (flag off →
     # identical code), each touched module had a consumer
     # oracle-MATCHed locally before commit, and fronting all 19 would

@@ -267,14 +267,18 @@ def agg_salted_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH b AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
                FROM orders)
-    SELECT LEAST(CAST(FLOOR((o_totalprice - b.lo) / (b.hi - b.lo) * 10)
-                      AS BIGINT) + 1, 10) AS bucket,
+    SELECT CASE WHEN b.hi = b.lo THEN 1
+                ELSE LEAST(CAST(FLOOR((o_totalprice - b.lo)
+                                      / (b.hi - b.lo) * 10)
+                                AS BIGINT) + 1, 10) END AS bucket,
            COUNT(*) AS n,
            CAST(MIN(o_totalprice) AS DOUBLE) AS bucket_min,
            CAST(MAX(o_totalprice) AS DOUBLE) AS bucket_max
     FROM orders, b
-    GROUP BY LEAST(CAST(FLOOR((o_totalprice - b.lo) / (b.hi - b.lo) * 10)
-                        AS BIGINT) + 1, 10)
+    GROUP BY CASE WHEN b.hi = b.lo THEN 1
+                  ELSE LEAST(CAST(FLOOR((o_totalprice - b.lo)
+                                        / (b.hi - b.lo) * 10)
+                                  AS BIGINT) + 1, 10) END
     """,
 )
 def agg_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -283,19 +287,26 @@ def agg_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``least(floor((x−lo)/(hi−lo)·10)+1, 10)`` is written identically
     on both engines — same IEEE operation order, so bucket assignment
     is bit-deterministic. The two-pass shape (bounds, then binning)
-    is the standard distributed histogram at any scale."""
+    is the standard distributed histogram at any scale. A degenerate
+    range (hi == lo: one distinct price, e.g. a single-row slice)
+    pins everything to bucket 1 on BOTH engines — without the guard,
+    ANSI Spark raises DIVIDE_BY_ZERO while DuckDB returns IEEE NaN."""
     o = load_table(spark, sf_dir, "orders")
     bounds = o.agg(
         F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
     )
-    bucket = F.least(
-        F.floor(
-            (F.col("o_totalprice") - F.col("lo"))
-            / (F.col("hi") - F.col("lo"))
-            * 10
-        ).cast("bigint")
-        + 1,
-        F.lit(10).cast("bigint"),
+    bucket = F.when(
+        F.col("hi") == F.col("lo"), F.lit(1).cast("bigint")
+    ).otherwise(
+        F.least(
+            F.floor(
+                (F.col("o_totalprice") - F.col("lo"))
+                / (F.col("hi") - F.col("lo"))
+                * 10
+            ).cast("bigint")
+            + 1,
+            F.lit(10).cast("bigint"),
+        )
     )
     return (
         o.crossJoin(F.broadcast(bounds))

@@ -177,7 +177,16 @@ def source_partitioned_pruned_read(spark: SparkSession, sf_dir: str) -> DataFram
             _FMT_EXTRA_DIRS.append(path)
         else:
             _FMT_MEMO[key] = path
-    back = spark.read.parquet(path).filter(F.col("lang").isin("en", "zh"))
+    # explicit schema: an EMPTY estate (zero partition directories —
+    # e.g. a fresh date slice) has nothing to infer from and
+    # inference-based reads die with UNABLE_TO_INFER_SCHEMA; a
+    # production reader of a partitioned estate always knows its
+    # schema. Spark resolves `lang` as the partition column.
+    back = (
+        spark.read.schema(_DOC_SCHEMA)
+        .parquet(path)
+        .filter(F.col("lang").isin("en", "zh"))
+    )
     return _roundtrip_projection(back)
 
 

@@ -423,6 +423,14 @@ def simsearch_ann_ml_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _spread_corpus(
         spark, load_table(spark, sf_dir, "embeddings")
     ).select("vec_id", array_to_vector("embedding").alias("features"))
+    if emb.isEmpty():
+        # ml LSH .fit dies on an empty corpus ("head of empty array"
+        # while inferring the vector dimension); an empty index has an
+        # empty neighbor set. isEmpty() is a LocalLimit-1 probe, not a
+        # count — O(first row) on a real corpus.
+        return spark.createDataFrame(
+            [], "q_id LONG, neighbor_id LONG, dist DOUBLE"
+        )
     lsh = BucketedRandomProjectionLSH(
         inputCol="features",
         outputCol="hashes",
@@ -721,7 +729,7 @@ def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     numpy.linalg.eigh on the same matrix, run-to-run determinism —
     plus the hash-oracled ppm twin ``embedding_pca_loading_ppm``."""
     d, n, mu, v, lam, trace = _pca_power_solve(spark, sf_dir)
-    evr = lam / trace
+    evr = lam / trace if trace else 0.0
     out = [(i, mu[i], v[i], lam, evr) for i in range(d)]
     return spark.createDataFrame(
         out, "pos INT, mean_val DOUBLE, pc1_loading DOUBLE, "
@@ -767,6 +775,11 @@ def _pca_power_solve(
         .collect()
     )
     d = len(means_rows)
+    if d == 0:
+        # empty corpus: no moments, no spectrum — callers emit an
+        # empty result (the DuckDB twin's recursive CTE over an empty
+        # moment matrix also yields zero rows)
+        return 0, 0, [], [], 0.0, 0.0
     n = means_rows[0]["n"]
     mu = [0.0] * d
     for r in means_rows:
@@ -807,6 +820,12 @@ def _pca_power_solve(
     for _ in range(PCA_ITERS):
         w = [sum(C[i][j] * v[j] for j in range(d)) for i in range(d)]
         norm = math.sqrt(sum(x * x for x in w))
+        if norm == 0.0:
+            # exactly-zero covariance (e.g. every vector identical):
+            # the iterate is already a fixed point; keep the current
+            # unit vector with eigenvalue 0 instead of dividing by 0
+            lam = 0.0
+            break
         v = [x / norm for x in w]
         lam = norm
     trace = sum(C[i][i] for i in range(d))
@@ -903,9 +922,15 @@ def embedding_pca_loading_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     d, n, mu, v, lam, trace = _pca_power_solve(spark, sf_dir)
+    if d == 0:
+        return spark.createDataFrame(
+            [],
+            "pos INT, loading_ppm BIGINT, eigenvalue_ppb BIGINT, "
+            "evr_ppm BIGINT",
+        )
     m = max(range(d), key=lambda i: (abs(v[i]), -i))
     s = 1.0 if v[m] > 0 else -1.0
-    evr = lam / trace
+    evr = lam / trace if trace else 0.0
     out = [
         (
             i,
