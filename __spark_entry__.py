@@ -281,7 +281,14 @@ _REVERIFY_FIRST: dict[str, int] = {
     # first-50 by staleness. Fronting the other four would displace
     # age-6 greens from the driver's 50-row budget — same trade, same
     # resolution: local two-scale proof now, penalty-accelerated
-    # rotation next rounds. That edit is a
+    # rotation next rounds.
+    #
+    # Likewise the 9 null-heavy-corpus fixes (the six media decode
+    # pipelines + their oracles gained a matching drop-null-content
+    # filter, simsearch_ann_ml_lsh, udtf_doc_chunks): each
+    # oracle-MATCHed at sf0.01 AND sf0.1 after the edit, results
+    # bit-identical on the null-free committed corpora, standing
+    # delegates in tests/test_degenerate_corpus.py. That edit is a
     # measurement knob that is a no-op on the default path (flag off →
     # identical code), each touched module had a consumer
     # oracle-MATCHed locally before commit, and fronting all 19 would

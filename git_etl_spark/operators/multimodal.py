@@ -490,7 +490,7 @@ def decode_image(payload: bytes) -> dict:
                hex(encode(text)) AS h,
                octet_length(encode(text)) AS n,
                CAST(doc_id % 13 + 4 AS INT) AS width
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     )
     SELECT doc_id,
            CAST(n AS BIGINT) AS n_bytes,
@@ -524,6 +524,10 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     loop is value-verified, not just shape-checked."""
     docs = (
         load_table(spark, sf_dir, "documents")
+        # a document with no content contributes no media row
+        # (null text -> null payload would crash the decoder;
+        # the oracle CTE filters identically)
+        .filter(F.col("text").isNotNull())
         # single-file corpus → one input split; spread the per-item
         # decode CPU over every core before the Python stage (same
         # treatment as the JPEG/GIF/WAV twins — the 10× corpus ran
@@ -593,7 +597,7 @@ def sample_frames_stub(payload: bytes, max_frames: int = 8) -> list[dict]:
     WITH b AS (
         SELECT doc_id, hex(encode(text)) AS h,
                octet_length(encode(text)) AS n
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     ),
     f AS (
         SELECT doc_id, h, n,
@@ -637,6 +641,10 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     expansion is value-verified, not just shape-checked."""
     docs = (
         load_table(spark, sf_dir, "documents")
+        # a document with no content contributes no media row
+        # (null text -> null payload would crash the decoder;
+        # the oracle CTE filters identically)
+        .filter(F.col("text").isNotNull())
         # spread the per-item frame walk across cores (see the
         # decode-features twin above for the single-split rationale)
         .repartition(spark.sparkContext.defaultParallelism)
@@ -819,7 +827,7 @@ def decode_wav(payload: bytes) -> dict:
         SELECT doc_id, hex(encode(text)) AS h,
                octet_length(encode(text)) AS n,
                CAST(doc_id % 3 * 4000 + 8000 AS INT) AS rate
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     ),
     s AS (
         SELECT doc_id, rate, n,
@@ -863,6 +871,10 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``maxRecordsPerBatch``, decode parallelism ∝ partitions."""
     docs = (
         load_table(spark, sf_dir, "documents")
+        # a document with no content contributes no media row
+        # (null text -> null payload would crash the decoder;
+        # the oracle CTE filters identically)
+        .filter(F.col("text").isNotNull())
         # one small parquet file → one input split; spread the per-item
         # codec CPU over every core before the Python stage (explicit N
         # — exempt from AQE's byte-based coalescer), same treatment as
@@ -932,7 +944,7 @@ def ahash_bits(body: bytes, width: int) -> tuple[int, int, str]:
         SELECT doc_id, hex(encode(text)) AS hx,
                octet_length(encode(text)) AS n,
                CAST(doc_id % 13 + 4 AS INT) AS w
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     ),
     g AS (SELECT *, CAST((n + w - 1) // w AS INT) AS h FROM b),
     px AS (
@@ -988,6 +1000,10 @@ def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     same X1 exact-dedup shape, applied to pixels instead of text."""
     docs = (
         load_table(spark, sf_dir, "documents")
+        # a document with no content contributes no media row
+        # (null text -> null payload would crash the decoder;
+        # the oracle CTE filters identically)
+        .filter(F.col("text").isNotNull())
         # the per-byte aHash grid walk is the heaviest pure-Python
         # per-item loop in the media family — spread it (10× corpus
         # measured 4.5 s single-task without this)
@@ -1027,7 +1043,7 @@ _AHASH_SQL = """
         SELECT doc_id, hex(encode(text)) AS hx,
                octet_length(encode(text)) AS n,
                CAST(doc_id % 13 + 4 AS INT) AS w
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     ),
     g AS (SELECT *, CAST((n + w - 1) // w AS INT) AS h FROM b),
     px AS (
@@ -1285,7 +1301,7 @@ def jpeg_features(payload: bytes) -> dict:
                octet_length(encode(text)) AS n,
                CAST(doc_id % 4 + 2 AS INT) AS wb,
                CAST(doc_id % 3 + 2 AS INT) AS hb
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     ),
     v AS (
         SELECT doc_id, wb, hb, wb * hb AS nb,
@@ -1337,6 +1353,10 @@ def multimodal_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``mapInPandas``, parallelism ∝ partitions, no shuffle at all."""
     docs = (
         load_table(spark, sf_dir, "documents")
+        # a document with no content contributes no media row
+        # (null text -> null payload would crash the decoder;
+        # the oracle CTE filters identically)
+        .filter(F.col("text").isNotNull())
         .select("doc_id", F.encode("text", "UTF-8").alias("body"))
         # the corpus is one small parquet file → one input split; the
         # per-item codec CPU is the cost here, so spread the rows over
@@ -1452,7 +1472,7 @@ def gif_features(payload: bytes) -> dict:
                octet_length(encode(text)) AS n,
                CAST(doc_id % 5 + 3 AS INT) AS w,
                CAST(doc_id % 4 + 3 AS INT) AS ht
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     ),
     v AS (
         SELECT doc_id, w, ht, w * ht AS np,
@@ -1510,6 +1530,10 @@ def multimodal_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallelism ∝ partitions, no shuffle at all."""
     docs = (
         load_table(spark, sf_dir, "documents")
+        # a document with no content contributes no media row
+        # (null text -> null payload would crash the decoder;
+        # the oracle CTE filters identically)
+        .filter(F.col("text").isNotNull())
         .select("doc_id", F.encode("text", "UTF-8").alias("body"))
         # one small parquet file → one input split; spread the per-item
         # codec CPU over every core (explicit N — exempt from AQE's

@@ -420,9 +420,15 @@ def simsearch_ann_ml_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # data-growing (0.83 → 2.09 s at 10×) but flat in cores. Hash
     # values depend only on (features, seed), so the spread cannot
     # change the result set.
-    emb = _spread_corpus(
-        spark, load_table(spark, sf_dir, "embeddings")
-    ).select("vec_id", array_to_vector("embedding").alias("features"))
+    emb = (
+        _spread_corpus(spark, load_table(spark, sf_dir, "embeddings"))
+        # a null vector has no geometry: the array_to_vector UDF (and
+        # .fit's dimension probe) die on it; drop such rows like every
+        # other simsearch query does implicitly (NULL distances never
+        # pass their comparisons)
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", array_to_vector("embedding").alias("features"))
+    )
     if emb.isEmpty():
         # ml LSH .fit dies on an empty corpus ("head of empty array"
         # while inferring the vector dimension); an empty index has an

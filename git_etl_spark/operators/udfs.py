@@ -224,6 +224,10 @@ def udtf_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="chunk_idx: int, n_tokens: int, chunk_text: string")
     class ChunkDoc:
         def eval(self, text: str):
+            if text is None:
+                # no content -> no chunks (LATERAL drops the row),
+                # matching the oracle's NULL-text behavior
+                return
             toks = text.split(" ")
             for ci in range(0, (len(toks) + CHUNK_TOKENS - 1) // CHUNK_TOKENS):
                 window = toks[ci * CHUNK_TOKENS : (ci + 1) * CHUNK_TOKENS]

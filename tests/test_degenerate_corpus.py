@@ -1,4 +1,5 @@
-"""Standing degenerate-corpus robustness gate: empty and single-row.
+"""Standing degenerate-corpus robustness gate: empty, single-row, and
+null-heavy.
 
 At 100 TB the engine constantly meets degenerate slices — a fresh date
 partition with zero rows, a filter that matches nothing, a tenant with
@@ -68,9 +69,33 @@ DEGENERATE_SENSITIVE = [
 
 VARIANTS = ("empty", "one")
 
+# The third degenerate axis: every string/binary/list column NULL
+# (failed fetches, tombstoned documents, embedding backfill gaps).
+# The r12 null-heavy survey over all 246 queries found 9 crashes —
+# the six payload-synthesizing media pipelines (null text → null
+# payload → decoder TypeError), the ml-LSH vector UDF, and the
+# chunking UDTF. All fixed with a drop-null-content semantic mirrored
+# in their oracles; these delegates keep the class closed, plus a few
+# parse/regex-heavy survivors whose null tolerance is load-bearing.
+NULL_SENSITIVE = [
+    "multimodal_decode_features",
+    "multimodal_frame_sample",
+    "multimodal_audio_features",
+    "multimodal_image_ahash",
+    "multimodal_ahash_dup_candidates",
+    "multimodal_jpeg_features",
+    "multimodal_gif_features",
+    "simsearch_ann_ml_lsh",
+    "udtf_doc_chunks",
+    "embedding_pca_loading_ppm",
+    "text_repetition_metrics",
+    "dedup_minhash_lsh",
+]
+
 
 @pytest.fixture(scope="session")
 def degenerate_dirs(tmp_path_factory):
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     root = tmp_path_factory.mktemp("degenerate")
@@ -84,6 +109,27 @@ def degenerate_dirs(tmp_path_factory):
                 t.slice(0, nrows), str(out / os.path.basename(path))
             )
         dirs[variant] = str(out)
+    out = root / "nullheavy"
+    out.mkdir()
+    for path in glob.glob("/root/testdata/sf0.001/*.parquet"):
+        t = pq.read_table(path)
+        cols = []
+        for field in t.schema:
+            if (
+                pa.types.is_string(field.type)
+                or pa.types.is_large_string(field.type)
+                or pa.types.is_binary(field.type)
+                or pa.types.is_list(field.type)
+                or pa.types.is_large_list(field.type)
+            ):
+                cols.append(pa.nulls(len(t), field.type))
+            else:
+                cols.append(t.column(field.name).combine_chunks())
+        pq.write_table(
+            pa.table(cols, schema=t.schema),
+            str(out / os.path.basename(path)),
+        )
+    dirs["nullheavy"] = str(out)
     return dirs
 
 
@@ -94,4 +140,13 @@ def test_degenerate_corpus_executes(spark, degenerate_dirs, variant, name):
 
     registry.load_all()
     n = registry.QUERIES[name](spark, degenerate_dirs[variant]).count()
+    assert n >= 0
+
+
+@pytest.mark.parametrize("name", NULL_SENSITIVE)
+def test_nullheavy_corpus_executes(spark, degenerate_dirs, name):
+    from git_etl_spark import registry
+
+    registry.load_all()
+    n = registry.QUERIES[name](spark, degenerate_dirs["nullheavy"]).count()
     assert n >= 0
