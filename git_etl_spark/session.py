@@ -55,6 +55,13 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Explicitly pinned (it is the Spark 4 default): ANSI mode is
+        # the no-silent-wrap property — out-of-domain numerics (the
+        # hostile-corpus survey, PERFORMANCE.md round 12) fail LOUDLY
+        # as ArithmeticException instead of wrapping into silently
+        # wrong aggregates. At 100 TB a killed stage is recoverable; a
+        # wrapped sum is not.
+        .config("spark.sql.ansi.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         # events.parquet stores TIMESTAMP(NANOS); Spark has no nanosecond

@@ -95,3 +95,14 @@ def test_qsum_accepts_values_near_bound(spark):
     df = spark.createDataFrame([(9.0e10,), (-9.0e10,)], "x double")
     got = df.agg(qsum(F.col("x")).alias("s")).collect()[0]["s"]
     assert got == 0.0
+
+
+def test_session_pins_ansi_mode(spark):
+    """The no-silent-wrap posture: the r12 hostile-numerics survey
+    (every float scaled to ~1e150, ids near 2^62, all 246 queries)
+    showed out-of-domain values fail LOUDLY — 232/246 execute, the
+    other 14 raise ArithmeticException/qsum domain guards, and none
+    returns a silently wrapped aggregate. That property rests on ANSI
+    mode; pin it so a future default flip or env override can't
+    silently change overflow semantics."""
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
