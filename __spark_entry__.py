@@ -288,7 +288,11 @@ _REVERIFY_FIRST: dict[str, int] = {
     # filter, simsearch_ann_ml_lsh, udtf_doc_chunks): each
     # oracle-MATCHed at sf0.01 AND sf0.1 after the edit, results
     # bit-identical on the null-free committed corpora, standing
-    # delegates in tests/test_degenerate_corpus.py. That edit is a
+    # delegates in tests/test_degenerate_corpus.py. The second review
+    # wave (PCA oracle degenerate guards, _nonnull_docs helper fold)
+    # re-MATCHed the same set plus embedding_pca_loading_ppm at both
+    # scales, with the empty/zero-vector differential now ALSO a
+    # pytest (test_pca_oracle_parity_on_empty_and_zero_vectors). That edit is a
     # measurement knob that is a no-op on the default path (flag off →
     # identical code), each touched module had a consumer
     # oracle-MATCHed locally before commit, and fronting all 19 would

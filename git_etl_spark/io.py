@@ -38,6 +38,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in CORPUS_TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {CORPUS_TABLES}")
+    # defensive, same rationale as nanosAsLong below: the caller's
+    # session may not be get_spark's (the driver passes its own), and
+    # the engine's no-silent-wrap posture — out-of-domain numerics
+    # fail loudly instead of wrapping into wrong aggregates
+    # (PERFORMANCE.md round 12) — rests on ANSI. Runtime-settable.
+    spark.conf.set("spark.sql.ansi.enabled", "true")
     if name == "events":
         # defensive: the caller's session may not be ours (the driver
         # passes its own) — this conf is runtime-settable

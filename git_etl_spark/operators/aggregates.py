@@ -290,7 +290,9 @@ def agg_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the standard distributed histogram at any scale. A degenerate
     range (hi == lo: one distinct price, e.g. a single-row slice)
     pins everything to bucket 1 on BOTH engines — without the guard,
-    ANSI Spark raises DIVIDE_BY_ZERO while DuckDB returns IEEE NaN."""
+    ANSI Spark raises DIVIDE_BY_ZERO while DuckDB yields NULL (its
+    float division by zero returns NULL, not IEEE NaN), i.e. a crash
+    on one side and a NULL-bucket group on the other."""
     o = load_table(spark, sf_dir, "orders")
     bounds = o.agg(
         F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")

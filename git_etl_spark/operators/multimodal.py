@@ -400,6 +400,17 @@ def multimodal_binaryfile_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _nonnull_docs(spark, sf_dir):
+    """documents with content. A NULL text has no payload to
+    synthesize or decode — the drop-null-content semantic every media
+    pipeline here shares with its oracle (`WHERE text IS NOT NULL` in
+    each base CTE): no content, no media row. One helper, not six
+    copies, so the policy changes in exactly one place."""
+    return load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+
+
 def encode_simg(doc_id_col, text_col):
     """JVM-side SIMG container builder: magic + 2-byte big-endian
     width/height header + UTF-8 body. Width is payload-derived
@@ -523,11 +534,7 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte sums via hex-pair arithmetic — so the full wrap→ship→decode
     loop is value-verified, not just shape-checked."""
     docs = (
-        load_table(spark, sf_dir, "documents")
-        # a document with no content contributes no media row
-        # (null text -> null payload would crash the decoder;
-        # the oracle CTE filters identically)
-        .filter(F.col("text").isNotNull())
+        _nonnull_docs(spark, sf_dir)
         # single-file corpus → one input split; spread the per-item
         # decode CPU over every core before the Python stage (same
         # treatment as the JPEG/GIF/WAV twins — the 10× corpus ran
@@ -640,11 +647,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     reconstructed by the DuckDB oracle from the text column, so the
     expansion is value-verified, not just shape-checked."""
     docs = (
-        load_table(spark, sf_dir, "documents")
-        # a document with no content contributes no media row
-        # (null text -> null payload would crash the decoder;
-        # the oracle CTE filters identically)
-        .filter(F.col("text").isNotNull())
+        _nonnull_docs(spark, sf_dir)
         # spread the per-item frame walk across cores (see the
         # decode-features twin above for the single-split rationale)
         .repartition(spark.sparkContext.defaultParallelism)
@@ -870,11 +873,7 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary column + typed metadata, Arrow batches sized by
     ``maxRecordsPerBatch``, decode parallelism ∝ partitions."""
     docs = (
-        load_table(spark, sf_dir, "documents")
-        # a document with no content contributes no media row
-        # (null text -> null payload would crash the decoder;
-        # the oracle CTE filters identically)
-        .filter(F.col("text").isNotNull())
+        _nonnull_docs(spark, sf_dir)
         # one small parquet file → one input split; spread the per-item
         # codec CPU over every core before the Python stage (explicit N
         # — exempt from AQE's byte-based coalescer), same treatment as
@@ -999,11 +998,7 @@ def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     image; the dedup join is then a plain shuffle on the hash — the
     same X1 exact-dedup shape, applied to pixels instead of text."""
     docs = (
-        load_table(spark, sf_dir, "documents")
-        # a document with no content contributes no media row
-        # (null text -> null payload would crash the decoder;
-        # the oracle CTE filters identically)
-        .filter(F.col("text").isNotNull())
+        _nonnull_docs(spark, sf_dir)
         # the per-byte aHash grid walk is the heaviest pure-Python
         # per-item loop in the media family — spread it (10× corpus
         # measured 4.5 s single-task without this)
@@ -1352,11 +1347,7 @@ def multimodal_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     column + typed metadata, per-item CPU inside Arrow-batched
     ``mapInPandas``, parallelism ∝ partitions, no shuffle at all."""
     docs = (
-        load_table(spark, sf_dir, "documents")
-        # a document with no content contributes no media row
-        # (null text -> null payload would crash the decoder;
-        # the oracle CTE filters identically)
-        .filter(F.col("text").isNotNull())
+        _nonnull_docs(spark, sf_dir)
         .select("doc_id", F.encode("text", "UTF-8").alias("body"))
         # the corpus is one small parquet file → one input split; the
         # per-item codec CPU is the cost here, so spread the rows over
@@ -1529,11 +1520,7 @@ def multimodal_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     column, per-item CPU inside Arrow-batched ``mapInPandas``,
     parallelism ∝ partitions, no shuffle at all."""
     docs = (
-        load_table(spark, sf_dir, "documents")
-        # a document with no content contributes no media row
-        # (null text -> null payload would crash the decoder;
-        # the oracle CTE filters identically)
-        .filter(F.col("text").isNotNull())
+        _nonnull_docs(spark, sf_dir)
         .select("doc_id", F.encode("text", "UTF-8").alias("body"))
         # one small parquet file → one input split; spread the per-item
         # codec CPU over every core (explicit N — exempt from AQE's

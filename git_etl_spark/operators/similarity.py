@@ -420,23 +420,25 @@ def simsearch_ann_ml_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # data-growing (0.83 → 2.09 s at 10×) but flat in cores. Hash
     # values depend only on (features, seed), so the spread cannot
     # change the result set.
-    emb = (
-        _spread_corpus(spark, load_table(spark, sf_dir, "embeddings"))
-        # a null vector has no geometry: the array_to_vector UDF (and
-        # .fit's dimension probe) die on it; drop such rows like every
-        # other simsearch query does implicitly (NULL distances never
-        # pass their comparisons)
-        .filter(F.col("embedding").isNotNull())
-        .select("vec_id", array_to_vector("embedding").alias("features"))
+    # a null vector has no geometry: the array_to_vector UDF (and
+    # .fit's dimension probe) die on it; drop such rows like every
+    # other simsearch query does implicitly (NULL distances never
+    # pass their comparisons)
+    base = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
     )
-    if emb.isEmpty():
+    if base.isEmpty():
         # ml LSH .fit dies on an empty corpus ("head of empty array"
         # while inferring the vector dimension); an empty index has an
-        # empty neighbor set. isEmpty() is a LocalLimit-1 probe, not a
-        # count — O(first row) on a real corpus.
+        # empty neighbor set. Probed BEFORE the _spread_corpus
+        # repartition so the limit-1 pushes into the scan (after an
+        # exchange it would force a full shuffle-map stage).
         return spark.createDataFrame(
             [], "q_id LONG, neighbor_id LONG, dist DOUBLE"
         )
+    emb = _spread_corpus(spark, base).select(
+        "vec_id", array_to_vector("embedding").alias("features")
+    )
     lsh = BucketedRandomProjectionLSH(
         inputCol="features",
         outputCol="hashes",
@@ -783,8 +785,10 @@ def _pca_power_solve(
     d = len(means_rows)
     if d == 0:
         # empty corpus: no moments, no spectrum — callers emit an
-        # empty result (the DuckDB twin's recursive CTE over an empty
-        # moment matrix also yields zero rows)
+        # empty result, and the DuckDB twin emits zero rows through
+        # its explicit `WHERE EXISTS (SELECT 1 FROM elems)` guard
+        # (without that guard its ungrouped list() aggregate would
+        # produce one NULL-matrix row and 64 NULL outputs)
         return 0, 0, [], [], 0.0, 0.0
     n = means_rows[0]["n"]
     mu = [0.0] * d
@@ -882,9 +886,16 @@ it AS (
              i -> CAST(CASE WHEN i = 0 THEN 1 ELSE 0 END AS DOUBLE)) AS v,
            CAST(0 AS DOUBLE) AS lam
     UNION ALL
-    SELECT k + 1, list_transform(w, x -> x / nrm), nrm
+    -- nrm = 0 (exactly-zero covariance, e.g. every vector identical)
+    -- mirrors the Spark solver's fixed-point break: keep the current
+    -- unit iterate with eigenvalue 0 instead of dividing by zero
+    -- (DuckDB x/0 -> NULL would otherwise poison the whole recursion)
+    SELECT k + 1,
+           CASE WHEN nrm = 0 THEN v
+                ELSE list_transform(w, x -> x / nrm) END,
+           CASE WHEN nrm = 0 THEN CAST(0 AS DOUBLE) ELSE nrm END
     FROM (
-        SELECT k,
+        SELECT k, v,
                list_transform(range(0, 64),
                  i -> list_aggregate(list_transform(range(0, 64),
                         j -> m[i + 1][j + 1] * v[j + 1]), 'sum')) AS w
@@ -906,8 +917,13 @@ anch AS (
 SELECT CAST(t.i AS INT) AS pos,
        CAST(floor(s * v[t.i + 1] * 1000000 + 0.5) AS BIGINT) AS loading_ppm,
        CAST(floor(lam * 1000000000 + 0.5) AS BIGINT) AS eigenvalue_ppb,
-       CAST(floor(lam / trace * 1000000 + 0.5) AS BIGINT) AS evr_ppm
+       CAST(floor(CASE WHEN trace = 0 THEN 0 ELSE lam / trace END
+                  * 1000000 + 0.5) AS BIGINT) AS evr_ppm
 FROM anch, range(0, 64) t(i)
+-- empty corpus: no elements -> no spectrum -> ZERO rows, matching the
+-- Spark solver's d == 0 early return (without this the ungrouped
+-- list() in mat emits one NULL-matrix row and 64 NULL outputs here)
+WHERE EXISTS (SELECT 1 FROM elems)
 """
 
 

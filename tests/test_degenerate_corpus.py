@@ -41,6 +41,8 @@ import os
 
 import pytest
 
+from .conftest import SF_SMOKE
+
 # driver-solve / division / fit / inference-sensitive delegates, one
 # or two per family (~1-2 s each; whole gate budget < 60 s)
 DEGENERATE_SENSITIVE = [
@@ -103,7 +105,7 @@ def degenerate_dirs(tmp_path_factory):
     for variant, nrows in (("empty", 0), ("one", 1)):
         out = root / variant
         out.mkdir()
-        for path in glob.glob("/root/testdata/sf0.001/*.parquet"):
+        for path in glob.glob(os.path.join(SF_SMOKE, "*.parquet")):
             t = pq.read_table(path)
             pq.write_table(
                 t.slice(0, nrows), str(out / os.path.basename(path))
@@ -111,7 +113,7 @@ def degenerate_dirs(tmp_path_factory):
         dirs[variant] = str(out)
     out = root / "nullheavy"
     out.mkdir()
-    for path in glob.glob("/root/testdata/sf0.001/*.parquet"):
+    for path in glob.glob(os.path.join(SF_SMOKE, "*.parquet")):
         t = pq.read_table(path)
         cols = []
         for field in t.schema:
@@ -150,3 +152,39 @@ def test_nullheavy_corpus_executes(spark, degenerate_dirs, name):
     registry.load_all()
     n = registry.QUERIES[name](spark, degenerate_dirs["nullheavy"]).count()
     assert n >= 0
+
+
+def test_pca_oracle_parity_on_empty_and_zero_vectors(
+    spark, degenerate_dirs, tmp_path
+):
+    """The r12 review found two cross-engine divergences in the
+    hash-oracled PCA solve on degenerate inputs: (a) on an EMPTY
+    corpus the oracle's ungrouped list() emitted one NULL matrix and
+    64 NULL rows while Spark returned 0; (b) on a ZERO-COVARIANCE
+    corpus (every embedding identical — here all-zero) DuckDB's x/0 ->
+    NULL poisoned the recursion while Spark's fixed-point break kept
+    numeric values. Both sides now share the guards (WHERE EXISTS /
+    nrm=0 CASE / trace=0 CASE); this is the full differential compare
+    on exactly those corpora."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .oracle_utils import compare_query
+
+    compare_query(spark, "embedding_pca_loading_ppm", degenerate_dirs["empty"])
+
+    zero = tmp_path / "zerovec"
+    zero.mkdir()
+    for path in glob.glob(os.path.join(SF_SMOKE, "*.parquet")):
+        t = pq.read_table(path)
+        if os.path.basename(path) == "embeddings.parquet":
+            emb_type = t.schema.field("embedding").type
+            dim = len(t.column("embedding")[0].as_py())
+            zeros = pa.array(
+                [[0.0] * dim] * len(t), type=emb_type
+            )
+            t = t.set_column(
+                t.schema.get_field_index("embedding"), "embedding", zeros
+            )
+        pq.write_table(t, str(zero / os.path.basename(path)))
+    compare_query(spark, "embedding_pca_loading_ppm", str(zero))
