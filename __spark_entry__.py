@@ -292,7 +292,18 @@ _REVERIFY_FIRST: dict[str, int] = {
     # wave (PCA oracle degenerate guards, _nonnull_docs helper fold)
     # re-MATCHed the same set plus embedding_pca_loading_ppm at both
     # scales, with the empty/zero-vector differential now ALSO a
-    # pytest (test_pca_oracle_parity_on_empty_and_zero_vectors). That edit is a
+    # pytest (test_pca_oracle_parity_on_empty_and_zero_vectors).
+    #
+    # Slot arithmetic, r12: the front (13) + the fine-flagged edits
+    # entering by penalty + the 35 age-6 greens = 51 candidates for
+    # the driver's exactly-50 budget, so ONE misses. The ordering's
+    # cost tie-break makes that multimodal_ahash_dup_candidates
+    # (position 51): deliberate and evidence-maximizing — it is the
+    # only r06 green that was ALSO re-verified locally this round
+    # (two-scale oracle MATCH, twice, plus a standing null-gate
+    # delegate), whereas the untouched r06 greens that keep slots
+    # have no r12 evidence except the driver row they're about to
+    # get. As the sole oldest green it auto-fronts in r13. That edit is a
     # measurement knob that is a no-op on the default path (flag off →
     # identical code), each touched module had a consumer
     # oracle-MATCHed locally before commit, and fronting all 19 would
