@@ -89,8 +89,13 @@ def qsum(expr: Column, scale: int = 8) -> Column:
     from .vector import dec_scaled_to_double
 
     bound = (2.0**63 - 2.0) / float(10**scale)
+    # NULL rows pass the guard and quantize to NULL, so SUM skips them
+    # — standard SQL aggregate semantics, matching duck_qsum's SUM
+    # (without the isNull arm, abs(NULL) < bound is NULL and
+    # assert_true(NULL) kills the job with a NULL-concat message: the
+    # Spark side would crash on data the oracle silently aggregates)
     ok = F.assert_true(
-        F.abs(expr) < F.lit(bound),
+        expr.isNull() | (F.abs(expr) < F.lit(bound)),
         F.concat(
             F.lit(f"qsum: |x| >= {bound:.6g} exceeds the exact long "
                   f"quantization range at scale {scale}; got "),

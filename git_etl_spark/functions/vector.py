@@ -20,7 +20,16 @@ from pyspark.sql import functions as F
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Σ aᵢ·bᵢ in double, sequential fold."""
+    """Σ aᵢ·bᵢ in double, sequential fold.
+
+    Contract (shared by norm/cosine and their DuckDB twins): non-null
+    elements, equal dims. A fully-NULL array yields NULL on both
+    engines (comparisons then drop the row — the implicit null-vector
+    semantic every simsearch query relies on), but a PARTIALLY-null
+    or length-mismatched pair diverges: Spark's fold propagates NULL
+    while DuckDB's list_aggregate sums the non-null products. The
+    corpus generator cannot produce such vectors; treat one as data
+    corruption, not input."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -51,9 +60,14 @@ def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
     whole-stage codegen compiles — higher-order-function lambdas are
     interpreted per element, which dominates all-pairs similarity cost
     (measured ~4× on the cosine-pairs query at sf0.1)."""
+    if dim <= 0:
+        return F.lit(0.0)
     total: Column | None = None
     for i in range(dim):
-        term = a.getItem(i) * b.getItem(i)
+        # cast BEFORE multiplying, like dot(): on array<float> input a
+        # float×float product would stay single-precision and the
+        # whole chain would diverge from the double fold
+        term = a.getItem(i).cast("double") * b.getItem(i).cast("double")
         total = term if total is None else total + term
     return total
 
@@ -85,34 +99,48 @@ _SUM14_M = 1 << 24  # per-term hi/lo split: both halves ≲ 1.7e7
 
 
 def sum14(col: Column) -> Column:
-    """Order-independent exact Σ trunc(col·1e14) as DECIMAL(38,0).
+    """:func:`sum_scaled` at the default 1e-14 grid — one delegation,
+    not a second copy of the hi/lo split (the r12 review found the
+    pair had drifted into verbatim duplicates; a future fix to the
+    split must land in exactly one body)."""
+    return sum_scaled(col, 1e14)
+
+
+def sum_scaled(col: Column, scale: float) -> Column:
+    """Order-independent exact Σ trunc(col·scale) as DECIMAL(38,0).
 
     The per-row work stays in LONG arithmetic (a DECIMAL sum per term
     measured ~2.4× slower on the PCA moment pass): each term t splits
     into (t div 2²⁴, t mod 2²⁴) — an identity under Spark's truncating
     div/sign-of-dividend mod for any sign — and the two LONG partial
-    sums recombine into one DECIMAL(38,0) per GROUP. Both halves are
-    ≲1.7e7 per term, so the LONG sums are exact to ~5·10¹¹ terms per
-    group (≫ the 10¹⁰-row 100 TB corpus); past that, cast the two
-    inner sums to DECIMAL — the recombination already is."""
-    t = (col.cast("double") * F.lit(1e14)).cast("long")
-    m = F.lit(_SUM14_M)
-    lo = t % m
-    # (t - lo) is an exact multiple of 2²⁴ with |t| ≤ ~1e14 < 2⁵³, so
-    # the double division is exact and the cast back to long lossless
-    hi = ((t - lo) / m).cast("long")
-    return F.sum(hi).cast("decimal(38,0)") * m + F.sum(lo).cast("decimal(38,0)")
+    sums recombine into one DECIMAL(38,0) per GROUP.
 
+    Exactness bounds (per GROUP, r12-corrected — the earlier "both
+    halves ≲1.7e7" claim only holds for |col|·scale ≤ 2⁴⁸):
 
-def sum_scaled(col: Column, scale: float) -> Column:
-    """sum14 generalized to an arbitrary power-of-ten scale: exact
-    Σ trunc(col·scale) as DECIMAL(38,0) via the same LONG hi/lo split.
-    Precondition: |col|·scale fits int64, i.e. |col| ≲ 9.2e18/scale.
-    Use a smaller scale than 1e14 when per-term magnitudes can exceed
-    ~9e4 (e.g. chi-square terms bounded by the corpus row count)."""
+    - per term: |col|·scale must fit int64 (≲9.2e18), else the ANSI
+      cast raises (loud, never a wrap);
+    - the Σlo partial is ≤ 2²⁴ per term → exact to ~5·10¹¹ terms;
+    - the Σhi partial is ≤ |col|·scale / 2²⁴ per term → exact to
+      ~2⁶³ / (max|col|·scale / 2²⁴) terms: ~1.5·10¹² terms for
+      |col| ≤ 1 at scale 1e14 (embeddings, products of normalized
+      values — the actual hot callers), shrinking to ~1.7·10⁷ terms
+      for |col| at the 9e4 per-term ceiling. Callers with BOTH large
+      values and >10⁷-row groups must drop ``scale`` (the chi-square
+      caller does) or cast the two inner sums to DECIMAL — the
+      recombination already is. Overflow is never silent: ANSI sum
+      raises.
+    """
     t = (col.cast("double") * F.lit(scale)).cast("long")
     m = F.lit(_SUM14_M)
     lo = t % m
+    # (t - lo) is an exact multiple of 2²⁴ carrying ≤ 53 significant
+    # bits at ANY int64 magnitude — t is truncated from a double
+    # product, so t itself never has more mantissa entropy than a
+    # double, and clearing its low 24 bits only reduces it (probed
+    # empirically to |col| = 8.8e4 at scale 1e14: bit-equal to the
+    # DuckDB twin). The long→double conversion and the division by
+    # 2²⁴ are therefore exact, and the cast back to long lossless.
     hi = ((t - lo) / m).cast("long")
     return F.sum(hi).cast("decimal(38,0)") * m + F.sum(lo).cast("decimal(38,0)")
 
@@ -135,20 +163,9 @@ def dec_scaled_to_double(s: Column, scale: float) -> Column:
 
 
 def dec14_to_double(s: Column) -> Column:
-    """DECIMAL(38,0) 1e-14-unit sum → double (original units), via the
-    cross-engine-exact sign/hi/lo reconstruction described above."""
-    sgn = F.when(s < F.lit(0), F.lit(-1.0)).otherwise(F.lit(1.0))
-    a = F.abs(s)
-    lo = a % F.lit(_DEC14_SPLIT)
-    hi = (a - lo) / F.lit(_DEC14_SPLIT)  # exact integral decimal
-    return (
-        sgn
-        * (
-            hi.cast("long").cast("double") * F.lit(1e12)
-            + lo.cast("long").cast("double")
-        )
-        / F.lit(1e14)
-    )
+    """:func:`dec_scaled_to_double` at the 1e-14 grid (delegation, not
+    a copy — see sum14)."""
+    return dec_scaled_to_double(s, 1e14)
 
 
 def mean14(col: Column) -> Column:
@@ -158,8 +175,9 @@ def mean14(col: Column) -> Column:
 
 
 def duck_sum14(expr: str) -> str:
-    """DuckDB twin of sum14 (HUGEINT — exact, no overflow)."""
-    return f"SUM(CAST(trunc(({expr}) * 1e14) AS BIGINT))"
+    """DuckDB twin of sum14 (HUGEINT — exact, no overflow); delegates
+    to the scaled generalization like the Spark side."""
+    return duck_sum_scaled(expr, "1e14")
 
 
 def duck_sum_scaled(expr: str, scale: str) -> str:
@@ -179,12 +197,9 @@ def duck_dec_scaled_to_double(s: str, scale: str) -> str:
 
 def duck_dec14_to_double(s: str) -> str:
     """DuckDB twin of dec14_to_double (``//``/``%`` on nonnegative
-    operands, so floor ≡ trunc and both engines agree bit-for-bit)."""
-    return (
-        f"(CASE WHEN ({s}) < 0 THEN -1.0 ELSE 1.0 END"
-        f" * (CAST(abs({s}) // {_DEC14_SPLIT} AS DOUBLE) * 1e12"
-        f" + CAST(abs({s}) % {_DEC14_SPLIT} AS DOUBLE)) / 1e14)"
-    )
+    operands, so floor ≡ trunc and both engines agree bit-for-bit);
+    delegates to the scaled generalization like the Spark side."""
+    return duck_dec_scaled_to_double(s, "1e14")
 
 
 def duck_mean14(expr: str) -> str:

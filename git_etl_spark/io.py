@@ -82,9 +82,20 @@ def dataset_fingerprint(sf_dir: str, *names: str) -> str:
         root = table_path(sf_dir, name)
         try:
             if os.path.isdir(root):
-                for sub in sorted(os.listdir(root)):
-                    st = os.stat(os.path.join(root, sub))
-                    parts.append(f"{name}/{sub}:{st.st_mtime_ns}:{st.st_size}")
+                # full recursive walk, not one listdir level: for a
+                # partitioned estate (root/date=X/part-*.parquet) an
+                # in-place rewrite of a leaf file changes the FILE's
+                # mtime but not its parent directory's stat, so a
+                # one-level fingerprint would serve stale memo results
+                # after a partition rewrite (r12 review)
+                for dirpath, _dirs, filenames in sorted(os.walk(root)):
+                    for fname in sorted(filenames):
+                        fpath = os.path.join(dirpath, fname)
+                        st = os.stat(fpath)
+                        rel = os.path.relpath(fpath, root)
+                        parts.append(
+                            f"{name}/{rel}:{st.st_mtime_ns}:{st.st_size}"
+                        )
             else:
                 st = os.stat(root)
                 parts.append(f"{name}:{st.st_mtime_ns}:{st.st_size}")

@@ -106,3 +106,45 @@ def test_session_pins_ansi_mode(spark):
     mode; pin it so a future default flip or env override can't
     silently change overflow semantics."""
     assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+
+
+def test_qsum_skips_nulls_like_sql_sum(spark):
+    """NULL rows must pass qsum's range guard and vanish into SUM
+    semantics on BOTH engines — before the r12 fix, abs(NULL) < bound
+    was NULL and assert_true(NULL) killed the job (with a NULL concat
+    message) on data the DuckDB twin silently aggregated."""
+    import duckdb
+
+    from git_etl_spark.functions.exact import duck_qsum, qsum
+    from pyspark.sql import functions as F
+
+    vals = [1.25, None, 2.5, None, 3.125]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = df.agg(qsum(F.col("x")).alias("s")).collect()[0]["s"]
+    want = duckdb.connect().execute(
+        f"SELECT {duck_qsum('x')} AS s FROM (SELECT unnest(?) AS x)",
+        [vals],
+    ).fetchone()[0]
+    assert got == want == 6.875
+
+
+def test_dataset_fingerprint_sees_nested_rewrites(tmp_path):
+    """An in-place rewrite of a leaf file inside a partition directory
+    (same name, same size, newer mtime — the production partition-
+    rewrite shape) must change the fingerprint even though the parent
+    directory's stat is untouched."""
+    import os
+    import time
+
+    from git_etl_spark.io import dataset_fingerprint
+
+    root = tmp_path / "documents.parquet" / "date=2026-01-01"
+    root.mkdir(parents=True)
+    leaf = root / "part-0.parquet"
+    leaf.write_bytes(b"v1-bytes")
+    before = dataset_fingerprint(str(tmp_path), "documents")
+    time.sleep(0.01)
+    leaf.write_bytes(b"v2-bytes")  # same size, same path, newer mtime
+    os.utime(tmp_path / "documents.parquet")  # parent stat irrelevant
+    after = dataset_fingerprint(str(tmp_path), "documents")
+    assert before != after
