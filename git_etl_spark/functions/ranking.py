@@ -291,19 +291,23 @@ def global_ntile(
     semantics: bucket sizes differ by at most one, larger buckets
     first). ``order_cols`` must be a total order."""
     rn_col = f"_gr_rn_{out}"
+    # the quoted form for every PARSED reference (F.col / F.expr):
+    # ``out`` is caller-controlled and may contain spaces, reserved
+    # words, or backticks — an embedded backtick must be doubled, the
+    # SQL identifier escape, or it terminates the quoting early and
+    # corrupts the parsed expression (ADVICE r12). withColumn/drop
+    # take the RAW name: they resolve literally, never parse.
+    rn = "`" + rn_col.replace("`", "``") + "`"
     ranked, n = _ranked(df, order_cols, rn_col, num_partitions)
     bs, rem = divmod(n, k)
     if bs == 0:
         # n < k: tiles 1..n, one row each
-        tile = F.col(rn_col)
+        tile = F.col(rn)
     else:
         # SQL `div` is true integral division (stays in longs at any
         # magnitude); Column `/` on two longs is a DOUBLE divide,
-        # which would round past 2^53. Backtick-quote the generated
-        # name: it embeds the caller's ``out``, which may contain
-        # spaces or reserved words.
+        # which would round past 2^53.
         cut = rem * (bs + 1)
-        rn = f"`{rn_col}`"
         tile = F.expr(
             f"CASE WHEN {rn} <= {cut}"
             f" THEN ({rn} - 1) div {bs + 1} + 1"

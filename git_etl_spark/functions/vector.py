@@ -25,15 +25,37 @@ def dot(a: Column, b: Column) -> Column:
     Contract (shared by norm/cosine and their DuckDB twins): non-null
     elements, equal dims. A fully-NULL array yields NULL on both
     engines (comparisons then drop the row — the implicit null-vector
-    semantic every simsearch query relies on), but a PARTIALLY-null
-    or length-mismatched pair diverges: Spark's fold propagates NULL
-    while DuckDB's list_aggregate sums the non-null products. The
-    corpus generator cannot produce such vectors; treat one as data
-    corruption, not input."""
-    return F.aggregate(
+    semantic every simsearch query relies on). A PARTIALLY-null or
+    length-mismatched pair is data corruption, not input — and it is
+    enforced loudly on BOTH engines (here and in :func:`duck_dot`):
+    before round 13 the engines silently diverged on it (Spark's fold
+    propagates NULL, DuckDB's list_aggregate sums the non-null
+    products; r12 deferred review item). Detection is free: with both
+    inputs non-null, the fold is NULL *iff* some product was NULL,
+    which under ANSI (pinned, session.py) happens only for a NULL
+    element or zip_with's length padding — so one coalesce suffices,
+    no second array traversal in the hot path."""
+    raw = F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
+    )
+    return _null_vec_or_loud(a, b, raw)
+
+
+def _null_vec_or_loud(a: Column, b: Column, raw: Column) -> Column:
+    """NULL through for NULL vector(s); raise on a NULL fold result
+    with non-null inputs (= partial-NULL element or dim mismatch)."""
+    return F.when(a.isNull() | b.isNull(), F.lit(None).cast("double")).otherwise(
+        F.coalesce(
+            raw,
+            F.raise_error(
+                F.lit(
+                    "dot(): partially-NULL or length-mismatched vectors"
+                    " (corrupt input; see functions/vector.py contract)"
+                )
+            ),
+        )
     )
 
 
@@ -69,7 +91,12 @@ def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
         # whole chain would diverge from the double fold
         term = a.getItem(i).cast("double") * b.getItem(i).cast("double")
         total = term if total is None else total + term
-    return total
+    # same loud contract as dot(): a NULL chain with non-null inputs
+    # means a NULL element (an array shorter than ``dim`` already
+    # raises INVALID_ARRAY_INDEX under the pinned ANSI mode) — corrupt
+    # input, not data. One coalesce, no extra traversal of the hot
+    # unrolled chain.
+    return _null_vec_or_loud(a, b, total)
 
 
 # ---------------------------------------------------------------------------
@@ -221,9 +248,21 @@ def py_dec14(s) -> float:
 
 # DuckDB twin expressions (oracle side), parameterized by column names
 def duck_dot(a: str, b: str) -> str:
+    """Twin of :func:`dot`, including its loud contract: NULL through
+    for a NULL vector, error() on a partially-NULL or
+    length-mismatched pair (list_zip pads the shorter side with NULL,
+    so the one filter catches both). Without the guard DuckDB's
+    list_aggregate would silently sum the non-null products where
+    Spark's fold propagates NULL — the r12 deferred cross-engine
+    divergence. CASE evaluates lazily, so error() fires only on an
+    actual violation (verified against duckdb in the r13 session)."""
     return (
-        f"list_aggregate(list_transform(list_zip({a}, {b}),"
-        f" p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')"
+        f"(CASE WHEN ({a}) IS NULL OR ({b}) IS NULL THEN NULL"
+        f" WHEN len(list_filter(list_zip({a}, {b}),"
+        f" p -> p[1] IS NULL OR p[2] IS NULL)) > 0"
+        f" THEN error('dot(): partially-NULL or length-mismatched vectors')"
+        f" ELSE list_aggregate(list_transform(list_zip({a}, {b}),"
+        f" p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') END)"
     )
 
 

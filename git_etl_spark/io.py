@@ -22,6 +22,10 @@ from .schemas import CORPUS_TABLES
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# applicationIds whose session already had ANSI pinned by load_table —
+# one set per driver process, so the pin happens once per session.
+_ANSI_PINNED: set[str] = set()
+
 
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
@@ -42,8 +46,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # session may not be get_spark's (the driver passes its own), and
     # the engine's no-silent-wrap posture — out-of-domain numerics
     # fail loudly instead of wrapping into wrong aggregates
-    # (PERFORMANCE.md round 12) — rests on ANSI. Runtime-settable.
-    spark.conf.set("spark.sql.ansi.enabled", "true")
+    # (PERFORMANCE.md round 12) — rests on ANSI. Set ONCE per session
+    # (memoized by applicationId, like the other per-session state):
+    # re-setting on every load would silently override a caller that
+    # deliberately flipped ANSI off mid-session, turning a read helper
+    # into a global mutator of cast/overflow semantics (ADVICE r12).
+    app_id = spark.sparkContext.applicationId
+    if app_id not in _ANSI_PINNED:
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        _ANSI_PINNED.add(app_id)
     if name == "events":
         # defensive: the caller's session may not be ours (the driver
         # passes its own) — this conf is runtime-settable
@@ -88,7 +99,15 @@ def dataset_fingerprint(sf_dir: str, *names: str) -> str:
                 # mtime but not its parent directory's stat, so a
                 # one-level fingerprint would serve stale memo results
                 # after a partition rewrite (r12 review)
-                for dirpath, _dirs, filenames in sorted(os.walk(root)):
+                for dirpath, dirs, filenames in sorted(os.walk(root)):
+                    # name-only line per subdirectory (no stat): an
+                    # added/removed EMPTY partition directory (a new
+                    # date slice before its first file, or a drained
+                    # one) is structural state a files-only walk would
+                    # miss (ADVICE r12)
+                    for d in sorted(dirs):
+                        rel = os.path.relpath(os.path.join(dirpath, d), root)
+                        parts.append(f"{name}/{rel}:dir")
                     for fname in sorted(filenames):
                         fpath = os.path.join(dirpath, fname)
                         st = os.stat(fpath)
@@ -99,7 +118,13 @@ def dataset_fingerprint(sf_dir: str, *names: str) -> str:
             else:
                 st = os.stat(root)
                 parts.append(f"{name}:{st.st_mtime_ns}:{st.st_size}")
-        except OSError:
+        except FileNotFoundError:
+            # genuine absence is a legitimate fingerprint state (the
+            # caller may be about to create the table). Any OTHER
+            # OSError (EACCES/EIO on a transiently unreadable leaf)
+            # propagates: mapping it to "missing" would silently
+            # change the fingerprint and bust — or worse, alias — the
+            # memo key (r12 deferred review item).
             parts.append(f"{name}:missing")
     return "|".join(parts)
 

@@ -50,7 +50,7 @@ def test_rotation_orders_fingerprint_change_as_bounded_penalty():
         True,
         True,
         rnd - e._FLAG_PENALTY if fine is True else rnd,
-        not (fine is True),
+        0 if fine is None else (1 if fine else 2),
         not coarse,
         0.0,
         "",
@@ -62,8 +62,18 @@ def test_rotation_orders_fingerprint_change_as_bounded_penalty():
     flagged_stale = key(True, True, 6)        # flagged r6 -> eff r3
     assert unflagged_stale < flagged_fresh    # age-6 beats flagged-r11
     assert unflagged_seven < flagged_fresh    # age-5 too
-    assert flagged_fresh < unflagged_eight    # ...but flag beats equals
+    assert flagged_fresh < unflagged_eight    # ...but flag beats CLEAN equals
     assert flagged_stale < unflagged_stale    # flag still fronts in-tier
+    # r13 refinement: a NEVER-drift-checked green (fine=None — its
+    # green predates the fingerprint file; in practice the oldest
+    # cohorts) outranks a penalty-ADVANCED flagged green at the same
+    # effective age, so a refactor round's uniform flags cannot
+    # displace the stalest pre-file greens from the exactly-50 budget
+    # (at r13: 7 flagged r10 greens vs the 44-green r07 cohort, both
+    # at effective round 7).
+    never_checked_seven = key(None, False, 7)
+    flagged_ten = key(True, True, 10)         # flagged r10 -> eff r7
+    assert never_checked_seven < flagged_ten
 
 
 def test_fingerprint_format_is_shallow_colon_deep():

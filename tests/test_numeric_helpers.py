@@ -148,3 +148,174 @@ def test_dataset_fingerprint_sees_nested_rewrites(tmp_path):
     os.utime(tmp_path / "documents.parquet")  # parent stat irrelevant
     after = dataset_fingerprint(str(tmp_path), "documents")
     assert before != after
+
+
+def test_dataset_fingerprint_sees_empty_partition_dirs(tmp_path):
+    """An added or removed EMPTY partition directory (a new date slice
+    before its first file, or a drained one) is structural state the
+    fingerprint must see — a files-only walk missed it (ADVICE r12)."""
+    from git_etl_spark.io import dataset_fingerprint
+
+    root = tmp_path / "documents.parquet"
+    root.mkdir()
+    (root / "date=2026-01-01").mkdir()
+    (root / "date=2026-01-01" / "part-0.parquet").write_bytes(b"x")
+    before = dataset_fingerprint(str(tmp_path), "documents")
+    empty = root / "date=2026-01-02"
+    empty.mkdir()  # empty: no files for the walk to see
+    with_empty = dataset_fingerprint(str(tmp_path), "documents")
+    assert with_empty != before
+    empty.rmdir()
+    assert dataset_fingerprint(str(tmp_path), "documents") == before
+
+
+def test_dataset_fingerprint_enoent_vs_other_oserror(tmp_path, monkeypatch):
+    """Genuine absence fingerprints as ':missing' (the caller may be
+    about to create the table); any OTHER OSError (EACCES/EIO on a
+    transiently unreadable leaf) must PROPAGATE — mapping it to
+    'missing' would silently change the fingerprint and bust, or
+    alias, the memo key (r12 deferred review item)."""
+    import os
+
+    import pytest
+
+    from git_etl_spark.io import dataset_fingerprint
+
+    # absent table → legitimate 'missing' state
+    assert dataset_fingerprint(str(tmp_path), "orders") == "orders:missing"
+
+    root = tmp_path / "documents.parquet"
+    root.mkdir()
+    leaf = root / "part-0.parquet"
+    leaf.write_bytes(b"x")
+    real_stat = os.stat
+
+    def stat_eacces(path, *a, **k):
+        if str(path) == str(leaf):
+            raise PermissionError(13, "Permission denied", str(path))
+        return real_stat(path, *a, **k)
+
+    monkeypatch.setattr(os, "stat", stat_eacces)
+    with pytest.raises(PermissionError):
+        dataset_fingerprint(str(tmp_path), "documents")
+
+
+def test_load_table_pins_ansi_once_per_session(spark):
+    """load_table pins ANSI for the no-silent-wrap posture, but only
+    ONCE per session (memoized by applicationId): re-setting on every
+    load would silently override a caller that deliberately flipped
+    ANSI off mid-session, making a read helper a global mutator of
+    cast/overflow semantics (ADVICE r12)."""
+    from git_etl_spark.io import load_table
+
+    sf = "/root/testdata/sf0.001"
+    load_table(spark, sf, "region")  # ensures this session is pinned
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        load_table(spark, sf, "region")
+        assert spark.conf.get("spark.sql.ansi.enabled") == "false", (
+            "load_table overrode a deliberate mid-session ANSI flip"
+        )
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+
+
+def _duck_one(sql: str):
+    import duckdb
+
+    return duckdb.connect().execute(sql).fetchone()[0]
+
+
+def test_dot_partial_null_raises_on_both_engines(spark):
+    """The dot() contract (non-null elements, equal dims) is enforced
+    LOUDLY on both engines since r13: before, Spark's fold propagated
+    NULL while DuckDB's list_aggregate silently summed the non-null
+    products — a silent cross-engine divergence on corrupt input (r12
+    deferred review item). Fully-NULL vectors stay NULL-through on
+    both (the null-vector semantic simsearch relies on)."""
+    import duckdb
+
+    import pytest
+
+    from git_etl_spark.functions.vector import dot, duck_dot
+
+    # good data: engines agree
+    df = spark.createDataFrame(
+        [([1.0, 2.0], [3.0, 4.0])], "a array<double>, b array<double>"
+    )
+    got = df.select(dot(F.col("a"), F.col("b")).alias("d")).collect()[0]["d"]
+    want = _duck_one(
+        f"SELECT {duck_dot('a', 'b')} FROM (SELECT [1.0,2.0]::DOUBLE[] a, [3.0,4.0]::DOUBLE[] b)"
+    )
+    assert got == want == 11.0
+
+    # fully-NULL vector: NULL through, no error, both engines
+    dfn = spark.createDataFrame(
+        [(None, [3.0, 4.0])], "a array<double>, b array<double>"
+    )
+    assert (
+        dfn.select(dot(F.col("a"), F.col("b")).alias("d")).collect()[0]["d"]
+        is None
+    )
+    assert (
+        _duck_one(
+            f"SELECT {duck_dot('a', 'b')} FROM (SELECT NULL::DOUBLE[] a, [3.0,4.0]::DOUBLE[] b)"
+        )
+        is None
+    )
+
+    # partial NULL: loud on both
+    dfp = spark.createDataFrame(
+        [([1.0, None], [3.0, 4.0])], "a array<double>, b array<double>"
+    )
+    with pytest.raises(Exception, match="partially-NULL"):
+        dfp.select(dot(F.col("a"), F.col("b")).alias("d")).collect()
+    with pytest.raises(duckdb.InvalidInputException, match="partially-NULL"):
+        _duck_one(
+            f"SELECT {duck_dot('a', 'b')} FROM (SELECT [1.0,NULL]::DOUBLE[] a, [3.0,4.0]::DOUBLE[] b)"
+        )
+
+    # length mismatch: loud on both (zip padding → NULL product)
+    dfm = spark.createDataFrame(
+        [([1.0, 2.0, 5.0], [3.0, 4.0])], "a array<double>, b array<double>"
+    )
+    with pytest.raises(Exception, match="length-mismatched"):
+        dfm.select(dot(F.col("a"), F.col("b")).alias("d")).collect()
+    with pytest.raises(duckdb.InvalidInputException, match="length-mismatched"):
+        _duck_one(
+            f"SELECT {duck_dot('a', 'b')} FROM (SELECT [1.0,2.0,5.0]::DOUBLE[] a, [3.0,4.0]::DOUBLE[] b)"
+        )
+
+
+def test_dot_unrolled_same_loud_contract(spark):
+    """The hot unrolled variant enforces the same contract through one
+    coalesce — no extra traversal of the add chain."""
+    import pytest
+
+    from git_etl_spark.functions.vector import dot_unrolled
+
+    df = spark.createDataFrame(
+        [([1.0, 2.0], [3.0, 4.0])], "a array<double>, b array<double>"
+    )
+    got = df.select(
+        dot_unrolled(F.col("a"), F.col("b"), 2).alias("d")
+    ).collect()[0]["d"]
+    assert got == 11.0
+
+    dfn = spark.createDataFrame(
+        [(None, [3.0, 4.0])], "a array<double>, b array<double>"
+    )
+    assert (
+        dfn.select(dot_unrolled(F.col("a"), F.col("b"), 2).alias("d"))
+        .collect()[0]["d"]
+        is None
+    )
+
+    dfp = spark.createDataFrame(
+        [([1.0, None], [3.0, 4.0])], "a array<double>, b array<double>"
+    )
+    with pytest.raises(Exception, match="partially-NULL"):
+        dfp.select(
+            dot_unrolled(F.col("a"), F.col("b"), 2).alias("d")
+        ).collect()

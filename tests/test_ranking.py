@@ -343,3 +343,29 @@ def test_grouped_weighted_quantile_int_group_key(spark):
         .collect()
     )
     assert len(out) == 4 and all(r["med"] is not None for r in out)
+
+
+def test_global_ntile_backtick_in_out_name(spark):
+    """``out`` is caller-controlled and lands inside a parsed SQL
+    expression via the generated row-number column's name; an embedded
+    backtick must be doubled (the SQL identifier escape) or it would
+    terminate the quoting early and corrupt the expression (ADVICE
+    r12). The tiles must be the exact NTILE semantics regardless of
+    the hostile name."""
+    df = spark.createDataFrame([(i,) for i in range(10)], "v long")
+    out = "ti`le"  # embedded backtick
+    got = {
+        r["v"]: r[out]
+        for r in global_ntile(df, 3, [F.col("v")], out).collect()
+    }
+    # NTILE(3) over 10 rows: sizes 4,3,3 — larger buckets first
+    want = {v: (1 if v < 4 else 2 if v < 7 else 3) for v in range(10)}
+    assert got == want
+
+    # n < k branch parses the quoted name too (tiles 1..n)
+    small = spark.createDataFrame([(1,), (2,)], "v long")
+    got_small = {
+        r["v"]: r[out]
+        for r in global_ntile(small, 5, [F.col("v")], out).collect()
+    }
+    assert got_small == {1: 1, 2: 2}
