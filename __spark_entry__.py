@@ -320,6 +320,22 @@ _REVERIFY_FIRST: dict[str, int] = {
     "simsearch_ivf_full_probe": 13,
     "simsearch_pq_full_rerank": 13,
     "simsearch_range_cosine": 13,
+    # Also NOT listed: the token-set Jaccard family's r13
+    # candidate-scheme auto-selection (deletion neighborhood → prefix
+    # keys past d=2, the extreme-key-skew survey fix). Three deep
+    # movers (dedup_jaccard_pairs, dedup_cluster_components,
+    # dedup_incremental_index_join — the last also shallow) plus the
+    # two runtime consumers the closure cannot see
+    # (graph_components_large_star, pipeline_leakage_safe_split): all
+    # five oracle-MATCHed at sf0.01 AND sf0.1 after the edit — on the
+    # committed corpora the derived d stays 1, so the deletion branch
+    # still runs and only the lossless length filter joined the plan;
+    # the prefix branch is proven by scheme-equivalence and
+    # oracle-parity tests (test_deletion_distance.py) and the skew
+    # gate (test_skew_corpus.py). Fronting them would displace r07
+    # greens for queries whose committed-corpus results are
+    # bit-identical — the wrong trade.
+    #
     # NOT listed, deliberately: 243/246 deep fingerprints moved in r13
     # from the io.py ADVICE fixes alone (ANSI pin memoized per
     # session, fingerprint empty-dir visibility + ENOENT-vs-OSError —

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.vector import norm
@@ -219,9 +219,14 @@ def _jaccard_pairs_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
        side needs keys for at most d deleted tokens, with d derived
        from the corpus's max set size at runtime (`_deletion_distance`
        — d=1 for this corpus's ≤31-token sets, automatically d=2 when
-       sets grow past 38 tokens). A qualifying pair then shares a
-       deletion-subset md5 key. O(n·|set|^d) keys, never a cross join,
-       candidate count ∝ near-dup density;
+       sets grow past 38 tokens, and past 57 tokens — where the key
+       fan-out C(|set|, d) would explode — the scheme auto-switches
+       to PPJoin-style prefix keys (`_prefix_keys_expr`, linear
+       fan-out; added after the r13 extreme-key-skew survey showed
+       boilerplate-heavy corpora crossing the bound on ordinary
+       documents). A qualifying pair then shares a candidate key.
+       Never a cross join; deletion candidates ∝ near-dup density,
+       prefix candidates length-filtered (`_length_filter`);
     3. exact Jaccard verification on representative pairs only;
     4. expand each verified representative pair over both groups'
        members (token sets identical within a group ⇒ the pair Jaccard
@@ -298,19 +303,70 @@ def _deletion_keys_expr(d: int):
 
     d ≤ 2 covers Jaccard ≥ 0.95 up to 57-token sets (the corpus is 31).
     Beyond that the key fan-out is C(|set|, d) per set — at that point
-    the right candidate scheme is prefix filtering (dedup_ngram_jaccard's
-    PPJoin), not deeper deletion neighborhoods."""
+    the right candidate scheme is prefix filtering, which the callers
+    auto-select (:func:`_prefix_keys_expr`; before r13 this raise
+    surfaced to users — the r13 extreme-key-skew survey showed a
+    boilerplate-heavy monorepo corpus pushes ordinary documents past
+    57 tokens, so long docs are in-domain input, not a refusable
+    edge). The raise stays as the guard that no caller ever asks for
+    a d>2 key family."""
     if d == 1:
         expr = f"array_union({_KEYS_D0}, {_KEYS_D1})"
     elif d == 2:
         expr = f"array_union(array_union({_KEYS_D0}, {_KEYS_D1}), {_KEYS_D2})"
     else:
         raise NotImplementedError(
-            f"deletion distance {d} > 2: use the PPJoin prefix-filter path "
-            "(dedup_ngram_jaccard) for corpora whose set sizes push the "
-            "deletion neighborhood past pairs"
+            f"deletion distance {d} > 2: callers must auto-select the "
+            "prefix-filter scheme (_prefix_keys_expr) for corpora whose "
+            "set sizes push the deletion neighborhood past pairs"
         )
     return F.explode(F.expr(expr)).alias("key")
+
+
+def _jaccard_fraction(threshold: float = JACCARD_THRESHOLD):
+    """(numerator, denominator) of the threshold as an exact rational —
+    every candidate-scheme bound below is integer arithmetic so no
+    float rounding can shorten a prefix or a length window and silently
+    drop a pair (same rationale as :func:`_deletion_distance`)."""
+    from fractions import Fraction
+
+    fr = Fraction(threshold).limit_denominator(10_000)
+    return fr.numerator, fr.denominator
+
+
+def _prefix_keys_expr(threshold: float = JACCARD_THRESHOLD):
+    """Exploded PPJoin-style prefix keys over the sorted token array:
+    the first p = |toks| − ⌈t·|toks|⌉ + 1 tokens.
+
+    Lossless for J(A,B) ≥ t under ANY shared total token order (here:
+    the lexicographic ``array_sort`` both sides already apply): let c
+    be the order-smallest common token. If c sat outside A's prefix,
+    every common token would sit in A's last ⌈t·|A|⌉ − 1 positions, so
+    |A∩B| < t·|A| ≤ t·|A∪B| — contradicting J ≥ t. Hence c is in both
+    prefixes and the key equi-join finds every qualifying pair.
+    ⌈t·n⌉ in exact integers: (num·n + den − 1) div den. Key fan-out is
+    (1−t)·|set| + 1 per set — LINEAR in set size where the deletion
+    neighborhood is C(|set|, d) — which is why this is the scheme for
+    long documents; the deletion scheme stays preferred for short sets
+    because its candidates are ∝ true near-dup density while prefix
+    candidates are ∝ shared-rare-token density (df-ordering, which the
+    shingle PPJoin uses, narrows that gap but needs a frequency pass).
+    Empty token sets emit no keys: they can only match other empty
+    sets, which the exact-clique collapse already pairs."""
+    num, den = _jaccard_fraction(threshold)
+    p = (
+        f"(size(toks) - (({num} * size(toks) + {den} - 1) div {den}) + 1)"
+    )
+    return F.explode(F.expr(f"slice(toks, 1, greatest({p}, 0))")).alias("key")
+
+
+def _length_filter(
+    sz_a: Column, sz_b: Column, threshold: float = JACCARD_THRESHOLD
+) -> Column:
+    """Lossless size prune: J(A,B) ≤ min/max, so J ≥ t requires
+    den·min(|A|,|B|) ≥ num·max(|A|,|B|). Exact integers."""
+    num, den = _jaccard_fraction(threshold)
+    return F.least(sz_a, sz_b) * F.lit(den) >= F.greatest(sz_a, sz_b) * F.lit(num)
 
 
 def _corpus_deletion_distance(sets: DataFrame) -> int:
@@ -333,17 +389,30 @@ def _rep_graph_impl(
         "set_key", "toks"
     )
 
-    # cross-group candidates over distinct sets: one key per deletion
-    # subset of size ≤ d, d derived from the corpus's max set size
+    # cross-group candidates over distinct sets. Scheme auto-selection
+    # (r13): the deletion neighborhood (keys per deletion subset of
+    # size ≤ d, d derived from the corpus's max set size) while d ≤ 2
+    # — its candidates are ∝ true near-dup density; past that the key
+    # fan-out C(|set|, d) explodes, so long-document corpora (the
+    # boilerplate-monorepo shape from the r13 skew survey) switch to
+    # PPJoin-style prefix keys — linear fan-out, same losslessness
+    # proof, same naive-O(n²) oracle checking it every driver round.
+    # The length filter is lossless under BOTH schemes.
     if deletion_d is None:
         deletion_d = _corpus_deletion_distance(reps)
-    keys = reps.select("set_key", _deletion_keys_expr(deletion_d))
+    key_expr = (
+        _deletion_keys_expr(deletion_d)
+        if deletion_d <= 2
+        else _prefix_keys_expr()
+    )
+    keys = reps.select("set_key", F.size("toks").alias("sz"), key_expr)
     a, b = keys.alias("a"), keys.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.set_key") < F.col("b.set_key")),
+            & (F.col("a.set_key") < F.col("b.set_key"))
+            & _length_filter(F.col("a.sz"), F.col("b.sz")),
         )
         .select(
             F.col("a.set_key").alias("key_a"),
@@ -1681,10 +1750,16 @@ def dedup_incremental_index_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     within the batch, the latter dedup against the archive."""
     sets = _token_sets(spark, sf_dir)
     # the persisted-index stand-in; key family sized to the corpus so
-    # the scheme stays lossless if set sizes grow (see _deletion_distance)
-    index = sets.select(
-        "doc_id", _deletion_keys_expr(_corpus_deletion_distance(sets))
+    # the scheme stays lossless if set sizes grow (see
+    # _deletion_distance) — and auto-switched to prefix keys when the
+    # derived d passes 2, exactly like _rep_graph_impl (the r13 skew
+    # survey's long-document fix; the index rebuild on a scheme switch
+    # is the same full pass a d=1→2 growth already required)
+    corpus_d = _corpus_deletion_distance(sets)
+    key_expr = (
+        _deletion_keys_expr(corpus_d) if corpus_d <= 2 else _prefix_keys_expr()
     )
+    index = sets.select("doc_id", F.size("toks").alias("sz"), key_expr)
     delta_keys = index.filter(F.col("doc_id") % 17 == 0)
     d, s = delta_keys.alias("d"), index.alias("s")
     cand = (
@@ -1694,7 +1769,8 @@ def dedup_incremental_index_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("d.doc_id") != F.col("s.doc_id"))
             # new-new pairs would match twice (once per side): keep the
             # d.doc_id < s.doc_id orientation; new-old pairs match once
-            & ((F.col("s.doc_id") % 17 != 0) | (F.col("d.doc_id") < F.col("s.doc_id"))),
+            & ((F.col("s.doc_id") % 17 != 0) | (F.col("d.doc_id") < F.col("s.doc_id")))
+            & _length_filter(F.col("d.sz"), F.col("s.sz")),
         )
         .select(F.col("d.doc_id").alias("id_d"), F.col("s.doc_id").alias("id_s"))
         .dropDuplicates(["id_d", "id_s"])

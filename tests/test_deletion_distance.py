@@ -27,13 +27,21 @@ def test_deletion_keys_beyond_two_refuses():
 
 
 def _write_corpus(spark, tmp_path, docs):
-    df = spark.createDataFrame(
-        [(i, t, "en", "srcX", len(t)) for i, t in docs],
-        "doc_id long, text string, lang string, source string, n_chars long",
+    # single parquet FILE via pyarrow (not a Spark directory): the
+    # DuckDB oracle helper reads {dir}/{table}.parquet as one file
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "doc_id": pa.array([i for i, _ in docs], pa.int64()),
+            "text": pa.array([t for _, t in docs], pa.string()),
+            "lang": pa.array(["en"] * len(docs), pa.string()),
+            "source": pa.array(["srcX"] * len(docs), pa.string()),
+            "n_chars": pa.array([len(t) for _, t in docs], pa.int64()),
+        }
     )
-    df.coalesce(1).write.mode("overwrite").parquet(
-        str(tmp_path / "documents.parquet")
-    )
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
     return str(tmp_path)
 
 
@@ -123,3 +131,73 @@ def test_deletion_distance_bound_property():
         )
 
     check()
+
+
+@pytest.fixture()
+def long_doc_corpus(spark, tmp_path):
+    """Max set size 60 → derived d = ⌊60/19⌋ = 3 → the deletion scheme
+    is out of its domain and candidate generation must auto-switch to
+    prefix keys. Docs 0/1 share 59 tokens, doc 1 has 3 extras →
+    J = 59/62 ≈ 0.9516 ≥ 0.95 (a pair d=2 deletion keys provably
+    cannot align: one side needs 3 deletions)."""
+    common = [f"t{i:02d}" for i in range(59)]
+    docs = [
+        (0, " ".join(common)),
+        (1, " ".join(common + ["xx", "yy", "zz"])),
+        (2, " ".join(f"u{i:02d}" for i in range(58))),
+        (3, " ".join(common)),  # exact dup of 0: collapse branch
+    ]
+    out = _write_corpus(spark, tmp_path, docs)
+    # the oracle-parity helper registers every corpus table as a view;
+    # the non-document tables just come from the smoke corpus
+    import glob
+    import shutil
+
+    from .conftest import SF_SMOKE
+
+    for path in glob.glob(f"{SF_SMOKE}/*.parquet"):
+        name = path.rsplit("/", 1)[1]
+        if name != "documents.parquet":
+            shutil.copy(path, tmp_path / name)
+    return out
+
+
+def test_prefix_scheme_autoselected_past_d2(spark, long_doc_corpus):
+    """r13 skew-survey fix: long documents are in-domain input — the
+    pair pipeline must produce the exact answer via prefix filtering
+    instead of raising (the pre-r13 behavior, found because the
+    boilerplate-monorepo corpus pushes ordinary docs past 57 tokens)."""
+    pairs = sorted(
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup._jaccard_pairs_impl(spark, long_doc_corpus).collect()
+    )
+    assert [(a, b) for a, b, _ in pairs] == [(0, 1), (0, 3), (1, 3)]
+    by_pair = {(a, b): j for a, b, j in pairs}
+    assert by_pair[(0, 3)] == 1.0                       # exact-dup clique
+    assert by_pair[(0, 1)] == pytest.approx(59 / 62)    # prefix-found pair
+    assert by_pair[(1, 3)] == pytest.approx(59 / 62)    # expanded over group
+
+
+def test_prefix_scheme_matches_oracle_on_long_docs(spark, long_doc_corpus):
+    """Full differential proof on the auto-switched corpus: the naive
+    O(n²) DuckDB oracle must agree with the prefix-filtered plan."""
+    from .oracle_utils import compare_query
+
+    compare_query(spark, "dedup_jaccard_pairs", long_doc_corpus)
+    compare_query(spark, "dedup_incremental_index_join", long_doc_corpus)
+
+
+def test_prefix_scheme_equals_deletion_scheme_on_shipped_corpus(
+    spark, monkeypatch
+):
+    """Both candidate schemes are lossless, so on a corpus where the
+    deletion neighborhood applies (shipped smoke corpus, d=1) forcing
+    the prefix scheme must produce the identical verified pair set."""
+    from .conftest import SF_SMOKE
+
+    _, deletion_pairs = dedup._rep_graph_impl(spark, SF_SMOKE)
+    monkeypatch.setattr(dedup, "_corpus_deletion_distance", lambda sets: 3)
+    _, prefix_pairs = dedup._rep_graph_impl(spark, SF_SMOKE)
+    assert sorted(map(tuple, deletion_pairs.collect())) == sorted(
+        map(tuple, prefix_pairs.collect())
+    )
