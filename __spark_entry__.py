@@ -462,6 +462,21 @@ _FLAG_RESOLVED: dict[str, int] = {
 }
 
 
+def _apply_flag_resolutions(
+    fine: dict[str, bool | None], verified: dict[str, int]
+) -> None:
+    """In-place: clear fine-flags covered by a current _FLAG_RESOLVED
+    stamp. Active only while no CORRECTNESS round NEWER than the stamp
+    has been recorded — i.e. during the round immediately after the
+    evidence was gathered — so a stale resolution can never mask an
+    edit made in a later round (that edit's round records a new
+    CORRECTNESS file first, which expires every older stamp)."""
+    latest_recorded = max(verified.values(), default=0)
+    for n, stamp in _FLAG_RESOLVED.items():
+        if latest_recorded <= stamp and fine.get(n) is True:
+            fine[n] = False
+
+
 def _cost_hint() -> dict[str, float]:
     """sf0.1 per-query seconds from the last committed bench, used to
     order unverified queries cheapest-first (maximizes how many fit if
@@ -516,13 +531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         n for n, clear_rnd in _REVERIFY_FIRST.items()
         if verified.get(n, 0) < clear_rnd
     }
-    # apply documented flag resolutions (see _FLAG_RESOLVED): active
-    # only in the round immediately after the stamp, so a resolution
-    # can never mask an edit made in a later round.
-    latest_recorded = max(verified.values(), default=0)
-    for n, stamp in _FLAG_RESOLVED.items():
-        if latest_recorded <= stamp and fine.get(n) is True:
-            fine[n] = False
+    _apply_flag_resolutions(fine, verified)
 
     def eff_round(n: str) -> int:
         rnd = verified.get(n, 0)

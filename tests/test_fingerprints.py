@@ -113,3 +113,81 @@ def test_fingerprints_differ_legacy_and_deep():
     assert fingerprints_differ("old", "new:deep1") is True   # legacy drift
     assert fingerprints_differ("s:d1", "s:d2") is True       # helper edit
     assert fingerprints_differ("s1:d", "s2:d") is False      # deep rules
+
+
+def test_flag_resolution_applies_only_until_next_round_records():
+    """A _FLAG_RESOLVED stamp clears a fine-flag only while no
+    CORRECTNESS round newer than the stamp exists — once a later round
+    records, the stamp is inert, so documented local evidence from
+    round N can never mask an edit made in round N+1."""
+    import __spark_entry__ as e
+
+    name = next(iter(e._FLAG_RESOLVED))
+    stamp = e._FLAG_RESOLVED[name]
+
+    # active: latest recorded round == stamp round → flag cleared
+    fine = {name: True, "other": True}
+    e._apply_flag_resolutions(fine, {name: 10, "other": stamp})
+    assert fine[name] is False
+    assert fine["other"] is True  # non-listed queries untouched
+
+    # expired: a round newer than the stamp has recorded → flag stays
+    fine = {name: True}
+    e._apply_flag_resolutions(fine, {name: 10, "other": stamp + 1})
+    assert fine[name] is True
+
+    # never force-flags: a clean query stays clean
+    fine = {name: False}
+    e._apply_flag_resolutions(fine, {name: 10, "other": stamp})
+    assert fine[name] is False
+
+
+def test_selectivity_floor_unflags_untouched_queries(monkeypatch):
+    """The r13 floor: a query whose LIVE fingerprint matches the
+    snapshot at the CURRENT round-start commit has not been touched
+    this round, so its green-asof flag (a prior round's universal-
+    helper move, value-proven by that round's closing sweep) is
+    cleared — while a query whose live fingerprint differs from the
+    round-start snapshot keeps its flag."""
+    import json as _json
+
+    import __spark_entry__ as e
+
+    live = {
+        "untouched": "s1:dNEW",   # moved since green, but == round start
+        "edited": "s2:dEDIT",     # moved since green AND since round start
+        "fresh": "s3:dNEW",       # r11 green, unchanged — anchors the
+    }                             # latest recorded round at 11
+    snapshots = {
+        # green-round as-of (round 10 start = commit adding r09 file)
+        "c09": {"untouched": "s1:dOLD", "edited": "s2:dOLD"},
+        # current round start (commit adding the latest round's file)
+        "c11": {
+            "untouched": "s1:dNEW",
+            "edited": "s2:dOLD",
+            "fresh": "s3:dNEW",
+        },
+    }
+
+    def fake_git(*args):
+        if args[0] == "log":
+            target = args[-1]
+            return {"CORRECTNESS_r09.json": "c09",
+                    "CORRECTNESS_r11.json": "c11"}.get(target)
+        if args[0] == "show":
+            commit = args[1].split(":")[0]
+            snap = snapshots.get(commit)
+            return _json.dumps(snap) if snap else None
+        return None
+
+    monkeypatch.setattr(e, "_git", fake_git)
+    import git_etl_spark.fingerprints as fp
+
+    monkeypatch.setattr(fp, "current_fingerprints", lambda: live)
+
+    verified = {"untouched": 10, "edited": 10, "fresh": 11}
+    round_commit = {10: "c10-unused", 11: "c11"}
+    out = e._fp_changed_since_green(verified, round_commit)
+    assert out["untouched"] is False   # floor cleared the universal flag
+    assert out["edited"] is True       # real current-round edit still flags
+    assert out["fresh"] is False       # clean green stays clean
