@@ -320,6 +320,17 @@ _REVERIFY_FIRST: dict[str, int] = {
     "simsearch_ivf_full_probe": 13,
     "simsearch_pq_full_rerank": 13,
     "simsearch_range_cosine": 13,
+    # Also NOT listed: the r13 RIFF/AVI video decode (avi_codec.py —
+    # closes the last multimodal loud gap for DIB/MJPG frames). Four
+    # deep movers (multimodal_{decode_features,frame_sample,
+    # audio_features,jpeg_features}; audio/jpeg also shallow via
+    # docstring-only own-source edits): the new branch triggers ONLY
+    # on RIFF-AVI payloads, which the committed corpora do not
+    # contain — all four oracle-MATCHed at sf0.01 AND sf0.1 after the
+    # edit, results bit-identical, and the real path is pytest-proven
+    # end-to-end (test_avi_codec.py round-trips + the mapInPandas
+    # helper integration).
+    #
     # Also NOT listed: the token-set Jaccard family's r13
     # candidate-scheme auto-selection (deletion neighborhood → prefix
     # keys past d=2, the extreme-key-skew survey fix). Three deep

@@ -24,8 +24,10 @@ intervals, JFIF YCbCr→RGB — and progressive color). GIF87a/GIF89a
 decode for real too (``gif_codec``: full LZW with deferred clear,
 global/local palettes, interlace, multi-frame). The loud
 NotImplementedError list is down to what genuinely needs an external
-codec: lossless/arithmetic/12-bit JPEG and RIFF video (ffmpeg) — a
-silent fake decode of real media would be worse than a loud gap.
+codec: lossless/arithmetic/12-bit JPEG, compressed-codec AVI
+(cvid/xvid/h264…), and WEBP — a silent fake decode of real media
+would be worse than a loud gap. RIFF/AVI video with BI_RGB DIB or
+MJPG frames decodes for real since r13 (``avi_codec``).
 """
 
 from __future__ import annotations
@@ -51,10 +53,14 @@ SIMG_MAGIC = b"SIMG"
 PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 # formats whose decode genuinely needs an external codec (ffmpeg — not
 # in this environment); PNG is NOT here (stdlib zlib + prediction
-# filters) and since round 7 neither is baseline JPEG (pure-stdlib
-# huffman + IDCT, operators/jpeg_codec.py) — only RIFF audio/video
-# remains, and its WAVE-PCM case decodes via the stdlib ``wave``
+# filters), since round 7 neither is baseline JPEG (pure-stdlib
+# huffman + IDCT, operators/jpeg_codec.py), and since round 13 the
+# RIFF family decodes its WAVE-PCM case via the stdlib ``wave`` and
+# its AVI case (BI_RGB DIB + MJPG frames) via operators/avi_codec.py —
+# the remaining loud RIFF members are compressed-codec AVI
+# (cvid/xvid/h264…) and WEBP (VP8 entropy coding)
 REAL_CODEC_MAGICS = (b"RIFF",)
+AVI_FORM = b"AVI "
 JPEG_MAGIC = b"\xff\xd8\xff"
 
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
@@ -432,14 +438,32 @@ def decode_image(payload: bytes) -> dict:
     are decoded for real via ``decode_png`` (stdlib zlib + filter
     reversal), baseline AND progressive JPEGs for real via
     ``jpeg_codec`` (stdlib huffman + IDCT), GIFs for real via
-    ``gif_codec`` (stdlib LZW + palette resolution), RIFF video
-    raises loudly (ffmpeg absent), and any other payload falls back to
-    raw byte statistics so the pipeline stays total."""
+    ``gif_codec`` (stdlib LZW + palette resolution), RIFF/AVI video
+    for real via ``avi_codec`` (stdlib container walk; BI_RGB DIB and
+    MJPG frames — the stats are over the FIRST decoded frame, the
+    image-shaped reading of a video payload), other RIFF members
+    (compressed-codec AVI, WEBP) raise loudly, and any other payload
+    falls back to raw byte statistics so the pipeline stays total."""
     import struct
 
     if payload[:4] in REAL_CODEC_MAGICS:
+        if payload[8:12] == AVI_FORM:
+            from .avi_codec import decode_avi_frames
+
+            d = decode_avi_frames(payload, stride=1)
+            first = memoryview(d["frames"][0][1]) if d["frames"] else b""
+            return {
+                "n_bytes": len(first),
+                "magic": "AVI",
+                "width": d["width"],
+                "height": d["height"],
+                "mean_byte": sum(first) / len(first) if first else 0.0,
+                "max_byte": max(first) if first else 0,
+            }
         raise NotImplementedError(
-            "real media decode requires ffmpeg; not present in this env"
+            "real decode of this RIFF form needs an external codec "
+            "(WEBP / compressed-codec AVI); only WAVE-PCM and "
+            "DIB/MJPG AVI are implemented in-stdlib"
         )
     if payload[:3] == JPEG_MAGIC:
         from .jpeg_codec import decode_jpeg
@@ -571,14 +595,44 @@ FRAME_SCHEMA = (
 
 
 def sample_frames_stub(payload: bytes, max_frames: int = 8) -> list[dict]:
-    """Stand-in for video frame-sampling + resize (ffmpeg absent): the
-    payload is treated as a sequence of fixed-size frames; every
-    stride-th frame is 'decoded' to a mean-byte feature and a 4-byte
-    strided 'thumbnail'. Deterministic in payload alone, so retries /
-    speculative tasks produce identical rows at any parallelism."""
+    """Frame-sampling with a REAL path and a stand-in path, both
+    deterministic in payload alone (retries / speculative tasks
+    produce identical rows at any parallelism):
+
+    - RIFF/AVI payloads (since r13): real container + frame decode via
+      ``avi_codec`` — every stride-th frame's mean is over its DECODED
+      pixels (DIB rows unpadded and RGB-ordered, MJPG frames through
+      the full JPEG entropy layer), thumbnail from the decoded pixel
+      bytes. PNG/JPEG payloads (single images in a video column) and
+      non-AVI RIFF (WAVE audio here, WEBP) stay loudly refused.
+    - any other payload: the synthetic stand-in — fixed 256-byte
+      'frames', mean-byte feature, 4-byte strided thumbnail — which
+      keeps the oracled 1→N expansion value-checkable in SQL."""
+    if payload[:4] == b"RIFF" and payload[8:12] == AVI_FORM:
+        from .avi_codec import decode_avi_frames, parse_avi
+
+        # parse once (container walk only, no pixel work) to size the
+        # stride, then decode ONLY the sampled frames
+        n_frames = max(1, len(parse_avi(payload)["frames"]))
+        stride = max(1, n_frames // max_frames)
+        meta = decode_avi_frames(payload, stride=stride)
+        out = []
+        for idx, px in meta["frames"]:
+            mv = memoryview(px)
+            step = max(1, len(px) // 4)
+            out.append(
+                {
+                    "frame_idx": idx,
+                    "n_frames": n_frames,
+                    "frame_mean": (sum(mv) / len(px)) if px else 0.0,
+                    "thumb_hex": bytes(px[::step][:4]).hex(),
+                }
+            )
+        return out
     if payload[:4] in (b"\x89PNG", b"\xff\xd8\xff\xe0", b"RIFF"):
         raise NotImplementedError(
-            "real media decode requires PIL/ffmpeg; not present in this env"
+            "single-image or non-AVI RIFF payload in the video column; "
+            "real AVI decodes via avi_codec, the rest stays loud"
         )
     n_frames = max(1, -(-len(payload) // FRAME_BYTES))
     stride = max(1, n_frames // max_frames)
@@ -867,9 +921,11 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers; mean/RMS perform the identical double divisions and one
     correctly-rounded sqrt in both engines.
 
-    This closes the RIFF half of the former honest gap: WAV PCM needs
-    no external codec. JPEG and RIFF/AVI *video* still raise loudly
-    (libjpeg/ffmpeg absent). At 100 TB the shape is unchanged: opaque
+    This closed the audio half of the former RIFF honest gap: WAV PCM
+    needs no external codec — and since r13 the video half is closed
+    too for uncompressed-DIB and MJPG AVI (``avi_codec``); only
+    compressed-codec AVI and WEBP still raise loudly. At 100 TB the
+    shape is unchanged: opaque
     binary column + typed metadata, Arrow batches sized by
     ``maxRecordsPerBatch``, decode parallelism ∝ partitions."""
     docs = (
@@ -1340,8 +1396,9 @@ def multimodal_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     exercised by pytest against an independent NumPy cosine-matrix
     IDCT, as are progressive (SOF2) decode, baseline YCbCr color
     (interleaved MCUs, subsampling, restart intervals), and the JFIF
-    color transform. Arithmetic coding, lossless/12-bit SOFs, and
-    RIFF video remain the loud honest gaps.
+    color transform. Arithmetic coding, lossless/12-bit SOFs,
+    compressed-codec AVI, and WEBP remain the loud honest gaps
+    (DIB/MJPG AVI decodes for real via ``avi_codec`` since r13).
 
     Scale: identical shape to the other decode queries — opaque binary
     column + typed metadata, per-item CPU inside Arrow-batched
