@@ -23,10 +23,13 @@ def dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ in double, sequential fold.
 
     Contract (shared by norm/cosine and their DuckDB twins): non-null
-    elements, equal dims. A fully-NULL array yields NULL on both
+    elements, equal dims. A NULL array COLUMN yields NULL on both
     engines (comparisons then drop the row — the implicit null-vector
-    semantic every simsearch query relies on). A PARTIALLY-null or
-    length-mismatched pair is data corruption, not input — and it is
+    semantic every simsearch query relies on; similarity.py encodes
+    null vectors as NULL columns, never as arrays of NULLs). An array
+    containing ANY NULL element — including all-NULL like
+    ``[NULL, NULL]`` — or a length-mismatched pair is data corruption,
+    not input — and it is
     enforced loudly on BOTH engines (here and in :func:`duck_dot`):
     before round 13 the engines silently diverged on it (Spark's fold
     propagates NULL, DuckDB's list_aggregate sums the non-null

@@ -253,7 +253,13 @@ def _avi_container(
     idx_entries = []
     off = 4  # skip the 'movi' list-type fourcc
     for ch in frame_chunks:
-        idx_entries.append(ch[:4] + struct.pack("<III", 0x10, off, len(ch) - 8 - (len(ch) & 1)))
+        # idx1 records the TRUE body size — read it back from the chunk
+        # header rather than deriving it from len(ch): _chunk pads odd
+        # bodies so len(ch) is always even and a len-based formula
+        # over-counts odd (MJPEG-typical) bodies by the pad byte
+        # (ADVICE r13).
+        body_size = struct.unpack_from("<I", ch, 4)[0]
+        idx_entries.append(ch[:4] + struct.pack("<III", 0x10, off, body_size))
         off += len(ch)
     idx1 = _chunk(b"idx1", b"".join(idx_entries))
     body = b"AVI " + hdrl + movi + idx1

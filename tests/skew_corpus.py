@@ -104,7 +104,7 @@ def _replicate_skewed(
                     ts if rep == 0 else ts + __import__("datetime").timedelta(seconds=rep)
                 )
                 out["user_id"].append(
-                    hot_user if hot(i, rep, 0.9) else cols["user_id"][i]
+                    hot_user if hot(i, rep, hot_frac) else cols["user_id"][i]
                 )
                 out["event_type"].append(cols["event_type"][i])
                 out["value"].append(cols["value"][i])
@@ -118,7 +118,7 @@ def _replicate_skewed(
                 if n_dup < n_exact_dupes and (i + rep * n) % 37 == 0:
                     text, src = dup_text, HOT_SOURCE
                     n_dup += 1
-                elif hot(i, rep, 0.9):
+                elif hot(i, rep, hot_frac):
                     text = BOILERPLATE + (cols["text"][i] or "")
                     src = HOT_SOURCE
                 else:
@@ -133,7 +133,7 @@ def _replicate_skewed(
             for i in range(n):
                 out["o_orderkey"].append(cols["o_orderkey"][i] + rep * _OFF)
                 out["o_custkey"].append(
-                    hot_cust if hot(i, rep, 0.9) else cols["o_custkey"][i]
+                    hot_cust if hot(i, rep, hot_frac) else cols["o_custkey"][i]
                 )
                 for c in (
                     "o_orderstatus",

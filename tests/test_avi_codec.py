@@ -217,3 +217,43 @@ def test_mjpeg_avi_through_frame_sampler():
     px = bytes(decode_jpeg(jpeg)["pixels"])
     assert len(rows) == 3
     assert all(r["frame_mean"] == sum(px) / len(px) for r in rows)
+
+
+def test_idx1_records_unpadded_body_size():
+    """idx1 entries must record the TRUE frame body size, not the
+    padded chunk length: _chunk pads odd bodies to even, and an
+    external consumer seeking via idx1 would otherwise read one
+    garbage byte per odd (MJPEG-typical) frame (ADVICE r13). Walk the
+    emitted container byte-for-byte: each idx1 size must equal the
+    size field in the corresponding movi chunk header, and the odd
+    body must still be stored padded."""
+    # frame payloads of odd (7) and even (8) length; MJPG bodies are
+    # opaque at container level so raw bytes exercise the path directly
+    bodies = [b"x" * 7, b"y" * 8]
+    payload = encode_avi_mjpeg(bodies, 8, 8, fps=5)
+
+    idx_off = payload.find(b"idx1")
+    assert idx_off > 0
+    idx_size = struct.unpack_from("<I", payload, idx_off + 4)[0]
+    entries = []
+    p = idx_off + 8
+    while p < idx_off + 8 + idx_size:
+        fourcc = payload[p : p + 4]
+        flags, off, size = struct.unpack_from("<III", payload, p + 4)
+        entries.append((fourcc, flags, off, size))
+        p += 16
+    assert [e[3] for e in entries] == [7, 8]
+    assert all(e[0] == b"00dc" for e in entries)
+
+    # cross-check against the movi chunks themselves: idx1 offsets are
+    # relative to the movi list body (starting at its 'movi' fourcc)
+    movi_body = payload.find(b"movi")
+    for fourcc, _flags, off, size in entries:
+        chunk_at = movi_body + off
+        assert payload[chunk_at : chunk_at + 4] == fourcc
+        hdr_size = struct.unpack_from("<I", payload, chunk_at + 4)[0]
+        assert hdr_size == size
+    # odd body stored padded: next chunk starts on an even boundary
+    first_end = movi_body + entries[0][2] + 8 + entries[0][3]
+    assert payload[first_end : first_end + 1] == b"\x00"  # pad byte
+    assert entries[1][2] == entries[0][2] + 8 + entries[0][3] + 1

@@ -143,37 +143,56 @@ def test_flag_resolution_applies_only_until_next_round_records():
 
 
 def test_selectivity_floor_unflags_untouched_queries(monkeypatch):
-    """The r13 floor: a query whose LIVE fingerprint matches the
-    snapshot at the CURRENT round-start commit has not been touched
-    this round, so its green-asof flag (a prior round's universal-
-    helper move, value-proven by that round's closing sweep) is
-    cleared — while a query whose live fingerprint differs from the
-    round-start snapshot keeps its flag."""
+    """The r13 floor, tightened r14 (ADVICE r13): a flag is cleared
+    only when the LIVE fingerprint matches BOTH the latest round's
+    START snapshot (commit adding CORRECTNESS_r{latest-1}) and its
+    CLOSE snapshot (commit adding CORRECTNESS_r{latest}) — provably
+    untouched during the latest round. A query edited MID-round
+    (after the driver's verification run, before round close) matches
+    the close snapshot but not the start snapshot and must KEEP its
+    flag — the pre-r14 single-snapshot check silently cleared exactly
+    that case."""
     import json as _json
 
     import __spark_entry__ as e
 
     live = {
-        "untouched": "s1:dNEW",   # moved since green, but == round start
-        "edited": "s2:dEDIT",     # moved since green AND since round start
-        "fresh": "s3:dNEW",       # r11 green, unchanged — anchors the
-    }                             # latest recorded round at 11
+        "untouched": "s1:dNEW",     # moved since green, == start AND close
+        "edited_mid": "s2:dMID",    # != start, == close (mid-round edit)
+        "edited_now": "s4:dNOW",    # != start AND != close (current edit)
+        "fresh": "s3:dNEW",         # r11 green, unchanged — anchors the
+    }                               # latest recorded round at 11
     snapshots = {
         # green-round as-of (round 10 start = commit adding r09 file)
-        "c09": {"untouched": "s1:dOLD", "edited": "s2:dOLD"},
-        # current round start (commit adding the latest round's file)
-        "c11": {
+        "c09": {
+            "untouched": "s1:dOLD",
+            "edited_mid": "s2:dOLD",
+            "edited_now": "s4:dOLD",
+        },
+        # latest round START (commit adding the r10 file)
+        "c10": {
             "untouched": "s1:dNEW",
-            "edited": "s2:dOLD",
+            "edited_mid": "s2:dOLD",
+            "edited_now": "s4:dOLD",
             "fresh": "s3:dNEW",
         },
+        # latest round CLOSE (commit adding the r11 file)
+        "c11": {
+            "untouched": "s1:dNEW",
+            "edited_mid": "s2:dMID",
+            "edited_now": "s4:dOLD",
+            "fresh": "s3:dNEW",
+        },
+    }
+    file_commit = {
+        "CORRECTNESS_r09.json": "c09",
+        "CORRECTNESS_r10.json": "c10",
+        "CORRECTNESS_r11.json": "c11",
     }
 
     def fake_git(*args):
         if args[0] == "log":
-            target = args[-1]
-            return {"CORRECTNESS_r09.json": "c09",
-                    "CORRECTNESS_r11.json": "c11"}.get(target)
+            return file_commit.get(args[-1])
         if args[0] == "show":
             commit = args[1].split(":")[0]
             snap = snapshots.get(commit)
@@ -185,9 +204,18 @@ def test_selectivity_floor_unflags_untouched_queries(monkeypatch):
 
     monkeypatch.setattr(fp, "current_fingerprints", lambda: live)
 
-    verified = {"untouched": 10, "edited": 10, "fresh": 11}
-    round_commit = {10: "c10-unused", 11: "c11"}
+    verified = {"untouched": 10, "edited_mid": 10, "edited_now": 10, "fresh": 11}
+    round_commit = {10: "c10", 11: "c11"}
     out = e._fp_changed_since_green(verified, round_commit)
-    assert out["untouched"] is False   # floor cleared the universal flag
-    assert out["edited"] is True       # real current-round edit still flags
-    assert out["fresh"] is False       # clean green stays clean
+    assert out["untouched"] is False    # floor cleared the universal flag
+    assert out["edited_mid"] is True    # mid-round edit KEEPS its flag (r14)
+    assert out["edited_now"] is True    # current-round edit still flags
+    assert out["fresh"] is False        # clean green stays clean
+
+    # one bracket missing (start snapshot unresolvable) → floor
+    # disabled entirely; flags over-include, the safe direction
+    del file_commit["CORRECTNESS_r10.json"]
+    out = e._fp_changed_since_green(verified, round_commit)
+    assert out["untouched"] is True
+    assert out["edited_mid"] is True
+    assert out["fresh"] is False        # never force-flags a clean green

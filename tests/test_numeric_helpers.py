@@ -276,6 +276,21 @@ def test_dot_partial_null_raises_on_both_engines(spark):
             f"SELECT {duck_dot('a', 'b')} FROM (SELECT [1.0,NULL]::DOUBLE[] a, [3.0,4.0]::DOUBLE[] b)"
         )
 
+    # ALL-NULL ELEMENTS (not a NULL column): [NULL, NULL] is corrupt
+    # input under the contract, NOT a null vector — null vectors are
+    # encoded as NULL array COLUMNS (similarity.py filters
+    # `embedding IS NOT NULL`). Loud on both engines (ADVICE r13: the
+    # docstring used to blur this boundary).
+    dfa = spark.createDataFrame(
+        [([None, None], [3.0, 4.0])], "a array<double>, b array<double>"
+    )
+    with pytest.raises(Exception, match="partially-NULL"):
+        dfa.select(dot(F.col("a"), F.col("b")).alias("d")).collect()
+    with pytest.raises(duckdb.InvalidInputException, match="partially-NULL"):
+        _duck_one(
+            f"SELECT {duck_dot('a', 'b')} FROM (SELECT [NULL,NULL]::DOUBLE[] a, [3.0,4.0]::DOUBLE[] b)"
+        )
+
     # length mismatch: loud on both (zip padding → NULL product)
     dfm = spark.createDataFrame(
         [([1.0, 2.0, 5.0], [3.0, 4.0])], "a array<double>, b array<double>"
