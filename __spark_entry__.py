@@ -372,6 +372,17 @@ _REVERIFY_FIRST: dict[str, int] = {
     "multimodal_frame_sample": 14,
     "multimodal_audio_features": 14,
     "multimodal_jpeg_features": 14,
+    # r14's own survey fix (temporal axis): the session-window replay
+    # gained a pre-epoch quarantine in BOTH the streaming transform and
+    # its oracle (streaming/events_stream.sessionized — engine's
+    # watermark lattice bottoms at epoch 0 and silently dropped
+    # fully-pre-epoch sessions). Oracle-MATCHed after the edit on the
+    # hostile 1× corpus AND sf0.01 AND sf0.1 (bit-identical on the
+    # committed corpora — they contain no pre-epoch events); the
+    # standing gate test_temporal_corpus.py re-proves it each run.
+    # Slot arithmetic including this pin: 39 r08 + 11 non-r08 pins =
+    # exactly the driver's 50-row budget, no r08 green displaced.
+    "streaming_session_window_replay": 14,
     # NOT listed: the six r14 docstring-only movers (functions/
     # vector.py dot() contract wording, ADVICE r13 — zero bytecode
     # change): simsearch_{range_cosine,topk_bruteforce,ivf_full_probe,

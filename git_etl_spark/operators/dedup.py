@@ -369,10 +369,34 @@ def _length_filter(
     return F.least(sz_a, sz_b) * F.lit(den) >= F.greatest(sz_a, sz_b) * F.lit(num)
 
 
-def _corpus_deletion_distance(sets: DataFrame) -> int:
+# d is one scalar derived from a full-scan max over the corpus's token
+# sets, and every pair-pipeline consumer used to re-pay that scan in a
+# multi-query session (five consumers × parity sweeps) — memoize per
+# (applicationId, sf_dir, documents fingerprint) like the other
+# session-lifetime memos (VERDICT r13 task 6). The reps-vs-all-sets
+# call sites deliberately share one entry: every distinct-set group's
+# rep carries toks identical to its members', so max(size(toks))
+# agrees by construction. The fingerprint keys out underlying-file
+# changes; memo_disabled() bypasses, same as _REP_GRAPH_MEMO.
+_CORPUS_D_MEMO: dict[tuple[str, str, str], int] = {}
+
+
+def _corpus_deletion_distance(
+    spark: SparkSession, sf_dir: str, sets: DataFrame
+) -> int:
     """Derive d from the data (max token-set size), never assume it."""
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        dataset_fingerprint(sf_dir, "documents"),
+    )
+    if not memo_disabled() and key in _CORPUS_D_MEMO:
+        return _CORPUS_D_MEMO[key]
     max_sz = sets.agg(F.max(F.size("toks"))).collect()[0][0]
-    return _deletion_distance(max_sz or 1)
+    d = _deletion_distance(max_sz or 1)
+    if not memo_disabled():
+        _CORPUS_D_MEMO[key] = d
+    return d
 
 
 def _rep_graph_impl(
@@ -399,7 +423,7 @@ def _rep_graph_impl(
     # proof, same naive-O(n²) oracle checking it every driver round.
     # The length filter is lossless under BOTH schemes.
     if deletion_d is None:
-        deletion_d = _corpus_deletion_distance(reps)
+        deletion_d = _corpus_deletion_distance(spark, sf_dir, reps)
     key_expr = (
         _deletion_keys_expr(deletion_d)
         if deletion_d <= 2
@@ -1755,7 +1779,7 @@ def dedup_incremental_index_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # derived d passes 2, exactly like _rep_graph_impl (the r13 skew
     # survey's long-document fix; the index rebuild on a scheme switch
     # is the same full pass a d=1→2 growth already required)
-    corpus_d = _corpus_deletion_distance(sets)
+    corpus_d = _corpus_deletion_distance(spark, sf_dir, sets)
     key_expr = (
         _deletion_keys_expr(corpus_d) if corpus_d <= 2 else _prefix_keys_expr()
     )

@@ -221,6 +221,9 @@ def streaming_hourly_agg_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                             IS NULL
                     THEN 1 ELSE 0 END AS new_sess
         FROM events
+        -- pre-epoch quarantine, mirrored from streaming/events_stream
+        -- .sessionized (engine's watermark lattice bottoms at epoch 0)
+        WHERE ts >= TIMESTAMP '1970-01-01 00:00:00'
     ),
     numbered AS (
         SELECT user_id, ts,

@@ -77,9 +77,27 @@ def sliding_counts(events: DataFrame) -> DataFrame:
 def sessionized(events: DataFrame) -> DataFrame:
     """Session windows with a 10-minute inactivity gap — streaming twin
     of the batch lag/running-sum sessionization (same gap constant:
-    operators/events.py SESSION_GAP_SEC = 600)."""
+    operators/events.py SESSION_GAP_SEC = 600).
+
+    Pre-epoch quarantine (r14 temporal-hostility survey): Spark's
+    event-time watermark lattice bottoms at epoch 0, and the
+    session-window operator filters late SESSIONS against that initial
+    watermark even in the very first micro-batch of a complete-mode
+    replay — a session whose end (last event + gap) is before
+    1970-01-01 00:00:00 UTC is silently dropped by the ENGINE (minimal
+    repro in tests/test_streaming.py::test_session_window_pre_epoch_
+    engine_drop; tumbling/sliding windows are not affected). A silent
+    engine drop is exactly what this repo's loud-gap posture forbids,
+    so pre-epoch event times (clock corruption by contract — the
+    corpus's valid-ts predicates F6/F7 and the V1-V6 quarantine split
+    already treat them as invalid) are filtered EXPLICITLY here, and
+    the replay's oracle applies the identical predicate, making the
+    boundary deterministic, mirrored, and tested instead of an engine
+    internal. Epoch arithmetic (unix_micros), not tz-dependent
+    formatting, per functions/timeutil.py."""
     return (
         _with_event_time(events)
+        .filter(F.unix_micros(F.col("ts")) >= 0)
         .withWatermark("ts", WATERMARK)
         .groupBy(F.session_window("ts", SESSION_GAP).alias("s"), "user_id")
         .agg(F.count("*").alias("n_events"))

@@ -340,3 +340,88 @@ def test_transform_with_state_env_gap():
             "protobuf now available — implement a transformWithStateInPandas "
             "operator and replay (see streaming/events_stream.py)"
         )
+
+
+def test_session_window_pre_epoch_engine_drop(spark, tmp_path):
+    """Documents the ENGINE behavior behind sessionized()'s pre-epoch
+    quarantine (r14 temporal-hostility survey): Spark's event-time
+    watermark lattice bottoms at epoch 0, and the session-window
+    operator filters sessions against that INITIAL watermark even in
+    the first micro-batch of a complete-mode replay — a session whose
+    end (last event + gap) predates 1970-01-01 00:00:00 UTC is
+    silently dropped, while one straddling the epoch survives. If this
+    test ever fails, the engine changed semantics and the quarantine
+    in streaming/events_stream.sessionized (and its oracle mirror in
+    operators/streaming_bridge) should be revisited."""
+    import datetime as dt
+
+    rows = [
+        # fully pre-epoch session: end 1901-06-15 12:10:01 < epoch
+        (1, 7, dt.datetime(1901, 6, 15, 12, 0, 0)),
+        (2, 7, dt.datetime(1901, 6, 15, 12, 0, 1)),
+        # epoch-straddling session: end 1970-01-01 00:09:59 > epoch
+        (3, 7, dt.datetime(1969, 12, 31, 23, 59, 59)),
+        # ordinary modern session
+        (4, 7, dt.datetime(2024, 1, 1, 0, 0, 0)),
+        (5, 7, dt.datetime(2024, 1, 1, 0, 5, 0)),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    src = tmp_path / "preepoch"
+    df.coalesce(1).write.parquet(str(src))  # ONE file -> ONE micro-batch
+
+    raw = (
+        spark.readStream.schema(df.schema)
+        .parquet(str(src))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "10 minutes").alias("s"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("s.start").alias("start"), "n")
+    )
+    _run_to_memory(raw, "pre_epoch_raw", mode="complete")
+    got = sorted(
+        (r["start"], r["n"]) for r in spark.table("pre_epoch_raw").collect()
+    )
+    spark.catalog.dropTempView("pre_epoch_raw")
+    # the 1901 session is GONE (engine drop); the epoch-straddler and
+    # the modern session survive
+    assert got == [
+        (dt.datetime(1969, 12, 31, 23, 59, 59), 1),
+        (dt.datetime(2024, 1, 1, 0, 0, 0), 2),
+    ]
+
+
+def test_sessionized_quarantines_pre_epoch_explicitly(spark, tmp_path):
+    """The shipped transform makes the boundary explicit and
+    deterministic: EVERY pre-epoch event is quarantined (including the
+    epoch-straddler the raw engine would keep), so results never
+    depend on session-merge geometry against the initial watermark.
+    The replay oracle applies the identical predicate."""
+    import datetime as dt
+
+    from git_etl_spark.streaming.events_stream import sessionized
+
+    rows = [
+        (1, 7, dt.datetime(1901, 6, 15, 12, 0, 0), "c", 1.0, None),
+        (3, 7, dt.datetime(1969, 12, 31, 23, 59, 59), "c", 1.0, None),
+        (4, 7, dt.datetime(1970, 1, 1, 0, 0, 0), "c", 1.0, None),
+        (5, 7, dt.datetime(2024, 1, 1, 0, 0, 0), "c", 1.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, "
+        "event_type string, value double, props string",
+    )
+    src = tmp_path / "preepoch2"
+    df.coalesce(1).write.parquet(str(src))
+    sdf = sessionized(spark.readStream.schema(df.schema).parquet(str(src)))
+    _run_to_memory(sdf, "pre_epoch_q", mode="complete")
+    got = sorted(
+        (r["session_start"], r["n_events"])
+        for r in spark.table("pre_epoch_q").collect()
+    )
+    spark.catalog.dropTempView("pre_epoch_q")
+    import datetime as dt2
+    assert got == [
+        (dt2.datetime(1970, 1, 1, 0, 0, 0), 1),   # exactly-epoch kept
+        (dt2.datetime(2024, 1, 1, 0, 0, 0), 1),
+    ]
