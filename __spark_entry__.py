@@ -357,11 +357,11 @@ _REVERIFY_FIRST: dict[str, int] = {
     # AVI payloads in corpus), and the r13 judge's independent 239/239
     # DuckDB re-run at final r13 HEAD covers them; the driver row is
     # the remaining evidence form, ordered by VERDICT r13 task 1
-    # ("green rows for every r13-edited query"). Slot arithmetic:
-    # graph_components_large_star is an r08 green (inside the 39-slot
-    # r08 cohort), so these pins consume 9 extra slots: 39 r08 + 9 + 2
-    # oldest-remaining = the driver's exactly-50 budget, and no green
-    # older than r09 survives the round (task 1's done criterion).
+    # ("green rows for every r13-edited query"). Slot arithmetic for
+    # the full r14 cohort (including the streaming_session_window_
+    # replay pin added below): see the note on that entry — 10
+    # non-r08 pins + 39 r08 + 1 flagged r12 = exactly 50, and no
+    # green older than r09 survives the round (task 1's criterion).
     "dedup_jaccard_pairs": 14,
     "dedup_cluster_components": 14,
     "dedup_incremental_index_join": 14,
@@ -380,8 +380,10 @@ _REVERIFY_FIRST: dict[str, int] = {
     # hostile 1× corpus AND sf0.01 AND sf0.1 (bit-identical on the
     # committed corpora — they contain no pre-epoch events); the
     # standing gate test_temporal_corpus.py re-proves it each run.
-    # Slot arithmetic including this pin: 39 r08 + 11 non-r08 pins =
-    # exactly the driver's 50-row budget, no r08 green displaced.
+    # Slot arithmetic including this pin (dry-run verified): 11 pins
+    # of which graph_components_large_star is itself an r08 green →
+    # 10 non-r08 pins + all 39 r08 greens + 1 penalty-flagged r12
+    # green = exactly the driver's 50-row budget, no r08 displaced.
     "streaming_session_window_replay": 14,
     # NOT listed: the six r14 docstring-only movers (functions/
     # vector.py dot() contract wording, ADVICE r13 — zero bytecode
