@@ -395,6 +395,39 @@ _REVERIFY_FIRST: dict[str, int] = {
     # locally at sf0.01 AND sf0.1 after the docstring edit this round
     # (PERFORMANCE.md round 14); fronting them would displace r08
     # greens for a comment-only change — the wrong trade.
+    #
+    # NOT listed: the 24 unpinned movers from the r14 full-oracle
+    # sweeps over the axis corpora (PERFORMANCE.md round 14 —
+    # "degenerate-value defects"): the zero-variance stats trio
+    # (agg_corr_price_quantity, agg_group_ols_trend,
+    # quality_cohen_kappa), the null-total validator
+    # (filter_validation_quarantine), the NULL-key-safe salted merge
+    # (agg_salted_two_phase), the tombstone-proof token-set family
+    # (dedup_{jaccard_pairs*,cluster_components*,minhash_lsh,
+    # minhash_estimate_audit,incremental_index_join*} — *already
+    # pinned above), text_fingerprint, udf_pandas_token_count, the
+    # grouping-sets empty-input mirrors (rollup/cube/groupingsets,
+    # quality_skew_report), the uniform null-embedding simsearch
+    # family (topk_bruteforce, ivf_full_probe, pq_full_rerank +
+    # rows-only ivf/pq_adc/range_cosine), agg_string_concat_sorted,
+    # multimodal_audio_silence_segments,
+    # source_jsonl_malformed_quarantine, proj_string_ops,
+    # source_xml_roundtrip. EVERY ONE was oracle-MATCHed (rows-only:
+    # row-checked) locally at sf0.01 AND sf0.1 after the edits, plus
+    # on the skew 2x, temporal 1x, empty, one-row, and null-heavy
+    # corpora (all six axis sweeps close 239/239 this round), and each
+    # fixed class has a standing hash-checked gate delegate
+    # (test_degenerate_corpus.py DEGENERATE_ORACLED,
+    # test_skew_corpus.py SKEW_ORACLED). Committed-corpus results are
+    # bit-identical for all (the shapes the fixes touch — NULL keys,
+    # NULL text/embeddings, empty inputs, zero variance, digit-free
+    # sources, sub-41-char JSON lines — do not occur there), EXCEPT
+    # nothing: all 21 oracled movers re-MATCHed on the committed
+    # corpora directly. Fronting 24 movers would displace most of the
+    # r08 staleness cohort for queries already six-ways value-proven —
+    # the wrong trade; the dual-snapshot floor re-flags them at r15
+    # and the penalty tier rotates them in right behind the r09
+    # cohort.
     # Also NOT listed: the r13 RIFF/AVI video decode (avi_codec.py —
     # closes the last multimodal loud gap for DIB/MJPG frames). Four
     # deep movers (multimodal_{decode_features,frame_sample,

@@ -257,8 +257,17 @@ def agg_salted_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("n_users"))
     )
-    return merged.join(distinct_users, "event_type").select(
-        "event_type", "n", "n_users", "sum_value"
+    # NULL-SAFE merge join (r14 null-heavy full-oracle sweep): GROUP BY
+    # treats NULL as a group on both engines, but a plain equi-join
+    # between the two partial aggregates silently DROPS that group —
+    # the salted rewrite was not semantics-preserving exactly when the
+    # hot key is NULL, which at 100 TB is the classic hot key
+    # (untagged events). eqNullSafe keeps the rewrite ≡ plain GROUP BY.
+    return merged.join(
+        distinct_users,
+        merged["event_type"].eqNullSafe(distinct_users["event_type"]),
+    ).select(
+        merged["event_type"], "n", "n_users", "sum_value"
     )
 
 

@@ -174,11 +174,22 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _token_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, toks) with toks = sorted distinct whitespace tokens —
     repartitioned off the single input split so the per-doc hashing
-    fan-out downstream parallelizes."""
+    fan-out downstream parallelizes.
+
+    NULL-text docs (tombstones, failed fetches) are EXCLUDED, mirrored
+    by every consumer oracle where J(NULL, x) is NULL and never meets
+    the threshold. Without the filter they all hash to one set_key
+    (concat_ws maps a NULL array to '') and the exact-dup clique
+    expansion emits C(n_tombstones, 2) pairs — the r14 null-heavy
+    full-oracle sweep's 124,750-pair divergence, and at 100 TB a
+    quadratic blow-up on exactly the corpora (crawl dumps with fetch
+    failures) this pipeline targets. Absent content is not equal
+    content. EMPTY-string text stays in deliberately: both engines
+    tokenize '' to [''] and agree the docs are exact duplicates (J=1)."""
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    return docs.select(
+    return docs.filter(F.col("text").isNotNull()).select(
         "doc_id",
         F.array_sort(F.array_distinct(F.split("text", " "))).alias("toks"),
     )

@@ -224,11 +224,19 @@ def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     escaping (&, <, >) must invert exactly or text_md5 mismatches.
     XML joins the format family (parquet/ORC/JSONL/CSV) under the
     identical oracle; rowTag framing keeps files element-splittable
-    the way JSONL is line-splittable."""
+    the way JSONL is line-splittable.
+
+    ``ignoreSurroundingSpaces=false`` is load-bearing: the reader's
+    default TRIMS leading/trailing whitespace inside element text, so
+    a document whose text ends in a space (the r14 skew-corpus
+    full-oracle sweep's exact-dup class, "…lazy dog ") silently
+    roundtrips to a different string and the md5 check catches it.
+    Real corpora end runs with whitespace all the time — a format
+    roundtrip has no business normalizing payload bytes."""
     path = _written_copy(spark, sf_dir, "xml")
     back = (
         spark.read.format("xml")
-        .options(rowTag="doc")
+        .options(rowTag="doc", ignoreSurroundingSpaces="false")
         .schema(_DOC_SCHEMA)
         .load(path)
     )
@@ -284,8 +292,21 @@ def source_jsonl_malformed_quarantine(spark: SparkSession, sf_dir: str) -> DataF
         broken = F.when(
             F.col("doc_id") % CORRUPT_MOD == 0,
             # truncate mid-record: undeniably invalid JSON, lang field
-            # still present in the wreckage for the audit regex
-            F.substring(line, 1, 40),
+            # still present in the wreckage for the audit regex.
+            # least(40, length-1) rather than a flat 40: a NULL-text
+            # row serializes to ~26 chars (to_json omits null fields),
+            # where a 40-char cap is a NO-OP and the "corrupt" line
+            # stays valid JSON — the r14 null-heavy full-oracle sweep
+            # caught the rule silently not firing. Dropping at least
+            # the final byte always severs the closing brace, so the
+            # corruption rule is total; lines longer than 41 chars
+            # (every committed corpus) truncate at exactly 40 as
+            # before, bit-identical wreckage.
+            F.expr(
+                "substring(to_json(struct(doc_id, lang, source, n_chars,"
+                " text)), 1, least(40, length(to_json(struct(doc_id, lang,"
+                " source, n_chars, text))) - 1))"
+            ),
         ).otherwise(line)
         docs.select(broken.alias("value")).write.mode("overwrite").text(path)
         if memo_disabled():
@@ -302,9 +323,16 @@ def source_jsonl_malformed_quarantine(spark: SparkSession, sf_dir: str) -> DataF
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(path)
     )
+    # nullif: regexp_extract returns '' (not NULL) when the wreckage
+    # carries no lang (a NULL-lang row was truncated) — grouping those
+    # under lang='' would diverge from the oracle's NULL group (r14
+    # null-heavy sweep)
     lang_of = F.coalesce(
         F.col("lang"),
-        F.regexp_extract(F.col("_corrupt_record"), '"lang":"([a-z]+)"', 1),
+        F.nullif(
+            F.regexp_extract(F.col("_corrupt_record"), '"lang":"([a-z]+)"', 1),
+            F.lit(""),
+        ),
     )
     return back.groupBy(lang_of.alias("lang")).agg(
         F.sum(F.when(F.col("_corrupt_record").isNull(), 1).otherwise(0))

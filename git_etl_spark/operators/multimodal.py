@@ -1184,6 +1184,10 @@ SILENCE_TAU = 24  # |sample − 128| ≤ τ counts as silence (8-bit PCM midline
         SELECT doc_id, hex(encode(text)) AS hx,
                octet_length(encode(text)) AS n
         FROM documents
+        -- drop-null-content, mirrored in the Spark side (r14
+        -- null-heavy sweep): a tombstoned clip has no sample stream
+        -- to segment
+        WHERE text IS NOT NULL
     ),
     px AS (
         SELECT doc_id, n, p,
@@ -1236,7 +1240,9 @@ def multimodal_audio_silence_segments(spark: SparkSession, sf_dir: str) -> DataF
     single task; measured 2.4 s → 0.5 s at sf0.1). Parallelism ∝
     clips, state ∝ O(1) per clip."""
     docs = load_table(spark, sf_dir, "documents")
-    b = docs.select(
+    # drop-null-content (r14 null-heavy sweep), mirrored in the oracle:
+    # same posture as the six decode pipelines from the r12 null axis
+    b = docs.filter(F.col("text").isNotNull()).select(
         "doc_id",
         F.hex(F.encode("text", "UTF-8")).alias("hx"),
         F.octet_length(F.encode("text", "UTF-8")).alias("n"),

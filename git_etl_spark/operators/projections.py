@@ -24,7 +24,8 @@ from ..registry import query
            string_split(text, ' ')[-1] AS last_word,
            string_split(text, ' ')[1] AS first_word,
            upper(lang) AS lang_uc,
-           CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) AS src_num,
+           CAST(NULLIF(regexp_extract(source, '([0-9]+)', 1), '')
+                AS BIGINT) AS src_num,
            length(text) AS text_len,
            substr(text, 1, 16) AS prefix16,
            reverse(source) AS source_rev
@@ -34,7 +35,15 @@ from ..registry import query
 def proj_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String scalar pack: split + element_at (P9 basename idiom),
     regexp_extract (P11 extension extract idiom), case/length/substr.
-    Reference idioms at ``src/git-parser.ts:54-55,227-231``."""
+    Reference idioms at ``src/git-parser.ts:54-55,227-231``.
+
+    src_num is NULLIF-guarded on both engines: regexp_extract returns
+    '' (not NULL) when the source has no digits, and under ANSI
+    CAST('' AS BIGINT) is a crash, not a value — found by the r14
+    skew-corpus full-oracle sweep ('monorepo-hot' is digit-free; the
+    r13 execute-only survey missed it because count() PRUNES the
+    projection entirely). A digit-free source is in-domain input, so
+    the honest value is NULL, mirrored in the oracle."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     return docs.select(
@@ -42,7 +51,9 @@ def proj_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(toks, -1).alias("last_word"),
         F.element_at(toks, 1).alias("first_word"),
         F.upper("lang").alias("lang_uc"),
-        F.regexp_extract("source", r"([0-9]+)", 1).cast("long").alias("src_num"),
+        F.nullif(F.regexp_extract("source", r"([0-9]+)", 1), F.lit(""))
+        .cast("long")
+        .alias("src_num"),
         F.length("text").alias("text_len"),
         F.substring("text", 1, 16).alias("prefix16"),
         F.reverse("source").alias("source_rev"),
@@ -168,16 +179,20 @@ def filter_regex_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "filter_validation_quarantine",
     oracle="""
     SELECT event_id,
-           value > 90 AS v_value_high,
-           event_type = 'error' AS v_is_error,
-           NOT regexp_matches(props, '^\\{.*\\}$') AS v_bad_props,
-           CAST((CASE WHEN value > 90 THEN 1 ELSE 0 END)
-              + (CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
-              + (CASE WHEN NOT regexp_matches(props, '^\\{.*\\}$') THEN 1 ELSE 0 END)
+           COALESCE(value > 90, FALSE) AS v_value_high,
+           COALESCE(event_type = 'error', FALSE) AS v_is_error,
+           (props IS NULL OR NOT regexp_matches(props, '^\\{.*\\}$'))
+               AS v_bad_props,
+           CAST((CASE WHEN COALESCE(value > 90, FALSE) THEN 1 ELSE 0 END)
+              + (CASE WHEN COALESCE(event_type = 'error', FALSE) THEN 1 ELSE 0 END)
+              + (CASE WHEN props IS NULL
+                        OR NOT regexp_matches(props, '^\\{.*\\}$')
+                      THEN 1 ELSE 0 END)
               AS INT) AS n_violations
     FROM events
-    WHERE value > 90 OR event_type = 'error'
-       OR NOT regexp_matches(props, '^\\{.*\\}$')
+    WHERE COALESCE(value > 90, FALSE)
+       OR COALESCE(event_type = 'error', FALSE)
+       OR props IS NULL OR NOT regexp_matches(props, '^\\{.*\\}$')
     """,
 )
 def filter_validation_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -185,11 +200,19 @@ def filter_validation_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     composite checks + SURVEY §4 E12): per-row rule flags computed once,
     quarantine = any-rule-violated. The valid/invalid split is the
     distributed replacement for the reference's per-row INSERT
-    try/catch error counting (``src/database.ts:38-63``)."""
+    try/catch error counting (``src/database.ts:38-63``).
+
+    Every rule is NULL-TOTAL (r14 null-heavy full-oracle sweep): a
+    validator that emits NULL flags on dirty rows defeats itself —
+    under three-valued logic a row with NULL props scored n_violations
+    NULL and silently escaped the quarantine filter entirely. The
+    explicit semantics: a missing (NULL) props IS bad props; a missing
+    event_type is NOT an error event; a missing value is NOT
+    out-of-range. Mirrored verbatim in the oracle."""
     ev = load_table(spark, sf_dir, "events")
-    v_value = F.col("value") > 90
-    v_error = F.col("event_type") == "error"
-    v_props = ~F.col("props").rlike(r"^\{.*\}$")
+    v_value = F.coalesce(F.col("value") > 90, F.lit(False))
+    v_error = F.coalesce(F.col("event_type") == "error", F.lit(False))
+    v_props = F.col("props").isNull() | ~F.col("props").rlike(r"^\{.*\}$")
     flagged = ev.select(
         "event_id",
         v_value.alias("v_value_high"),

@@ -439,6 +439,12 @@ def quality_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("max_over_mean_ppm"),
         )
+        # no keys → no report: the oracle's rank-window derivation
+        # naturally emits zero rows over an empty table, while the
+        # global-aggregate plan here emits one all-NULL row — mirror
+        # to the oracle's (and the more useful) shape (r14 degenerate
+        # full-oracle sweep). On any non-empty table n_keys >= 1.
+        .filter(F.col("n_keys") > 0)
     )
 
 
@@ -674,10 +680,10 @@ def quality_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - (CAST(tp + fp AS DECIMAL(19,0)) * CAST(tp + fn AS DECIMAL(19,0))
                    + CAST(tn + fn AS DECIMAL(19,0)) * CAST(tn + fp AS DECIMAL(19,0)))
                AS DOUBLE)
-               / CAST(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))
+               / NULLIF(CAST(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))
                       - (CAST(tp + fp AS DECIMAL(19,0)) * CAST(tp + fn AS DECIMAL(19,0))
                          + CAST(tn + fn AS DECIMAL(19,0)) * CAST(tn + fp AS DECIMAL(19,0)))
-                  AS DOUBLE)
+                  AS DOUBLE), 0)
                AS kappa
     FROM cm
     """,
@@ -726,6 +732,10 @@ def quality_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     pe_num = (tp + fp).cast(dec) * (tp + fn).cast(dec) + (tn + fn).cast(dec) * (
         tn + fp
     ).cast(dec)
+    # NULLIF-guarded (r14 degenerate sweep): when every row lands in
+    # one class (e.g. all-NULL text → every guess and label 0),
+    # expected agreement equals 1, the denominator is 0 and kappa is
+    # UNDEFINED — NULL on both engines, not an ANSI crash.
     return cm.select(
         "n",
         "tp",
@@ -734,7 +744,10 @@ def quality_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tn",
         (
             (n.cast(dec) * (tp + tn).cast(dec) - pe_num).cast("double")
-            / (n.cast(dec) * n.cast(dec) - pe_num).cast("double")
+            / F.nullif(
+                (n.cast(dec) * n.cast(dec) - pe_num).cast("double"),
+                F.lit(0.0),
+            )
         ).alias("kappa"),
     )
 

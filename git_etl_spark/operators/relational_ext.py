@@ -252,7 +252,8 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem
     )
     SELECT n,
-           (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+           (n * sxy - sx * sy)
+               / NULLIF(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy), 0)
                AS corr_qty_price
     FROM s
     """,
@@ -275,12 +276,16 @@ def agg_corr_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    # NULLIF-guarded denominator on BOTH engines (r14 degenerate
+    # sweep): a single-row or constant-column input has zero variance,
+    # where correlation is undefined — NULL is the honest value, and
+    # ANSI makes the unguarded division a crash, not a value.
+    den = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
     return base.select(
         "n",
-        (
-            (n * sxy - sx * sy)
-            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
-        ).alias("corr_qty_price"),
+        ((n * sxy - sx * sy) / F.nullif(den, F.lit(0.0))).alias(
+            "corr_qty_price"
+        ),
     )
 
 
@@ -295,10 +300,16 @@ def agg_corr_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_string_concat_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic string aggregation: collect → sort → join (the
     order-insensitive form of LISTAGG; unsorted collect_list is
-    partition-order-dependent and never oracle-checkable)."""
+    partition-order-dependent and never oracle-checkable).
+
+    A group with NO non-null names yields NULL, matching string_agg:
+    collect_list skips NULLs and concat_ws would mint '' for the empty
+    list — fabricating a value out of absent data (r14 null-heavy
+    full-oracle sweep)."""
     nation = load_table(spark, sf_dir, "nation")
+    names = F.array_sort(F.collect_list("n_name"))
     return nation.groupBy(F.col("n_regionkey").alias("regionkey")).agg(
-        F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations")
+        F.when(F.size(names) > 0, F.concat_ws(",", names)).alias("nations")
     )
 
 
@@ -744,8 +755,9 @@ def relational_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders GROUP BY o_orderstatus
     )
     SELECT status, CAST(n AS BIGINT) AS n,
-           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope_cents_per_day,
-           (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+           (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0)
+               AS slope_cents_per_day,
+           (sy - (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0) * sx) / n
                AS intercept_cents
     FROM s
     """,
@@ -776,7 +788,14 @@ def agg_group_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sxy"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
-    slope = (n * F.col("sxy") - sx * sy) / (n * F.col("sxx") - sx * sx)
+    # NULLIF-guarded: a one-order group (or all orders on one date) has
+    # zero x-variance — the trend line is undefined there, so slope and
+    # intercept go NULL on both engines instead of an ANSI crash (r14
+    # degenerate sweep). The intercept reuses the guarded slope, so the
+    # NULL propagates consistently.
+    slope = (n * F.col("sxy") - sx * sy) / F.nullif(
+        n * F.col("sxx") - sx * sx, F.lit(0.0)
+    )
     return base.select(
         "status",
         n.cast("long").alias("n"),

@@ -59,12 +59,12 @@ def _spread_corpus(spark: SparkSession, df: DataFrame) -> DataFrame:
     "simsearch_topk_bruteforce",
     oracle=f"""
     WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
-               WHERE vec_id < {N_QUERIES}),
+               WHERE vec_id < {N_QUERIES} AND embedding IS NOT NULL),
     scored AS (
         SELECT q.q_id, e.vec_id AS neighbor_id,
                {duck_cosine('q.q_emb', 'e.embedding')} AS cos_sim
         FROM q, embeddings e
-        WHERE e.vec_id <> q.q_id
+        WHERE e.vec_id <> q.q_id AND e.embedding IS NOT NULL
     ),
     ranked AS (
         SELECT q_id, neighbor_id, cos_sim,
@@ -79,8 +79,16 @@ def _spread_corpus(spark: SparkSession, df: DataFrame) -> DataFrame:
 def simsearch_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k for a query set: broadcast the (small) query
     side, score every candidate, keep k per query via row_number.
-    Bitwise-reproducible double math (see functions/vector.py)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    Bitwise-reproducible double math (see functions/vector.py).
+
+    NULL embeddings are excluded on BOTH sides and in the oracle (r14
+    null-heavy sweep made the family uniform): a tombstoned vector is
+    neither a query nor a neighbor — without the filter the top-k pads
+    with NULL-similarity "neighbors" whenever fewer than k real
+    vectors exist, identically on both engines but meaninglessly."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
@@ -373,12 +381,12 @@ def simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "simsearch_ivf_full_probe",
     oracle=f"""
     WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
-               WHERE vec_id < {N_QUERIES}),
+               WHERE vec_id < {N_QUERIES} AND embedding IS NOT NULL),
     scored AS (
         SELECT q.q_id, e.vec_id AS neighbor_id,
                {duck_cosine('q.q_emb', 'e.embedding')} AS cos_sim
         FROM q, embeddings e
-        WHERE e.vec_id <> q.q_id
+        WHERE e.vec_id <> q.q_id AND e.embedding IS NOT NULL
     ),
     ranked AS (
         SELECT q_id, neighbor_id, cos_sim,
@@ -676,12 +684,12 @@ def pq_adc_topk(
     "simsearch_pq_full_rerank",
     oracle=f"""
     WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
-               WHERE vec_id < {N_QUERIES}),
+               WHERE vec_id < {N_QUERIES} AND embedding IS NOT NULL),
     scored AS (
         SELECT q.q_id, e.vec_id AS neighbor_id,
                {duck_cosine('q.q_emb', 'e.embedding')} AS cos_sim
         FROM q, embeddings e
-        WHERE e.vec_id <> q.q_id
+        WHERE e.vec_id <> q.q_id AND e.embedding IS NOT NULL
     ),
     ranked AS (
         SELECT q_id, neighbor_id, cos_sim,

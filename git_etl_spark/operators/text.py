@@ -139,7 +139,14 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sorted distinct token set (a bag-of-words canonical form robust
     to token order — the cheap fingerprint for X1 exact dedup at scale)."""
     docs = with_tokens(load_table(spark, sf_dir, "documents"))
-    canon = F.concat_ws(" ", F.array_sort(F.array_distinct("toks")))
+    # NULL text → NULL fingerprint, matching md5(NULL) and the oracle:
+    # concat_ws maps a NULL array to '' and would mint the md5('')
+    # fingerprint for absent content (r14 null-heavy sweep) — a
+    # tombstone must not share a dedup key with a real empty document.
+    canon = F.when(
+        F.col("text").isNotNull(),
+        F.concat_ws(" ", F.array_sort(F.array_distinct("toks"))),
+    )
     return docs.select(
         "doc_id",
         F.md5(canon).alias("fingerprint"),

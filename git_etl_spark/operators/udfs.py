@@ -43,7 +43,12 @@ def udf_pandas_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.pandas_udf(LongType())
     def n_tokens(texts: pd.Series) -> pd.Series:
-        return texts.str.split(" ").str.len().astype("int64")
+        # nullable Int64, not int64: NULL text yields NaN from
+        # .str.len(), and astype("int64") CRASHES the whole batch on
+        # it (r14 null-heavy full-oracle sweep; the r12 survey's
+        # count() had pruned this projection). Arrow maps pandas NA ->
+        # SQL NULL, matching the oracle's len(string_split(NULL)).
+        return texts.str.split(" ").str.len().astype("Int64")
 
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(

@@ -213,13 +213,20 @@ def window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "rollup_orders_year_status",
     oracle="""
-    SELECT CAST(year(o_orderdate) AS INT) AS y, o_orderstatus AS status,
-           COUNT(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
-           CAST(GROUPING(year(o_orderdate)) AS INT) AS g_year,
-           CAST(GROUPING(o_orderstatus) AS INT) AS g_status
-    FROM orders
-    GROUP BY ROLLUP (year(o_orderdate), o_orderstatus)
+    -- n <> 0 mirrors Spark: on an EMPTY input relation Spark's
+    -- rollup/cube emit NO rows while the SQL standard (and DuckDB)
+    -- emit the () grand-total row with COUNT 0; a zero-count row can
+    -- arise no other way, so the filter is an exact behavioral mirror
+    -- (r14 degenerate full-oracle sweep).
+    SELECT * FROM (
+        SELECT CAST(year(o_orderdate) AS INT) AS y, o_orderstatus AS status,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               CAST(GROUPING(year(o_orderdate)) AS INT) AS g_year,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status
+        FROM orders
+        GROUP BY ROLLUP (year(o_orderdate), o_orderstatus)
+    ) t WHERE n <> 0
     """,
 )
 def rollup_orders_year_status(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -241,9 +248,13 @@ def rollup_orders_year_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "cube_events_type_day",
     oracle="""
-    SELECT event_type, CAST(ts AS DATE) AS event_day, COUNT(*) AS n
-    FROM events
-    GROUP BY CUBE (event_type, CAST(ts AS DATE))
+    -- n <> 0: see rollup_orders_year_status — exact mirror of Spark's
+    -- no-grand-total-row-on-empty-input semantics.
+    SELECT * FROM (
+        SELECT event_type, CAST(ts AS DATE) AS event_day, COUNT(*) AS n
+        FROM events
+        GROUP BY CUBE (event_type, CAST(ts AS DATE))
+    ) t WHERE n <> 0
     """,
 )
 def cube_events_type_day(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -258,11 +269,15 @@ def cube_events_type_day(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "groupingsets_lineitem",
     oracle="""
-    SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
-           COUNT(*) AS n,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
-    FROM lineitem
-    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    -- n <> 0: see rollup_orders_year_status — exact mirror of Spark's
+    -- no-grand-total-row-on-empty-input semantics.
+    SELECT * FROM (
+        SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    ) t WHERE n <> 0
     """,
 )
 def groupingsets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:

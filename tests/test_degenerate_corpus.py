@@ -188,3 +188,52 @@ def test_pca_oracle_parity_on_empty_and_zero_vectors(
             )
         pq.write_table(t, str(zero / os.path.basename(path)))
     compare_query(spark, "embedding_pca_loading_ppm", str(zero))
+
+
+# r14 full-oracle sweeps over these same corpora (the temporal-axis
+# lesson applied retroactively: execute-only surveys miss VALUE
+# defects — count() even PRUNES a crashing projection) found and
+# fixed eight cross-engine divergence classes. One hash-checked
+# delegate per fixed class keeps each closed:
+#   empty     — grouping-sets grand-total-row mirror (n <> 0),
+#               skew report's no-keys-no-report filter
+#   one       — NULLIF-guarded zero-variance stats (corr/OLS/kappa)
+#   nullheavy — null-total validator rules, NULL-key-safe salted
+#               merge join, tombstone-proof dedup token sets +
+#               fingerprints, nullable-Int64 pandas UDF, total
+#               JSONL corruption rule, null-uniform simsearch,
+#               no-minted-'' string agg, drop-null-content audio
+DEGENERATE_ORACLED = {
+    "empty": [
+        "rollup_orders_year_status",
+        "cube_events_type_day",
+        "groupingsets_lineitem",
+        "quality_skew_report",
+    ],
+    "one": [
+        "agg_corr_price_quantity",
+        "agg_group_ols_trend",
+        "quality_cohen_kappa",
+    ],
+    "nullheavy": [
+        "filter_validation_quarantine",
+        "agg_salted_two_phase",
+        "dedup_jaccard_pairs",
+        "text_fingerprint",
+        "udf_pandas_token_count",
+        "source_jsonl_malformed_quarantine",
+        "simsearch_topk_bruteforce",
+        "agg_string_concat_sorted",
+        "multimodal_audio_silence_segments",
+    ],
+}
+
+
+@pytest.mark.parametrize(
+    "variant,name",
+    [(v, n) for v, names in DEGENERATE_ORACLED.items() for n in names],
+)
+def test_degenerate_corpus_oracle_parity(spark, degenerate_dirs, variant, name):
+    from .oracle_utils import compare_query
+
+    compare_query(spark, name, degenerate_dirs[variant])

@@ -71,13 +71,22 @@ ADVERSARIAL_XML = [
     "unicode: ümlaut — em-dash 你好",
     "CDATA-ish ]]> terminator and <![CDATA[ opener",
     "",
+    # surrounding whitespace (r14 skew-sweep finding): the XML
+    # reader's DEFAULT trims it inside element text — the query pins
+    # ignoreSurroundingSpaces=false, and these payloads keep that pin
+    # load-bearing
+    "ends with a space ",
+    " starts with one",
+    "   both sides   ",
 ]
 
 
 def test_xml_roundtrip_adversarial_entities(spark, tmp_path):
     """XML's failure mode is entity escaping: &, <, >, stray closing
-    tags, and CDATA terminators inside the text must invert exactly
-    through write+read or the md5 comparison breaks."""
+    tags, CDATA terminators — and since r14, surrounding whitespace
+    (the reader's default TRIMS it; the skew corpus's trailing-space
+    exact-dup text caught the silent normalization). All must invert
+    exactly through write+read or the md5 comparison breaks."""
     from git_etl_spark.operators.file_formats import source_xml_roundtrip
 
     sf = _write_corpus(spark, tmp_path, ADVERSARIAL_XML)
