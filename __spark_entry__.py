@@ -612,6 +612,42 @@ _FLAG_RESOLVED: dict[str, int] = {
     "dedup_ngram_jaccard": 13,
     "window_ntile_quartiles": 13,
     "events_rfm_segmentation": 13,
+    # --- r14 cohort (active through r15, expires when CORRECTNESS_r15
+    # lands) --- The 24 unpinned r14 movers from the full-oracle axis
+    # sweeps (see the _REVERIFY_FIRST audit note above). Evidence,
+    # gathered THIS round at final r14 code: every one oracle-MATCHed
+    # (rows-only members row-checked) at sf0.01 AND sf0.1 AND on the
+    # skew 2x / temporal 1x / empty / one-row / null-heavy corpora
+    # (six axis sweeps, 239/239 each), with standing hash-checked gate
+    # delegates per fixed class. Without these stamps their penalty
+    # tier displaces 4 r08 greens from the r14 budget (dry-run
+    # verified) — the stale-cohort-first contest VERDICT r13 task 1
+    # decides the other way. From r16 the dual-snapshot floor clears
+    # them automatically (their fingerprints match both r15 brackets).
+    "agg_corr_price_quantity": 14,
+    "agg_group_ols_trend": 14,
+    "agg_salted_two_phase": 14,
+    "agg_string_concat_sorted": 14,
+    "cube_events_type_day": 14,
+    "dedup_minhash_estimate_audit": 14,
+    "dedup_minhash_lsh": 14,
+    "filter_validation_quarantine": 14,
+    "groupingsets_lineitem": 14,
+    "multimodal_audio_silence_segments": 14,
+    "proj_string_ops": 14,
+    "quality_cohen_kappa": 14,
+    "quality_skew_report": 14,
+    "rollup_orders_year_status": 14,
+    "simsearch_ivf": 14,
+    "simsearch_ivf_full_probe": 14,
+    "simsearch_pq_adc": 14,
+    "simsearch_pq_full_rerank": 14,
+    "simsearch_range_cosine": 14,
+    "simsearch_topk_bruteforce": 14,
+    "source_jsonl_malformed_quarantine": 14,
+    "source_xml_roundtrip": 14,
+    "text_fingerprint": 14,
+    "udf_pandas_token_count": 14,
 }
 
 
