@@ -614,16 +614,23 @@ _FLAG_RESOLVED: dict[str, int] = {
     "events_rfm_segmentation": 13,
     # --- r14 cohort (active through r15, expires when CORRECTNESS_r15
     # lands) --- The 24 unpinned r14 movers from the full-oracle axis
-    # sweeps (see the _REVERIFY_FIRST audit note above). Evidence,
-    # gathered THIS round at final r14 code: every one oracle-MATCHed
-    # (rows-only members row-checked) at sf0.01 AND sf0.1 AND on the
-    # skew 2x / temporal 1x / empty / one-row / null-heavy corpora
-    # (six axis sweeps, 239/239 each), with standing hash-checked gate
-    # delegates per fixed class. Without these stamps their penalty
-    # tier displaces 4 r08 greens from the r14 budget (dry-run
-    # verified) — the stale-cohort-first contest VERDICT r13 task 1
-    # decides the other way. From r16 the dual-snapshot floor clears
-    # them automatically (their fingerprints match both r15 brackets).
+    # sweeps (see the _REVERIFY_FIRST audit note above), plus the 5
+    # movers of the seventh (unicode-hostility) axis's fix wave:
+    # map_from_json_pack / filter_regex_gate / source_csv_roundtrip
+    # (substantive fixes) and source_{jsonl,orc}_roundtrip (deep
+    # closure via the shared _written_copy estate-encoding helper;
+    # behavior unchanged on their paths). Evidence, gathered THIS
+    # round at final r14 code: every one oracle-MATCHed (rows-only
+    # members row-checked) at sf0.01 AND sf0.1 AND on the hostile axis
+    # corpora (seven axis sweeps, 239/239 each — skew 2x, temporal 1x,
+    # empty, one-row, null-heavy, rotated, unicode 3x), with standing
+    # hash-checked gate delegates per fixed class
+    # (test_unicode_corpus.py for the second wave). Without these
+    # stamps their penalty tier displaces r08 greens from the r14
+    # budget (dry-run verified) — the stale-cohort-first contest
+    # VERDICT r13 task 1 decides the other way. From r16 the
+    # dual-snapshot floor clears them automatically (their
+    # fingerprints match both r15 brackets).
     "agg_corr_price_quantity": 14,
     "agg_group_ols_trend": 14,
     "agg_salted_two_phase": 14,
@@ -631,8 +638,10 @@ _FLAG_RESOLVED: dict[str, int] = {
     "cube_events_type_day": 14,
     "dedup_minhash_estimate_audit": 14,
     "dedup_minhash_lsh": 14,
+    "filter_regex_gate": 14,
     "filter_validation_quarantine": 14,
     "groupingsets_lineitem": 14,
+    "map_from_json_pack": 14,
     "multimodal_audio_silence_segments": 14,
     "proj_string_ops": 14,
     "quality_cohen_kappa": 14,
@@ -644,7 +653,10 @@ _FLAG_RESOLVED: dict[str, int] = {
     "simsearch_pq_full_rerank": 14,
     "simsearch_range_cosine": 14,
     "simsearch_topk_bruteforce": 14,
+    "source_csv_roundtrip": 14,
     "source_jsonl_malformed_quarantine": 14,
+    "source_jsonl_roundtrip": 14,
+    "source_orc_roundtrip": 14,
     "source_xml_roundtrip": 14,
     "text_fingerprint": 14,
     "udf_pandas_token_count": 14,

@@ -79,23 +79,34 @@ def array_functions_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            json_keys(props)[1] AS first_key,
            CAST(len(json_keys(props)) AS INT) AS n_keys,
-           CAST(props->>'$.k' AS BIGINT) AS k_val,
-           CAST(props->>'$.k' AS BIGINT) IS NOT NULL AS has_k
+           TRY_CAST(props->>'$.k' AS BIGINT) AS k_val,
+           TRY_CAST(props->>'$.k' AS BIGINT) IS NOT NULL AS has_k
     FROM events
     """,
 )
 def map_from_json_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X6 continued: JSON → MapType with map_keys / size /
     element_at — the schema-on-read path for semi-structured props
-    (``from_json`` parses once; repeated get_json_object re-parses)."""
+    (``from_json`` parses once; repeated get_json_object re-parses).
+
+    The map parses as ``map<string,string>`` with a ``try_cast`` on
+    the one field read as a number, NOT as ``map<string,bigint>``
+    (r14 unicode-hostility full-oracle sweep): a value-typed map
+    schema nulls the ENTIRE record when any one value fails the type
+    (PERMISSIVE mode is per-record, not per-entry), so a single
+    string-valued key in a mixed-type payload erased all keys —
+    while the oracle's ``json_keys`` kept them. Schema-on-read means
+    committing only to the shape you actually read; DuckDB's
+    TRY_CAST mirrors the per-field cast."""
     ev = load_table(spark, sf_dir, "events")
-    m = F.from_json("props", "map<string,bigint>")
+    m = F.from_json("props", "map<string,string>")
+    k_val = F.element_at(m, "k").try_cast("bigint")
     return ev.select(
         "event_id",
         F.element_at(F.map_keys(m), 1).alias("first_key"),
         F.size(F.map_keys(m)).alias("n_keys"),
-        F.element_at(m, "k").alias("k_val"),
-        F.element_at(m, "k").isNotNull().alias("has_k"),
+        k_val.alias("k_val"),
+        k_val.isNotNull().alias("has_k"),
     )
 
 

@@ -16,9 +16,14 @@ export uses (one file per partition); the readers split by newline, so
 single worst scalability trap of these formats). JSON escapes embedded
 newlines as \\n, so free text with newlines round-trips splittably;
 CSV cannot (a quoted newline forces multiLine=true and kills
-splitting), so a CSV estate must escape newlines upstream — the
-adversarial fixture test covers commas/quotes/unicode for CSV and
-additionally raw newlines for JSONL.
+splitting), so a CSV estate must escape newlines upstream — since r14
+that posture is IMPLEMENTED, not just asserted: the reversible
+percent-based estate encoding below is applied by the CSV and XML
+writers and inverted by their readers, and the md5 oracle verifies
+the inversion on the unicode-hostility corpus (embedded NUL, C0/C1
+controls, \\r\\n) as well as the committed ones. The adversarial
+fixture test covers commas/quotes/unicode for CSV and additionally
+raw newlines for JSONL.
 """
 
 from __future__ import annotations
@@ -72,6 +77,52 @@ _ROUNDTRIP_ORACLE = """
     FROM documents
 """
 
+# Reversible "estate encoding" for the line/element-framed text
+# formats — the upstream escaping this module's docstring prescribes,
+# implemented and md5-verified instead of merely asserted (r14
+# unicode-hostility full-oracle sweep): CSV record framing cannot
+# carry raw \r or \n inside a splittable file (a quoted newline forces
+# multiLine=true, which serializes a whole file into one task — the
+# reader was splitting hostile docs into extra records), and XML 1.0
+# cannot represent C0 controls (except \t\n\r) or U+FFFE/U+FFFF AT
+# ALL, even as character references — the Spark XML writer
+# TASK_WRITE_FAILs on them. XML additionally line-end-normalizes raw
+# \r to \n on parse, so \r must not reach the XML body either.
+# Percent-encode exactly those characters plus '%' itself at write and
+# invert at read. Bijectivity: in encoded text every '%' starts a
+# code, codes are fixed literal strings ('%25', '%XX', '%uFFFX'), so
+# decoding the specific codes first and '%25' last can never hit a
+# spurious match. Chained JVM-side literal replaces — no regex, no
+# UDF, whole-stage-codegen friendly at 100 TB. Only the free-text
+# column is encoded; the dim-like columns (lang/source) are clean by
+# schema contract, and the gate crashes loudly if that ever changes.
+_ESTATE_CHARS = (
+    ["\r", "\n"]
+    + [chr(c) for c in range(0x00, 0x09)]  # C0 below \t (\t is legal)
+    + ["\x0b", "\x0c"]  # VT, FF
+    + [chr(c) for c in range(0x0E, 0x20)]  # C0 above \r
+    + [chr(0xFFFE), chr(0xFFFF)]  # XML non-characters
+)
+
+
+def _estate_code(ch: str) -> str:
+    cp = ord(ch)
+    return f"%u{cp:04X}" if cp > 0xFF else f"%{cp:02X}"
+
+
+def _estate_encode(col):
+    out = F.replace(col, F.lit("%"), F.lit("%25"))
+    for ch in _ESTATE_CHARS:
+        out = F.replace(out, F.lit(ch), F.lit(_estate_code(ch)))
+    return out
+
+
+def _estate_decode(col):
+    out = col
+    for ch in _ESTATE_CHARS:
+        out = F.replace(out, F.lit(_estate_code(ch)), F.lit(ch))
+    return F.replace(out, F.lit("%25"), F.lit("%"))
+
 
 def _written_copy(spark: SparkSession, sf_dir: str, fmt: str) -> str:
     key = (
@@ -88,6 +139,10 @@ def _written_copy(spark: SparkSession, sf_dir: str, fmt: str) -> str:
         docs = load_table(spark, sf_dir, "documents").select(
             "doc_id", "text", "lang", "source", "n_chars"
         )
+        if fmt in ("csv", "xml"):
+            # the estate encoding above: framing-hostile bytes leave
+            # the free-text payload before the framed writer sees them
+            docs = docs.withColumn("text", _estate_encode(F.col("text")))
         writer = docs.repartition(4).write.mode("overwrite")
         if fmt == "json":
             writer.json(path)
@@ -207,11 +262,19 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     .schema(...).csv`` with matching quote/escape options →
     md5-verified equality. The text column is the adversarial payload:
     any quoting/escaping asymmetry between writer and reader shows up
-    as a hash mismatch on text_md5."""
+    as a hash mismatch on text_md5.
+
+    The write applies the module's estate encoding and the read
+    inverts it (r14 unicode-hostility sweep: raw \\r/\\n inside quoted
+    fields split one document into multiple records under the
+    splittable reader — spark read back 1526 rows of a 1500-row
+    corpus). The estate stays newline-splittable with ``multiLine``
+    OFF, which is the whole point of the posture."""
     path = _written_copy(spark, sf_dir, "csv")
     back = spark.read.schema(_DOC_SCHEMA).options(
         header=False, quote='"', escape='"', nullValue="\\N"
     ).csv(path)
+    back = back.withColumn("text", _estate_decode(F.col("text")))
     return _roundtrip_projection(back)
 
 
@@ -232,7 +295,13 @@ def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-oracle sweep's exact-dup class, "…lazy dog ") silently
     roundtrips to a different string and the md5 check catches it.
     Real corpora end runs with whitespace all the time — a format
-    roundtrip has no business normalizing payload bytes."""
+    roundtrip has no business normalizing payload bytes.
+
+    The write applies the module's estate encoding and the read
+    inverts it (r14 unicode-hostility sweep: XML 1.0 cannot represent
+    C0 control characters at all — the writer TASK_WRITE_FAILed on a
+    corpus carrying \\x01 — and an XML parser line-end-normalizes raw
+    \\r to \\n, which would silently change payload bytes)."""
     path = _written_copy(spark, sf_dir, "xml")
     back = (
         spark.read.format("xml")
@@ -240,6 +309,7 @@ def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .schema(_DOC_SCHEMA)
         .load(path)
     )
+    back = back.withColumn("text", _estate_decode(F.col("text")))
     return _roundtrip_projection(back)
 
 

@@ -161,17 +161,25 @@ def proj_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id, lang, source
     FROM documents
-    WHERE regexp_matches(text, 'spark.*join') AND lang <> 'zh'
+    WHERE regexp_matches(text, '(?s)spark.*join') AND lang <> 'zh'
     """,
 )
 def filter_regex_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F2/S5 pattern gate (reference ``main.ts:51-73`` author probe):
     regex containment filter + negation, pattern as a parameter rather
     than the reference's hard-coded constant. Both predicates push into
-    the scan."""
+    the scan.
+
+    ``(?s)`` on BOTH engines (r14 unicode-hostility audit): without
+    it, ``.`` spans different line-terminator sets — Java excludes
+    \\n/\\r/U+2028/U+2029/NEL, RE2 only \\n — so a document with
+    'spark' and 'join' on either side of a terminator matches on one
+    engine and not the other. DOTALL makes the two ``.`` semantics
+    identical, and states the actual intent: containment anywhere in
+    the document, not within one line."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.filter(
-        F.col("text").rlike("spark.*join") & (F.col("lang") != "zh")
+        F.col("text").rlike("(?s)spark.*join") & (F.col("lang") != "zh")
     ).select("doc_id", "lang", "source")
 
 
@@ -181,18 +189,21 @@ def filter_regex_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            COALESCE(value > 90, FALSE) AS v_value_high,
            COALESCE(event_type = 'error', FALSE) AS v_is_error,
-           (props IS NULL OR NOT regexp_matches(props, '^\\{.*\\}$'))
+           (props IS NULL
+            OR NOT (starts_with(props, '{') AND ends_with(props, '}')))
                AS v_bad_props,
            CAST((CASE WHEN COALESCE(value > 90, FALSE) THEN 1 ELSE 0 END)
               + (CASE WHEN COALESCE(event_type = 'error', FALSE) THEN 1 ELSE 0 END)
               + (CASE WHEN props IS NULL
-                        OR NOT regexp_matches(props, '^\\{.*\\}$')
+                        OR NOT (starts_with(props, '{')
+                                AND ends_with(props, '}'))
                       THEN 1 ELSE 0 END)
               AS INT) AS n_violations
     FROM events
     WHERE COALESCE(value > 90, FALSE)
        OR COALESCE(event_type = 'error', FALSE)
-       OR props IS NULL OR NOT regexp_matches(props, '^\\{.*\\}$')
+       OR props IS NULL
+       OR NOT (starts_with(props, '{') AND ends_with(props, '}'))
     """,
 )
 def filter_validation_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -208,11 +219,23 @@ def filter_validation_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL and silently escaped the quarantine filter entirely. The
     explicit semantics: a missing (NULL) props IS bad props; a missing
     event_type is NOT an error event; a missing value is NOT
-    out-of-range. Mirrored verbatim in the oracle."""
+    out-of-range. Mirrored verbatim in the oracle.
+
+    The shape rule is starts_with/ends_with, NOT ``rlike '^\\{.*\\}$'``
+    (r14 unicode-hostility full-oracle sweep): regex ``.`` is
+    line-terminator-sensitive and the two engines disagree about WHICH
+    terminators — Java excludes U+2028/U+2029/NEL, RE2 excludes only
+    \\n — so a payload carrying a raw U+2028 (legal unescaped JSON,
+    and exactly what json serializers emit) was quarantined by Spark
+    and passed by DuckDB. First/last-char checks state the intended
+    rule exactly, engine-independently, and regex-free in the 100 TB
+    hot path."""
     ev = load_table(spark, sf_dir, "events")
     v_value = F.coalesce(F.col("value") > 90, F.lit(False))
     v_error = F.coalesce(F.col("event_type") == "error", F.lit(False))
-    v_props = F.col("props").isNull() | ~F.col("props").rlike(r"^\{.*\}$")
+    v_props = F.col("props").isNull() | ~(
+        F.col("props").startswith("{") & F.col("props").endswith("}")
+    )
     flagged = ev.select(
         "event_id",
         v_value.alias("v_value_high"),
