@@ -250,12 +250,16 @@ def agg_salted_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("psum").cast("double").alias("sum_value"),
     )
     # exact COUNT DISTINCT under salting: dedup (key, user) first —
-    # the dedup shuffle is itself salted by user_id's hash
+    # the dedup shuffle is itself salted by user_id's hash.
+    # count(user_id), not count(*): the distinct set keeps at most one
+    # NULL-user row per key, and COUNT(DISTINCT user_id) on the oracle
+    # side ignores NULLs — count(*) here would mint a phantom user for
+    # any key carrying untagged events (r14 ADVICE).
     distinct_users = (
         ev.select("event_type", "user_id")
         .distinct()
         .groupBy("event_type")
-        .agg(F.count("*").alias("n_users"))
+        .agg(F.count("user_id").alias("n_users"))
     )
     # NULL-SAFE merge join (r14 null-heavy full-oracle sweep): GROUP BY
     # treats NULL as a group on both engines, but a plain equi-join
@@ -621,9 +625,11 @@ def agg_frequent_itemset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     ranked AS (
         SELECT s_cents,
-               row_number() OVER (ORDER BY s_cents ASC, o_custkey ASC) AS rk,
+               row_number() OVER (ORDER BY s_cents ASC,
+                                  o_custkey ASC NULLS LAST) AS rk,
                CAST(COUNT(*) OVER () AS BIGINT) AS n
         FROM spend
+        WHERE s_cents IS NOT NULL
     ),
     sums AS (
         SELECT n,
@@ -657,12 +663,23 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket sums (agg_equidepth_histogram) with bounded error; here
     the exact single-task form doubles as its oracle."""
     orders = load_table(spark, sf_dir, "orders")
+    # unknown-spend quarantine + pinned tie-break null order (r15
+    # numeric-band null sweep): a customer whose every order price is
+    # NULL has an undefined rank position — including them in n while
+    # excluding them from both sums would make the statistic incoherent
+    # and, worse, their rank slot depends on the engine's NULL sort
+    # default (Spark NULLS FIRST asc vs DuckDB NULLS LAST), shifting
+    # every real customer's rk. Both engines drop them and pin the
+    # custkey tie-break NULLS LAST (a NULL custkey group can still
+    # carry real spend).
     spend = orders.groupBy("o_custkey").agg(
         (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
         .cast("long")
         .alias("s_cents")
+    ).where(F.col("s_cents").isNotNull())
+    w_rank = Window.orderBy(
+        F.col("s_cents").asc(), F.asc_nulls_last("o_custkey")
     )
-    w_rank = Window.orderBy(F.col("s_cents").asc(), F.col("o_custkey").asc())
     w_all = Window.partitionBy()
     ranked = spend.select(
         "s_cents",
@@ -734,6 +751,7 @@ def agg_log2_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(l_quantity AS BIGINT) AS wt,
                l_orderkey, l_linenumber
         FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
     ),
     cum AS (
         SELECT l_returnflag, price, wt,
@@ -778,7 +796,14 @@ def agg_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     one a bigger cluster can never rescue. Two range/checkpoint-based
     intermediates were measured and rejected on the way (numbers in
     PERFORMANCE.md round 11)."""
-    li = load_table(spark, sf_dir, "lineitem").select(
+    # mirrored participation filter (r15 numeric-band null sweep): a
+    # line with unknown price cannot be a median candidate and a line
+    # with unknown quantity has no defined weight — both engines drop
+    # them (the driver-side bucket locator would otherwise compare a
+    # NULL cumweight against the half-weight target and crash).
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_extendedprice").isNotNull() & F.col("l_quantity").isNotNull()
+    ).select(
         "l_returnflag",
         F.col("l_extendedprice").alias("price"),
         # DECIMAL first: (price * 100).cast(long) on a DOUBLE truncates

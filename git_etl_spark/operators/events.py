@@ -345,10 +345,13 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_gapfill_locf",
     oracle="""
-    WITH bounds AS (
+    WITH ev AS (
+        SELECT user_id, ts, value FROM events WHERE user_id IS NOT NULL
+    ),
+    bounds AS (
         SELECT user_id, date_trunc('hour', MIN(ts)) AS h0,
                date_trunc('hour', MAX(ts)) AS h1
-        FROM events GROUP BY user_id
+        FROM ev GROUP BY user_id
     ),
     spine AS (
         SELECT user_id,
@@ -358,7 +361,7 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly AS (
         SELECT user_id, date_trunc('hour', ts) AS hour_bucket,
                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS hour_value
-        FROM events GROUP BY user_id, date_trunc('hour', ts)
+        FROM ev GROUP BY user_id, date_trunc('hour', ts)
     )
     SELECT s.user_id, s.hour_bucket,
            last_value(h.hour_value IGNORE NULLS)
@@ -401,8 +404,18 @@ def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     spine-join + running-window formulation, so the interval
     equivalence is hash-checked; the null-sum edge (absent from the
     driver corpus) carries a planted-NULL pytest against the same
-    oracle SQL."""
-    ev = load_table(spark, sf_dir, "events")
+    oracle SQL.
+
+    NULL-user quarantine mirrored in both engines (r15 numeric-band
+    null sweep): a per-user spine for "unknown user" is meaningless,
+    and the two formulations disagreed incoherently on it — the
+    oracle's equi-join (NULL ≠ NULL) emitted the NULL user's spine
+    with its own hourly values UNJOINABLE, while the Spark interval
+    form dropped the user at the bounds join. Untagged events don't
+    gap-fill."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
     hourly = ev.groupBy(
         "user_id", trunc_hour_ntz("ts").alias("hour_bucket")
     ).agg(dsum("value").alias("hour_value"))

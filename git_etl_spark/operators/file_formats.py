@@ -358,25 +358,31 @@ def source_jsonl_malformed_quarantine(spark: SparkSession, sf_dir: str) -> DataF
         docs = load_table(spark, sf_dir, "documents").select(
             "doc_id", "text", "lang", "source", "n_chars"
         )
-        line = F.to_json(F.struct("doc_id", "lang", "source", "n_chars", "text"))
+        # lang serializes FIRST: the audit regex recovers each broken
+        # record's lang from the wreckage, so the lang field must
+        # always survive the truncation. With doc_id first, a 19+
+        # digit doc_id pushed lang's closing quote past the 40-char
+        # cut and the corrupt row silently fell into the NULL-lang
+        # group while the oracle counted its true lang (r14 ADVICE).
+        line = F.to_json(F.struct("lang", "doc_id", "source", "n_chars", "text"))
+        # cut point: ≥40 chars, but never before lang's closing quote
+        # ({"lang":" is 9 bytes, value, quote at len(lang)+10 — the
+        # greatest() guard makes the rule total for ANY lang length;
+        # greatest skips the NULL arm when lang is NULL, where to_json
+        # omits the field and regex no-match → NULL group is correct),
+        # and always ≤ length-1 so the closing brace is severed and
+        # the line is undeniably invalid JSON. A NULL-text row
+        # serializes to ~26 chars (to_json omits null fields), where a
+        # flat 40-char cap was a NO-OP and the "corrupt" line stayed
+        # valid — the r14 null-heavy full-oracle sweep caught the rule
+        # silently not firing; length-1 keeps it total.
+        cut = F.least(
+            F.greatest(F.lit(40), F.length(F.col("lang")) + F.lit(10)),
+            F.length(line) - F.lit(1),
+        )
         broken = F.when(
             F.col("doc_id") % CORRUPT_MOD == 0,
-            # truncate mid-record: undeniably invalid JSON, lang field
-            # still present in the wreckage for the audit regex.
-            # least(40, length-1) rather than a flat 40: a NULL-text
-            # row serializes to ~26 chars (to_json omits null fields),
-            # where a 40-char cap is a NO-OP and the "corrupt" line
-            # stays valid JSON — the r14 null-heavy full-oracle sweep
-            # caught the rule silently not firing. Dropping at least
-            # the final byte always severs the closing brace, so the
-            # corruption rule is total; lines longer than 41 chars
-            # (every committed corpus) truncate at exactly 40 as
-            # before, bit-identical wreckage.
-            F.expr(
-                "substring(to_json(struct(doc_id, lang, source, n_chars,"
-                " text)), 1, least(40, length(to_json(struct(doc_id, lang,"
-                " source, n_chars, text))) - 1))"
-            ),
+            line.substr(F.lit(1), cut),
         ).otherwise(line)
         docs.select(broken.alias("value")).write.mode("overwrite").text(path)
         if memo_disabled():

@@ -70,9 +70,19 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         return memoized
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
+    # NULL-endpoint quarantine, mirrored in the ppm oracle (r15
+    # numeric-band null sweep): an edge with an unknown endpoint is
+    # not an edge — unfiltered, concat('c', NULL) minted a NULL node
+    # that the iteration's equi-joins treated asymmetrically (it
+    # received contributions through groupBy(dst) but never emitted
+    # any through join(src)), producing an engine-dependent rank.
     pairs = (
-        li.filter(F.col("l_quantity") >= 40)  # high-volume trades only
+        li.filter(
+            (F.col("l_quantity") >= 40)  # high-volume trades only
+            & F.col("l_suppkey").isNotNull()
+        )
         .join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("o_custkey").isNotNull())
         .select(
             F.concat(F.lit("c"), F.col("o_custkey")).alias("cust"),
             F.concat(F.lit("s"), F.col("l_suppkey")).alias("supp"),
@@ -138,6 +148,7 @@ WITH RECURSIVE pairs AS MATERIALIZED (
     SELECT DISTINCT 'c' || o_custkey AS cust, 's' || l_suppkey AS supp
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE l_quantity >= 40
+      AND o_custkey IS NOT NULL AND l_suppkey IS NOT NULL
 ),
 edges AS MATERIALIZED (
     SELECT cust AS src, supp AS dst FROM pairs

@@ -658,7 +658,8 @@ SELECT p.p_partkey, p.p_brand,
            AS price_cents,
        CAST(p.p_size AS BIGINT) AS size
 FROM part p
-WHERE NOT EXISTS (
+WHERE p.p_retailprice IS NOT NULL AND p.p_size IS NOT NULL
+  AND NOT EXISTS (
     SELECT 1 FROM part q
     WHERE CAST(CAST(q.p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
               <= CAST(CAST(p.p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
@@ -715,8 +716,17 @@ def relational_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ties: equal (price, size) pairs don't dominate each other (no
     strict inequality), so the filter keeps the whole tie group —
     `min_sz_eq == size` keeps exactly the rows minimal in their price
-    class that aren't beaten by a cheaper class."""
-    part = load_table(spark, sf_dir, "part")
+    class that aren't beaten by a cheaper class.
+
+    NULL-dimension quarantine mirrored in the oracle (r15 numeric-band
+    null sweep): a part with unknown price or size is incomparable
+    under the dominance order — the bare NOT EXISTS form vacuously
+    admits every such row (no comparison is ever TRUE against it)
+    while the window form silently drops them; both engines now
+    restrict the skyline to fully-known rows."""
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_retailprice").isNotNull() & F.col("p_size").isNotNull()
+    )
     parts = part.select(
         "p_partkey",
         "p_brand",

@@ -454,6 +454,7 @@ def tpch_q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                MAX(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
                         THEN 1 ELSE 0 END) AS late
         FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_suppkey IS NOT NULL
         GROUP BY l.l_orderkey, l.l_suppkey
     )
     SELECT s.s_name AS supp_name, COUNT(*) AS numwait
@@ -489,8 +490,20 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregations in a single post-shuffle stage (measured 1.67 s
     semi+anti → 1.77 s window sort → this form at sf0.1; the window
     variant loses to its per-partition sort). The oracle keeps the
-    EXISTS formulation, so the decorrelation itself is hash-checked."""
-    li = load_table(spark, sf_dir, "lineitem")
+    EXISTS formulation, so the decorrelation itself is hash-checked.
+
+    NULL l_suppkey groups are excluded EXPLICITLY on both engines (r15
+    numeric-band null sweep): under the oracle's ``<>`` three-valued
+    logic a NULL-supplier line group can never satisfy either EXISTS
+    predicate — it is invisible to the correlation — but the
+    decorrelated counts n_supp/n_late were counting it, so an order
+    whose second late "supplier" was unknown wrongly suppressed the
+    real sole-late supplier. The WHERE is provably equivalent for the
+    oracle (NULL <> x is never TRUE) and makes the two formulations
+    count the same universe."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_suppkey").isNotNull()
+    )
     o = load_table(spark, sf_dir, "orders")
     late_line = F.when(
         F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"),

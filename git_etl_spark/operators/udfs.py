@@ -79,8 +79,19 @@ def udf_grouped_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def running(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"])
-        cents = (pdf["value"] * 100).round().astype("int64")
-        pdf["running_value"] = cents.cumsum() / 100.0
+        # SQL window-SUM null semantics, exactly (r15 numeric-band
+        # null sweep; the plain astype("int64") crashed the batch on
+        # the first NaN): a NULL value contributes nothing but the
+        # running total carries forward, and rows BEFORE the first
+        # non-null value are SQL NULL — nullable Float64 is
+        # load-bearing, since plain float64's NaN crosses Arrow as
+        # NaN, not NULL, and the oracle hash would diverge.
+        vals = pdf["value"]
+        cents = (vals * 100).round().fillna(0).astype("int64")
+        seen = vals.notna().cumsum() > 0
+        pdf["running_value"] = (
+            (cents.cumsum() / 100.0).astype("Float64").where(seen)
+        )
         return pdf[["event_id", "user_id", "running_value"]]
 
     ev = load_table(spark, sf_dir, "events").select(

@@ -150,7 +150,8 @@ def window_moving_7day_count(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MAX(c_acctbal) AS DOUBLE) AS max_bal
     FROM (
         SELECT c_acctbal,
-               NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+               NTILE(4) OVER (ORDER BY c_acctbal NULLS LAST, c_custkey)
+                   AS quartile
         FROM customer
     ) GROUP BY quartile
     """,
@@ -160,9 +161,15 @@ def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     result is immediately re-aggregated; the 100 TB shape is
     ``functions.ranking.global_ntile`` when exact tiles are required
     — crossover ~1M rows at 32 cores — or percentile_approx when
-    approximate cut points suffice, see agg_percentiles_approx)."""
+    approximate cut points suffice, see agg_percentiles_approx).
+
+    NULLS LAST pinned on BOTH engines: Spark's ascending default is
+    NULLS FIRST, DuckDB's is NULLS LAST, so an unpinned sort sends
+    NULL balances to opposite ends of the tile axis (r15 numeric-band
+    null sweep — every unpinned cross-engine window ORDER BY over a
+    nullable column is this defect class)."""
     cust = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
+    w = Window.orderBy(F.asc_nulls_last("c_acctbal"), "c_custkey")
     return (
         cust.select(
             "c_acctbal", F.ntile(4).over(w).alias("quartile")
@@ -374,7 +381,8 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
            percent_rank() OVER w AS pct_rank,
            cume_dist() OVER w AS cume
     FROM customer
-    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal NULLS LAST, c_custkey)
     """,
 )
 def window_distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -382,9 +390,14 @@ def window_distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame
     every customer's balance within its market segment. The custkey
     tie-break makes every rank (and thus both ratios of exact
     integers) unique and bit-deterministic across engines. One shuffle
-    on the segment key serves both functions."""
+    on the segment key serves both functions. NULLS LAST pinned on
+    both engines (r15 numeric-band null sweep: Spark defaults NULLS
+    FIRST ascending, DuckDB NULLS LAST — unpinned, a NULL balance gets
+    pct_rank 0 on one engine and ~1 on the other)."""
     c = load_table(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.asc_nulls_last("c_acctbal"), "c_custkey"
+    )
     return c.select(
         F.col("c_mktsegment").alias("segment"),
         F.col("c_custkey").alias("custkey"),

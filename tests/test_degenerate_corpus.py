@@ -95,9 +95,68 @@ NULL_SENSITIVE = [
 ]
 
 
+# row identity survives nullheavy: primary/composite-key columns stay
+# intact so the corpus stresses NULL *values* and NULL *foreign/metric*
+# keys, not row-identity garbage-in
+_PK_COLS = {
+    "r_regionkey", "n_nationkey", "c_custkey", "s_suppkey",
+    "p_partkey", "o_orderkey", "l_orderkey", "l_linenumber",
+    "event_id", "doc_id",
+}
+
+
+def build_nullheavy_corpus(src: str, dest: str) -> None:
+    """All string/binary/list columns NULL; non-key numeric columns
+    band-nulled on every 3rd row. Shared by the standing gate fixture
+    and the full-registry sweep scripts so both see the same corpus."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    os.makedirs(dest, exist_ok=True)
+    for path in glob.glob(os.path.join(src, "*.parquet")):
+        t = pq.read_table(path)
+        n = len(t)
+        # r14 ADVICE: the original builder nulled only string/binary/
+        # list columns, so NULL user_id / NULL value shapes were never
+        # gate-covered despite queries claiming NULL-key safety. Band-
+        # null (every 3rd row) the non-key numeric columns: total
+        # nulling would erase every group/join key, a band keeps the
+        # queries meaningful while forcing the NULL arm of each
+        # aggregate/join through both engines.
+        band = pa.array([i % 3 == 2 for i in range(n)])
+        cols = []
+        for field in t.schema:
+            if (
+                pa.types.is_string(field.type)
+                or pa.types.is_large_string(field.type)
+                or pa.types.is_binary(field.type)
+                or pa.types.is_list(field.type)
+                or pa.types.is_large_list(field.type)
+            ):
+                cols.append(pa.nulls(n, field.type))
+            elif (
+                pa.types.is_integer(field.type)
+                or pa.types.is_floating(field.type)
+                or pa.types.is_decimal(field.type)
+            ) and field.name not in _PK_COLS:
+                cols.append(
+                    pc.if_else(
+                        band,
+                        pa.nulls(n, field.type),
+                        t.column(field.name).combine_chunks(),
+                    )
+                )
+            else:
+                cols.append(t.column(field.name).combine_chunks())
+        pq.write_table(
+            pa.table(cols, schema=t.schema),
+            os.path.join(dest, os.path.basename(path)),
+        )
+
+
 @pytest.fixture(scope="session")
 def degenerate_dirs(tmp_path_factory):
-    import pyarrow as pa
     import pyarrow.parquet as pq
 
     root = tmp_path_factory.mktemp("degenerate")
@@ -112,25 +171,7 @@ def degenerate_dirs(tmp_path_factory):
             )
         dirs[variant] = str(out)
     out = root / "nullheavy"
-    out.mkdir()
-    for path in glob.glob(os.path.join(SF_SMOKE, "*.parquet")):
-        t = pq.read_table(path)
-        cols = []
-        for field in t.schema:
-            if (
-                pa.types.is_string(field.type)
-                or pa.types.is_large_string(field.type)
-                or pa.types.is_binary(field.type)
-                or pa.types.is_list(field.type)
-                or pa.types.is_large_list(field.type)
-            ):
-                cols.append(pa.nulls(len(t), field.type))
-            else:
-                cols.append(t.column(field.name).combine_chunks())
-        pq.write_table(
-            pa.table(cols, schema=t.schema),
-            str(out / os.path.basename(path)),
-        )
+    build_nullheavy_corpus(SF_SMOKE, str(out))
     dirs["nullheavy"] = str(out)
     return dirs
 
@@ -225,6 +266,22 @@ DEGENERATE_ORACLED = {
         "simsearch_topk_bruteforce",
         "agg_string_concat_sorted",
         "multimodal_audio_silence_segments",
+        # r15 numeric-band extension (ADVICE r14): NULL user_id/value/
+        # price/quantity/FK shapes. Nine fixed classes, one delegate
+        # each: unpinned window-ORDER-BY null ends (Spark NULLS FIRST
+        # vs DuckDB NULLS LAST), mirrored incomparable-row quarantines
+        # (unknown spend / price / user / edge endpoint / dimension /
+        # supplier), pandas cumsum NaN crash + nullable-Float64
+        # leading-NULL semantics.
+        "window_ntile_quartiles",
+        "window_distribution_functions",
+        "agg_gini_concentration",
+        "agg_weighted_median_price",
+        "events_gapfill_locf",
+        "graph_pagerank_ppm",
+        "relational_skyline_2d",
+        "tpch_q21_waiting_suppliers",
+        "udf_grouped_running_value",
     ],
 }
 
