@@ -282,243 +282,50 @@ def _changed_since_green(
 # driver row clears it: an entry drops out of the front-load once the
 # query has a green in round >= that value, so the dict is a
 # self-emptying audit trail rather than a growing pin list.
+#
+# Cleared cohorts (r11–r14) are PRUNED once inert, per VERDICT r14
+# task 5 — each cohort's full slot-arithmetic rationale lives in this
+# file's git history at the round that added it (duplicate-literal-key
+# shadowing is now impossible: tests/test_fingerprints.py asserts the
+# dict literal has no repeated keys via an AST walk).
 _REVERIFY_FIRST: dict[str, int] = {
-    # --- round-11 cohort (all cleared by r11 rows; kept for audit —
-    # rationale in git history of this file) ---
-    "embedding_pca_loading_ppm": 11,
-    "embedding_pca_top_component": 11,
-    "simsearch_lsh_bucketed": 11,
-    "simsearch_topk_bruteforce": 11,
-    "simsearch_range_cosine": 11,
-    "simsearch_ann_ml_lsh": 11,
-    "multimodal_decode_features": 11,
-    "dedup_cross_source_duplicates": 11,
-    # --- round-12 cohort ---
-    # VERDICT r11 task 3: r11 rewrites whose r11 greens were recorded
-    # DURING the round, so the green may predate the rewrite (the fine
-    # tier flags them, but the explicit listing makes the front-load
-    # deterministic and auditable, per the r10/r11 precedent).
-    "events_max_concurrency": 12,
-    "text_repetition_metrics": 12,
-    "proj_json_extract": 12,
-    "pipeline_curriculum_order": 12,
-    "pipeline_mixture_sampling": 12,
-    "dedup_keep_longest_per_group": 12,
-    # ADVICE r11 fixes landed this round: the weighted median's cents
-    # derivation went decimal-exact, and _replay_source's memo key
-    # gained the partition count — the helper edit moves every
-    # streaming replay's DEEP fingerprint, but the replays' r10/r11
-    # greens compare against pre-r11 SHALLOW as-of files, so the fine
-    # tier cannot flag attribution/hourly/session (their own source is
-    # unchanged). Every query whose live fingerprint moved in r12 gets
-    # an explicit slot.
-    "agg_weighted_median_price": 12,
-    "streaming_attribution_replay": 12,
-    "streaming_dedup_replay": 12,
-    "streaming_foreachbatch_upsert_replay": 12,
-    "streaming_hourly_agg_replay": 12,
-    "streaming_session_window_replay": 12,
-    "streaming_stateful_counts_replay": 12,
-    # --- round-13 cohort ---
-    # The r12 deferred dot()-contract fix (functions/vector.py: loud
-    # partial-NULL/length-mismatch enforcement on BOTH engines)
-    # changed these five queries' ORACLE strings (duck_dot/duck_cosine
-    # gained the guard) and their Spark plans (one when+coalesce wrap)
-    # — the only r13 edits that touch any query's own
-    # definition/oracle (shallow movers). All five — plus their three
-    # rows-only siblings (simsearch_ivf, simsearch_pq_adc,
-    # simsearch_ann_ml_lsh, whose exact twins are listed here) and
-    # dedup_embedding_cosine_pairs (own kernel, listed for the family
-    # audit) — were oracle-MATCHed / rows-checked locally at sf0.01
-    # AND sf0.1 after the edit. Slot arithmetic: 1 auto-fronting r06
-    # green + the 44-green r07 staleness cohort + these 5 = exactly
-    # the driver's 50-row budget; fronting the rows-only trio too
-    # would displace three r07 greens for the WEAKER check form, the
-    # wrong trade (their hash-oracled twins are the evidence carrier,
-    # per the standing rows-only contract).
-    "simsearch_topk_bruteforce": 13,
-    "simsearch_lsh_bucketed": 13,
-    "simsearch_ivf_full_probe": 13,
-    "simsearch_pq_full_rerank": 13,
-    "simsearch_range_cosine": 13,
-    # --- round-14 cohort (VERDICT r13 task 1) ---
-    # The r13 substantive edits whose consumers did NOT get r13 driver
-    # rows (r13's budget went to the dot()-oracle movers + the r07
-    # staleness cohort, trade documented above). Two families:
-    # (a) the token-set Jaccard candidate-scheme auto-selection
-    # (deletion keys → PPJoin prefix keys past d=2, dedup.py:330-420)
-    # — the three direct movers plus the two runtime consumers the
-    # fingerprint closure cannot see, plus dedup_embedding_cosine_pairs
-    # (own kernel, audit-listed with the dot() family);
-    # (b) the RIFF/AVI decode branch (avi_codec.py) — the four
-    # multimodal deep movers. All ten were oracle-MATCHed / rows-
-    # checked locally at sf0.01 AND sf0.1 on final r13 HEAD (results
-    # bit-identical on the committed corpora — derived d stays 1, no
-    # AVI payloads in corpus), and the r13 judge's independent 239/239
-    # DuckDB re-run at final r13 HEAD covers them; the driver row is
-    # the remaining evidence form, ordered by VERDICT r13 task 1
-    # ("green rows for every r13-edited query"). Slot arithmetic for
-    # the full r14 cohort (including the streaming_session_window_
-    # replay pin added below): see the note on that entry — 10
-    # non-r08 pins + 39 r08 + 1 flagged r12 = exactly 50, and no
-    # green older than r09 survives the round (task 1's criterion).
-    "dedup_jaccard_pairs": 14,
-    "dedup_cluster_components": 14,
-    "dedup_incremental_index_join": 14,
-    "graph_components_large_star": 14,
-    "pipeline_leakage_safe_split": 14,
-    "dedup_embedding_cosine_pairs": 14,
-    "multimodal_decode_features": 14,
-    "multimodal_frame_sample": 14,
-    "multimodal_audio_features": 14,
-    "multimodal_jpeg_features": 14,
-    # r14's own survey fix (temporal axis): the session-window replay
-    # gained a pre-epoch quarantine in BOTH the streaming transform and
-    # its oracle (streaming/events_stream.sessionized — engine's
-    # watermark lattice bottoms at epoch 0 and silently dropped
-    # fully-pre-epoch sessions). Oracle-MATCHed after the edit on the
-    # hostile 1× corpus AND sf0.01 AND sf0.1 (bit-identical on the
-    # committed corpora — they contain no pre-epoch events); the
-    # standing gate test_temporal_corpus.py re-proves it each run.
-    # Slot arithmetic including this pin (dry-run verified): 11 pins
-    # of which graph_components_large_star is itself an r08 green →
-    # 10 non-r08 pins + all 39 r08 greens + 1 penalty-flagged r12
-    # green = exactly the driver's 50-row budget, no r08 displaced.
-    "streaming_session_window_replay": 14,
-    # NOT listed: the six r14 docstring-only movers (functions/
-    # vector.py dot() contract wording, ADVICE r13 — zero bytecode
-    # change): simsearch_{range_cosine,topk_bruteforce,ivf_full_probe,
-    # pq_full_rerank} carry r13 hash greens recorded AFTER the r13
-    # behavior edit, and the rows-only pair (simsearch_ivf,
-    # simsearch_pq_adc) follows the standing rows-only contract (hash-
-    # oracled twins are the evidence carrier). All six re-verified
-    # locally at sf0.01 AND sf0.1 after the docstring edit this round
-    # (PERFORMANCE.md round 14); fronting them would displace r08
-    # greens for a comment-only change — the wrong trade.
-    #
-    # NOT listed: the 24 unpinned movers from the r14 full-oracle
-    # sweeps over the axis corpora (PERFORMANCE.md round 14 —
-    # "degenerate-value defects"): the zero-variance stats trio
-    # (agg_corr_price_quantity, agg_group_ols_trend,
-    # quality_cohen_kappa), the null-total validator
-    # (filter_validation_quarantine), the NULL-key-safe salted merge
-    # (agg_salted_two_phase), the tombstone-proof token-set family
-    # (dedup_{jaccard_pairs*,cluster_components*,minhash_lsh,
-    # minhash_estimate_audit,incremental_index_join*} — *already
-    # pinned above), text_fingerprint, udf_pandas_token_count, the
-    # grouping-sets empty-input mirrors (rollup/cube/groupingsets,
-    # quality_skew_report), the uniform null-embedding simsearch
-    # family (topk_bruteforce, ivf_full_probe, pq_full_rerank +
-    # rows-only ivf/pq_adc/range_cosine), agg_string_concat_sorted,
-    # multimodal_audio_silence_segments,
-    # source_jsonl_malformed_quarantine, proj_string_ops,
-    # source_xml_roundtrip. EVERY ONE was oracle-MATCHed (rows-only:
-    # row-checked) locally at sf0.01 AND sf0.1 after the edits, plus
-    # on the skew 2x, temporal 1x, empty, one-row, and null-heavy
-    # corpora (all six axis sweeps close 239/239 this round), and each
-    # fixed class has a standing hash-checked gate delegate
-    # (test_degenerate_corpus.py DEGENERATE_ORACLED,
-    # test_skew_corpus.py SKEW_ORACLED). Committed-corpus results are
-    # bit-identical for all (the shapes the fixes touch — NULL keys,
-    # NULL text/embeddings, empty inputs, zero variance, digit-free
-    # sources, sub-41-char JSON lines — do not occur there), EXCEPT
-    # nothing: all 21 oracled movers re-MATCHed on the committed
-    # corpora directly. Fronting 24 movers would displace most of the
-    # r08 staleness cohort for queries already six-ways value-proven —
-    # the wrong trade; the dual-snapshot floor re-flags them at r15
-    # and the penalty tier rotates them in right behind the r09
-    # cohort.
-    # Also NOT listed: the r13 RIFF/AVI video decode (avi_codec.py —
-    # closes the last multimodal loud gap for DIB/MJPG frames). Four
-    # deep movers (multimodal_{decode_features,frame_sample,
-    # audio_features,jpeg_features}; audio/jpeg also shallow via
-    # docstring-only own-source edits): the new branch triggers ONLY
-    # on RIFF-AVI payloads, which the committed corpora do not
-    # contain — all four oracle-MATCHed at sf0.01 AND sf0.1 after the
-    # edit, results bit-identical, and the real path is pytest-proven
-    # end-to-end (test_avi_codec.py round-trips + the mapInPandas
-    # helper integration).
-    #
-    # Also NOT listed: the token-set Jaccard family's r13
-    # candidate-scheme auto-selection (deletion neighborhood → prefix
-    # keys past d=2, the extreme-key-skew survey fix). Three deep
-    # movers (dedup_jaccard_pairs, dedup_cluster_components,
-    # dedup_incremental_index_join — the last also shallow) plus the
-    # two runtime consumers the closure cannot see
-    # (graph_components_large_star, pipeline_leakage_safe_split): all
-    # five oracle-MATCHed at sf0.01 AND sf0.1 after the edit — on the
-    # committed corpora the derived d stays 1, so the deletion branch
-    # still runs and only the lossless length filter joined the plan;
-    # the prefix branch is proven by scheme-equivalence and
-    # oracle-parity tests (test_deletion_distance.py) and the skew
-    # gate (test_skew_corpus.py). Fronting them would displace r07
-    # greens for queries whose committed-corpus results are
-    # bit-identical — the wrong trade.
-    #
-    # NOT listed, deliberately: 243/246 deep fingerprints moved in r13
-    # from the io.py ADVICE fixes alone (ANSI pin memoized per
-    # session, fingerprint empty-dir visibility + ENOENT-vs-OSError —
-    # load_table/dataset_fingerprint sit in nearly every query's
-    # helper closure). A UNIVERSAL helper move carries zero ordering
-    # information (it flags everything identically), so per the
-    # standing discipline it is proven by sweep, not rotation: the
-    # full 239-oracle parity run at sf0.01 plus the closing sf0.1
-    # sweep, both at final r13 HEAD. The selectivity floor added this
-    # round in _fp_changed_since_green (VERDICT r12 task 3) makes
-    # exactly this situation self-healing from r14 on: a query whose
-    # live fingerprint matches the CURRENT round-start snapshot no
-    # longer flags, so a universal move stops echoing through every
-    # later round's ordering.
-    # NOT listed, deliberately: 20 more queries' deep fingerprints
-    # moved in r12 from the memo-bypass gating alone (VERDICT r11 task
-    # 4) — dedup pair/cluster consumers, both pageranks,
-    # join_bucketed_colocated, the IVF/PQ simsearch quartet, the six
-    # source_* round-trips, text_bpe_merges. All 27 movers (these 20
-    # plus the 7 fronted above) were hash-verified locally at sf0.01
-    # AND sf0.1 this round (PERFORMANCE.md round 12).
-    #
-    # Also NOT listed: the 5 degenerate-corpus fixes landed later in
-    # r12 (agg_price_histogram, the PCA pair, simsearch_ann_ml_lsh,
-    # source_partitioned_pruned_read — empty/single-row guards, see
-    # tests/test_degenerate_corpus.py). Each was oracle-MATCHed at
-    # sf0.01 AND sf0.1 after the edit (rows-only members via their
-    # executing twins), results bit-identical on non-degenerate data;
-    # source_partitioned_pruned_read additionally sits in the r12
-    # first-50 by staleness. Fronting the other four would displace
-    # age-6 greens from the driver's 50-row budget — same trade, same
-    # resolution: local two-scale proof now, penalty-accelerated
-    # rotation next rounds.
-    #
-    # Likewise the 9 null-heavy-corpus fixes (the six media decode
-    # pipelines + their oracles gained a matching drop-null-content
-    # filter, simsearch_ann_ml_lsh, udtf_doc_chunks): each
-    # oracle-MATCHed at sf0.01 AND sf0.1 after the edit, results
-    # bit-identical on the null-free committed corpora, standing
-    # delegates in tests/test_degenerate_corpus.py. The second review
-    # wave (PCA oracle degenerate guards, _nonnull_docs helper fold)
-    # re-MATCHed the same set plus embedding_pca_loading_ppm at both
-    # scales, with the empty/zero-vector differential now ALSO a
-    # pytest (test_pca_oracle_parity_on_empty_and_zero_vectors).
-    #
-    # Slot arithmetic, r12: the front (13) + the fine-flagged edits
-    # entering by penalty + the 35 age-6 greens = 51 candidates for
-    # the driver's exactly-50 budget, so ONE misses. The ordering's
-    # cost tie-break makes that multimodal_ahash_dup_candidates
-    # (position 51): deliberate and evidence-maximizing — it is the
-    # only r06 green that was ALSO re-verified locally this round
-    # (two-scale oracle MATCH, twice, plus a standing null-gate
-    # delegate), whereas the untouched r06 greens that keep slots
-    # have no r12 evidence except the driver row they're about to
-    # get. As the sole oldest green it auto-fronts in r13. That edit is a
-    # measurement knob that is a no-op on the default path (flag off →
-    # identical code), each touched module had a consumer
-    # oracle-MATCHed locally before commit, and fronting all 20 would
-    # displace as many age-6 greens from the driver's 50-row budget —
-    # the opposite trade from VERDICT r11 task 1. They re-hash-check
-    # through the staleness rotation (all are r07–r11 greens, so
-    # within ~3 rounds), and any green recorded from r12 on compares
-    # deep-vs-deep, making future helper edits visible to the fine
-    # tier automatically.
+    # --- round-15 cohort (ADVICE r14 fixes; each verified locally at
+    # sf0.001 AND sf0.01 oracle-MATCH immediately after the edit) ---
+    # (a) agg_salted_two_phase: n_users now count(user_id), not
+    # count('*'), over the distinct (key, user) set — NULL user_id no
+    # longer mints a phantom user (divergence shape now gate-covered
+    # by the numeric-band nullheavy corpus, test_degenerate_corpus.py).
+    # (b) source_jsonl_malformed_quarantine: lang serializes first in
+    # the corrupt-line struct and the cut point derives from lang's
+    # length, so a 19+-digit doc_id can no longer push the lang field
+    # past the truncation and land the corrupt row in the wrong group.
+    "agg_salted_two_phase": 15,
+    "source_jsonl_malformed_quarantine": 15,
+    # --- r15 numeric-band null sweep fix wave --- The ADVICE-directed
+    # nullheavy-builder extension (band-null non-key numeric columns,
+    # tests/test_degenerate_corpus.py) surfaced nine cross-engine
+    # divergence classes; each fixed with the change mirrored in both
+    # engines and oracle-MATCHed on the hostile corpus AND sf0.001 AND
+    # sf0.01 immediately after the edit, with standing gate delegates
+    # in DEGENERATE_ORACLED["nullheavy"]. Classes: unpinned window
+    # ORDER BY null-end divergence (Spark NULLS FIRST vs DuckDB NULLS
+    # LAST — ntile, percent_rank/cume_dist, gini rank), mirrored
+    # quarantines for semantically-incomparable NULL rows (gini
+    # unknown-spend, weighted-median unknown price/weight, gapfill
+    # NULL user, pagerank NULL edge endpoint, skyline NULL dimension,
+    # q21 NULL supplier groups visible to the decorrelated counts but
+    # invisible to the oracle's <>-based EXISTS), and the grouped-map
+    # pandas cumsum crashing on NaN / needing nullable Float64 for
+    # SQL window-SUM leading-NULL semantics.
+    "window_ntile_quartiles": 15,
+    "window_distribution_functions": 15,
+    "agg_gini_concentration": 15,
+    "agg_weighted_median_price": 15,
+    "events_gapfill_locf": 15,
+    "graph_pagerank_ppm": 15,
+    "relational_skyline_2d": 15,
+    "tpch_q21_waiting_suppliers": 15,
+    "udf_grouped_running_value": 15,
 }
 
 # A fine-flag (definition fingerprint drifted since the green's as-of
@@ -575,65 +382,33 @@ _FLAG_PENALTY = 3
 # a later edit (that edit's round records a new CORRECTNESS file
 # first, expiring every older stamp).
 _FLAG_RESOLVED: dict[str, int] = {
-    # --- r12 cohort (expired when CORRECTNESS_r13 landed; audit) ---
-    # graph_pagerank_bipartite / udtf_doc_chunks / multimodal_image_
-    # ahash carried r12 stamps too — superseded by their r13 stamps
-    # below (one key per query; the expired stamp lives in git
-    # history). dedup_cluster_components / dedup_embedding_cosine_
-    # pairs / multimodal_{frame_sample,audio_features} moved to
-    # _REVERIFY_FIRST r14 pins instead (they are r13-substantive
-    # movers owed full driver rows).
-    # --- r13 cohort (active during r14, expires when CORRECTNESS_r14
-    # lands) --- The r14 dual-snapshot floor correctly re-surfaces
-    # every flag whose green predates a MID-r13 edit (the io.py
-    # universal helper move sits in nearly every deep closure).
-    # Evidence these fourteen are value-proven at final r13 HEAD, the
-    # exact code their live fingerprints still match: the committed
-    # r13 closing sweep (scripts/sweep_parity.py, 239/239 at sf0.1)
-    # plus the r13 judge's independent fresh-process contract re-run
-    # (239 MATCH / 0 MISMATCH / 7 declared rows-only at sf0.01,
-    # VERDICT r13) — two scales, final r13 HEAD. Without these
-    # entries their penalty tier displaces 9 of the 39 r08 greens
-    # from the exactly-50 budget, recreating the starvation VERDICT
-    # r13 task 1 forbids ("no green older than r09 remains"). The
-    # r13-SUBSTANTIVE movers are deliberately NOT here — they are
-    # fronted in _REVERIFY_FIRST above for full driver rows.
-    "graph_pagerank_bipartite": 13,
-    "udtf_doc_chunks": 13,
-    "multimodal_image_ahash": 13,
-    "text_bpe_merges": 13,
-    "text_surprisal_deciles": 13,
-    "agg_gini_concentration": 13,
-    "text_rake_keywords": 13,
-    "dedup_cross_source_duplicates": 13,
-    "simsearch_ann_ml_lsh": 13,
-    "embedding_pca_top_component": 13,
-    "embedding_pca_loading_ppm": 13,
-    "dedup_ngram_jaccard": 13,
-    "window_ntile_quartiles": 13,
-    "events_rfm_segmentation": 13,
+    # Expired cohorts (r12, r13) are pruned once inert — full
+    # evidence notes in this file's git history at the round that
+    # added each.
     # --- r14 cohort (active through r15, expires when CORRECTNESS_r15
     # lands) --- The 24 unpinned r14 movers from the full-oracle axis
-    # sweeps (see the _REVERIFY_FIRST audit note above), plus the 5
-    # movers of the seventh (unicode-hostility) axis's fix wave:
-    # map_from_json_pack / filter_regex_gate / source_csv_roundtrip
-    # (substantive fixes) and source_{jsonl,orc}_roundtrip (deep
-    # closure via the shared _written_copy estate-encoding helper;
-    # behavior unchanged on their paths). Evidence, gathered THIS
-    # round at final r14 code: every one oracle-MATCHed (rows-only
-    # members row-checked) at sf0.01 AND sf0.1 AND on the hostile axis
-    # corpora (seven axis sweeps, 239/239 each — skew 2x, temporal 1x,
-    # empty, one-row, null-heavy, rotated, unicode 3x), with standing
-    # hash-checked gate delegates per fixed class
-    # (test_unicode_corpus.py for the second wave). Without these
-    # stamps their penalty tier displaces r08 greens from the r14
-    # budget (dry-run verified) — the stale-cohort-first contest
-    # VERDICT r13 task 1 decides the other way. From r16 the
+    # sweeps, plus the 5 movers of the seventh (unicode-hostility)
+    # axis's fix wave: map_from_json_pack / filter_regex_gate /
+    # source_csv_roundtrip (substantive fixes) and
+    # source_{jsonl,orc}_roundtrip (deep closure via the shared
+    # _written_copy estate-encoding helper; behavior unchanged on
+    # their paths). Evidence, gathered in r14 at final r14 code: every
+    # one oracle-MATCHed (rows-only members row-checked) at sf0.01 AND
+    # sf0.1 AND on the hostile axis corpora (seven axis sweeps,
+    # 239/239 each — skew 2x, temporal 1x, empty, one-row, null-heavy,
+    # rotated, unicode 3x), with standing hash-checked gate delegates
+    # per fixed class (test_unicode_corpus.py for the second wave).
+    # Without these stamps their penalty tier displaces r08 greens
+    # from the r14 budget (dry-run verified) — the stale-cohort-first
+    # contest VERDICT r13 task 1 decides the other way. From r16 the
     # dual-snapshot floor clears them automatically (their
     # fingerprints match both r15 brackets).
+    # NOTE: agg_salted_two_phase and source_jsonl_malformed_quarantine
+    # were in this cohort but are EDITED in r15 (ADVICE fixes) — their
+    # r14 stamps no longer describe live code, so they moved to
+    # _REVERIFY_FIRST r15 pins instead.
     "agg_corr_price_quantity": 14,
     "agg_group_ols_trend": 14,
-    "agg_salted_two_phase": 14,
     "agg_string_concat_sorted": 14,
     "cube_events_type_day": 14,
     "dedup_minhash_estimate_audit": 14,
@@ -654,7 +429,6 @@ _FLAG_RESOLVED: dict[str, int] = {
     "simsearch_range_cosine": 14,
     "simsearch_topk_bruteforce": 14,
     "source_csv_roundtrip": 14,
-    "source_jsonl_malformed_quarantine": 14,
     "source_jsonl_roundtrip": 14,
     "source_orc_roundtrip": 14,
     "source_xml_roundtrip": 14,

@@ -219,3 +219,27 @@ def test_selectivity_floor_unflags_untouched_queries(monkeypatch):
     assert out["untouched"] is True
     assert out["edited_mid"] is True
     assert out["fresh"] is False        # never force-flags a clean green
+
+
+def test_entry_dicts_have_no_duplicate_literal_keys():
+    """VERDICT r14 watch item: a repeated literal key in
+    _REVERIFY_FIRST / _FLAG_RESOLVED silently last-wins, so one future
+    re-listing in the wrong order would invert a pin with no error.
+    Walk the AST of __spark_entry__.py and assert every dict literal's
+    constant keys are unique."""
+    import ast
+    from pathlib import Path
+
+    src = (Path(__spark_entry__.__file__)).read_text()
+    tree = ast.parse(src)
+    for node in ast.walk(tree):
+        if not isinstance(node, ast.Dict):
+            continue
+        seen: dict[object, int] = {}
+        for k in node.keys:
+            if isinstance(k, ast.Constant):
+                assert k.value not in seen, (
+                    f"duplicate dict key {k.value!r} at lines "
+                    f"{seen[k.value]} and {k.lineno}"
+                )
+                seen[k.value] = k.lineno
