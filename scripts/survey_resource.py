@@ -87,11 +87,18 @@ def main() -> int:
         if unknown:
             print(f"unknown queries: {sorted(unknown)}", flush=True)
             return 2
+    # profile knobs (heap comes via $SPARK_GRAFT_DRIVER_MEM, a JVM
+    # start flag read by get_spark): fraction sizes the unified
+    # execution+storage region, shuffle sets per-task working-set size
+    import os
+
+    fraction = os.environ.get("SPARK_GRAFT_MEM_FRACTION", "0.3")
+    shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE", "8")
     spark = get_spark(
         app_name="survey-resource",
         extra_conf={
-            "spark.memory.fraction": "0.3",
-            "spark.sql.shuffle.partitions": "8",
+            "spark.memory.fraction": fraction,
+            "spark.sql.shuffle.partitions": shuffle,
             "spark.ui.enabled": "true",
             "spark.ui.port": str(UI_PORT),
         },
@@ -99,7 +106,7 @@ def main() -> int:
     heap = spark.sparkContext.getConf().get("spark.driver.memory")
     cores = spark.sparkContext.defaultParallelism
     print(f"# constrained session: heap={heap} cores={cores} "
-          f"fraction=0.3 shuffle=8 sf={sf}", flush=True)
+          f"fraction={fraction} shuffle={shuffle} sf={sf}", flush=True)
 
     failures = []
     names = sorted(registry.QUERIES)
