@@ -407,6 +407,43 @@ _FLAG_RESOLVED: dict[str, int] = {
     # were in this cohort but are EDITED in r15 (ADVICE fixes) — their
     # r14 stamps no longer describe live code, so they moved to
     # _REVERIFY_FIRST r15 pins instead.
+    # --- r15 cohort (active through r16, expires when CORRECTNESS_r16
+    # lands) --- The 20 movers of the r15 temporal-band + strings-
+    # intact (nullband) sweep fix wave: NULL-ts quarantines and
+    # pinned-null-end window orderings, each mirrored in both engines.
+    # Evidence, gathered THIS round at final r15 code: every one
+    # oracle-MATCHed on the nullband AND nullheavy hostile corpora AND
+    # at sf0.001 AND sf0.01 immediately after the edit, with standing
+    # hash-checked gate delegates (DEGENERATE_ORACLED["nullband"],
+    # tests/test_degenerate_corpus.py). Stamping instead of pinning:
+    # 11 r15 pins already hold slots, and 20 more pins would displace
+    # most of the r09 staleness cohort from the exactly-50 budget —
+    # the stale-cohort-first contest VERDICT r14 task 1 decides the
+    # other way (committed-corpus results are bit-identical for all
+    # 20; the penalty tier rotates them in right behind the r09/r10
+    # cohorts).
+    "events_sessionize": 15,
+    "events_max_concurrency": 15,
+    "events_session_pattern_match": 15,
+    "events_hourly_anomaly": 15,
+    "events_ewma_halving": 15,
+    "events_cusum_uniformity_drift": 15,
+    "events_dedup_earliest": 15,
+    "events_hourly_ohlc": 15,
+    "events_markov_transitions": 15,
+    "events_path_trigrams_top10": 15,
+    "events_rfm_segmentation": 15,
+    "agg_monthly_growth": 15,
+    "window_running_total": 15,
+    "window_lag_lead_events": 15,
+    "window_first_last_values": 15,
+    "join_asof_last_signup": 15,
+    "join_scd2_point_in_time": 15,
+    "scd2_purchase_tier_history": 15,
+    "quality_drift_ks": 15,
+    "streaming_hourly_agg_replay": 15,
+    # --- r14 cohort (see note above; expires when CORRECTNESS_r15
+    # lands) ---
     "agg_corr_price_quantity": 14,
     "agg_group_ols_trend": 14,
     "agg_string_concat_sorted": 14,

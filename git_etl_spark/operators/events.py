@@ -53,6 +53,7 @@ def events_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                      OR lag(ts) OVER w IS NULL
                     THEN 1 ELSE 0 END AS new_session
         FROM events
+        WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), numbered AS (
         SELECT user_id, ts, event_id,
@@ -74,8 +75,15 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     lag-gap flag → running sum = session index → per-session aggregate.
     One shuffle on user_id serves both windows and the final group-by
     (same partitioning, Catalyst reuses the exchange). Streaming twin:
-    ``session_window(ts, '10 minutes')`` in streaming/events_stream.py."""
-    ev = load_table(spark, sf_dir, "events")
+    ``session_window(ts, '10 minutes')`` in streaming/events_stream.py.
+
+    NULL-ts quarantine mirrored in both engines (r15 temporal-band
+    null sweep): an event with no timestamp cannot be placed in any
+    session, and unpinned the two engines disagreed structurally —
+    Spark's NULLS-FIRST put each NULL-ts row at the partition head
+    (lag NULL → its own new session) while DuckDB's NULLS-LAST merged
+    them into the final session (NULL > gap is never TRUE)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = epoch_sec("ts") - epoch_sec(F.lag("ts").over(w))
     new_session = F.when(
@@ -105,7 +113,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, user_id, event_type, ts FROM (
         SELECT event_id, user_id, event_type, ts,
                ROW_NUMBER() OVER (PARTITION BY user_id, event_type
-                                  ORDER BY ts, event_id) AS rn
+                                  ORDER BY ts NULLS LAST, event_id) AS rn
         FROM events
     ) WHERE rn = 1
     """,
@@ -115,9 +123,15 @@ def events_dedup_earliest(spark: SparkSession, sf_dir: str) -> DataFrame:
     (user, type). ``dropDuplicates`` keeps an *arbitrary* row and is
     not oracle-checkable; row_number with a total order is the
     reproducible form (reference K3 first-writer-wins semantics,
-    ``src/database.ts:149-152``)."""
+    ``src/database.ts:149-152``). NULLS LAST pinned on both engines
+    (r15 temporal-band null sweep): an undated event is "earliest"
+    only when the group has no dated event at all — unpinned, Spark's
+    NULLS-FIRST picked the undated row whenever one existed while
+    DuckDB picked the dated one."""
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.asc_nulls_last("ts"), "event_id"
+    )
     return (
         ev.select("event_id", "user_id", "event_type", "ts")
         .withColumn("rn", F.row_number().over(w))
@@ -131,7 +145,7 @@ def events_dedup_earliest(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id, event_type,
            last_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
-               OVER (PARTITION BY user_id ORDER BY ts, event_id
+               OVER (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id
                      ROWS UNBOUNDED PRECEDING) AS last_signup_at
     FROM events
     """,
@@ -143,11 +157,14 @@ def join_asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     running window`` after a union of both streams — one shuffle on
     the entity key, no range join needed. For two separate tables the
     same shape applies: tag sides, union, window, filter back to the
-    probe side."""
+    probe side. NULLS LAST pinned on both engines (r15 temporal-band
+    null sweep): undated rows sort after the dated stream, so they
+    observe the full dated signup history — row-preserving, like the
+    other as-of/LOCF projections."""
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy(F.asc_nulls_last("ts"), "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     signup_ts = F.when(F.col("event_type") == "signup", F.col("ts"))
@@ -485,7 +502,7 @@ def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH tiers AS (
         SELECT user_id, event_id, ts,
                CASE WHEN value >= 50 THEN 'high' ELSE 'low' END AS tier
-        FROM events WHERE event_type = 'purchase'
+        FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
     ),
     flagged AS (
         SELECT user_id, event_id, ts, tier,
@@ -514,8 +531,11 @@ def scd2_purchase_tier_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     the distributed form of the reference's upsert-with-history load
     pattern: both window passes ride one user_id shuffle, and at
     100 TB the change-capture filter drops the (dominant) unchanged
-    rows before the second pass."""
-    ev = load_table(spark, sf_dir, "events")
+    rows before the second pass. NULL-ts quarantine mirrored (r15
+    temporal-band null sweep): an undated tier change cannot anchor a
+    validity interval — its engine-dependent sort slot rewrote the
+    whole change chain."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     tier = F.when(F.col("value") >= 50, "high").otherwise("low")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     flagged = (
@@ -579,7 +599,7 @@ def events_rolling_7day_distinct_users(spark: SparkSession, sf_dir: str) -> Data
     WITH hourly AS (
         SELECT date_trunc('hour', ts) AS hour_bucket,
                CAST(COUNT(*) AS BIGINT) AS n
-        FROM events GROUP BY 1
+        FROM events WHERE ts IS NOT NULL GROUP BY 1
     ),
     scored AS (
         SELECT hour_bucket, n,
@@ -615,8 +635,13 @@ def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     compares identical bit patterns. One shuffle to hourly buckets +
     one ordered window — at 100 TB the hourly rollup is tiny regardless
     of input volume, so this is effectively free after aggregation
-    (and the rollup itself is partial-aggregated)."""
-    ev = load_table(spark, sf_dir, "events")
+    (and the rollup itself is partial-aggregated).
+
+    NULL-ts quarantine mirrored (r15 temporal-band null sweep): an
+    undated event belongs to no hour, and the NULL bucket's position
+    in the trailing-24 ordering was engine-dependent, shifting every
+    early hour's window."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     hourly = ev.groupBy(trunc_hour_ntz("ts").alias("hour_bucket")).agg(
         F.count("*").alias("n")
     )
@@ -658,7 +683,7 @@ def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, event_type AS src_type,
                lead(event_type) OVER (PARTITION BY user_id
                                       ORDER BY ts, event_id) AS dst_type
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     ),
     trans AS (
         SELECT src_type, dst_type, CAST(COUNT(*) AS BIGINT) AS n_trans
@@ -685,10 +710,11 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``n·10⁶ div total``) — no decimal/double division whose last-bit
     rounding could differ across engines. One window shuffle on
     user_id (sequence construction) + one small aggregation: at 100 TB
-    the transition matrix is |types|² rows regardless of input volume,
-    so everything after the per-user window is effectively free, and
+    the transition matrix is |types|² rows regardless of input volume
+    (NULL-ts quarantine mirrored, r15 temporal-band null sweep: an
+    undated event cannot sit in a temporal sequence), and
     the window itself partitions on the natural event-log key."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
         F.col("event_type").alias("src_type"),
@@ -788,7 +814,7 @@ EWMA_TERMS = 10  # lookback observations; alpha = 1/2 (dyadic-exact)
     WITH daily AS (
         SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
                CAST(COUNT(*) AS BIGINT) AS cnt
-        FROM events GROUP BY 1, 2
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     )
     SELECT user_id, day, cnt,
            (  CAST(cnt AS DOUBLE)
@@ -820,8 +846,12 @@ def events_ewma_halving(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-verified like any exact one. One shuffle on user_id; the
     lag-chain is a single window pass with a 10-row frame, state O(1)
     per user — at 100 TB the daily rollup, not the event volume,
-    sizes the window input."""
-    ev = load_table(spark, sf_dir, "events")
+    sizes the window input.
+
+    NULL-ts quarantine mirrored (r15 temporal-band null sweep): a
+    NULL "day" bucket is not a day, and its engine-dependent position
+    in the per-user ORDER BY day shifted the whole lag chain."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     daily = ev.groupBy(
         "user_id", F.date_trunc("day", "ts").alias("day")
     ).agg(F.count("*").alias("cnt"))
@@ -840,7 +870,8 @@ def events_ewma_halving(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH tiers AS (
         SELECT user_id, event_id, ts,
                CASE WHEN value >= 50 THEN 'high' ELSE 'low' END AS tier
-        FROM events WHERE event_type = 'purchase'
+        FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+          AND user_id IS NOT NULL
     ),
     flagged AS (
         SELECT user_id, event_id, ts, tier,
@@ -857,7 +888,8 @@ def events_ewma_halving(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     clicks AS (
         SELECT user_id, event_id AS click_id, ts
-        FROM events WHERE event_type = 'click'
+        FROM events WHERE event_type = 'click' AND ts IS NOT NULL
+          AND user_id IS NOT NULL
     )
     SELECT c.click_id, c.user_id, c.ts, h.tier AS tier_at_click
     FROM clicks c JOIN hist h
@@ -882,8 +914,18 @@ def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly the zero-width-interval semantics of the oracle's join —
     and the valid tier is carried forward with last_value(ignorenulls)
     in ONE window pass. One shuffle on user_id, O(1) state per row,
-    no range explosion: the as-of pattern that survives 100 TB."""
-    ev = load_table(spark, sf_dir, "events")
+    no range explosion: the as-of pattern that survives 100 TB.
+
+    NULL-ts quarantine mirrored (r15 temporal-band null sweep): an
+    undated click has no "point in time" to look up (the oracle's
+    range predicate silently dropped it; the LOCF form stamped it),
+    and an undated change can't anchor an interval. NULL-user rows
+    are quarantined with it: the oracle's equi-join can never match
+    them while the LOCF window's NULL partition stamps them — and
+    untagged events are not an entity to enrich."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
     tier = F.when(F.col("value") >= 50, "high").otherwise("low")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     flagged = (
@@ -928,7 +970,7 @@ def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH purchases AS (
         SELECT user_id, ts, CAST(value AS DECIMAL(18,2)) AS v
-        FROM events WHERE event_type = 'purchase'
+        FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
     ),
     anchor AS (SELECT MAX(ts) AS max_ts FROM purchases),
     per_user AS (
@@ -942,11 +984,13 @@ def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
         SELECT user_id, recency_days, frequency, monetary,
-               CAST(ntile(5) OVER (ORDER BY recency_days DESC, user_id)
+               CAST(ntile(5) OVER (ORDER BY recency_days DESC NULLS FIRST,
+                                   user_id)
                     AS BIGINT) AS r_score,
                CAST(ntile(5) OVER (ORDER BY frequency ASC, user_id)
                     AS BIGINT) AS f_score,
-               CAST(ntile(5) OVER (ORDER BY monetary ASC, user_id)
+               CAST(ntile(5) OVER (ORDER BY monetary ASC NULLS FIRST,
+                                   user_id)
                     AS BIGINT) AS m_score
         FROM per_user
     )
@@ -976,8 +1020,14 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     a ~20k-row aggregate the single-task sort handles in
     milliseconds). See ranking.py's crossover microbench for where
     the trade inverts."""
+    # NULL-user quarantine mirrored (r15 band null sweep): untagged
+    # purchases are not a customer — the NULL pseudo-user also made
+    # the ntile user_id tie-break engine-dependent (Spark ASC is
+    # NULLS FIRST, DuckDB NULLS LAST), shifting every tile boundary.
     ev = load_table(spark, sf_dir, "events")
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
+    purchases = ev.filter(
+        (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+    ).select(
         "user_id", "ts", F.col("value").cast("decimal(18,2)").alias("v")
     )
     anchor = purchases.agg(F.max("ts").alias("max_ts"))
@@ -1001,9 +1051,18 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("msum").cast("double").alias("monetary"),
         )
     )
-    w_r = Window.orderBy(F.col("recency_days").desc(), F.col("user_id"))
+    # explicit null ends, mirrored (r15 temporal-band null sweep): a
+    # user whose every purchase is undated/unpriced has NULL recency/
+    # monetary — pinned to the WORST tile (score 1) on both engines
+    # (oldest recency side of DESC, lowest monetary side of ASC);
+    # Spark and DuckDB defaults disagree on the ASC case.
+    w_r = Window.orderBy(
+        F.desc_nulls_first("recency_days"), F.col("user_id")
+    )
     w_f = Window.orderBy(F.col("frequency").asc(), F.col("user_id"))
-    w_m = Window.orderBy(F.col("monetary").asc(), F.col("user_id"))
+    w_m = Window.orderBy(
+        F.asc_nulls_first("monetary"), F.col("user_id")
+    )
     scored = per_user.select(
         "user_id",
         "recency_days",
@@ -1100,7 +1159,7 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type AS a,
                lead(event_type, 1) OVER w AS b,
                lead(event_type, 2) OVER w AS c
-        FROM events
+        FROM events WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
     SELECT a, b, c, CAST(COUNT(*) AS BIGINT) AS n
@@ -1119,8 +1178,11 @@ def events_path_trigrams_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same single user_id window shuffle as events_markov_transitions —
     two leads instead of one, state O(1) per row — then a trigram
     aggregate whose cardinality is |types|³ regardless of corpus size,
-    so the top-10 is a TakeOrdered over at most 125 rows."""
-    ev = load_table(spark, sf_dir, "events")
+    so the top-10 is a TakeOrdered over at most 125 rows. NULL-ts
+    quarantine mirrored (r15 temporal-band null sweep): an undated
+    event has no position in a temporal path — its engine-dependent
+    sort slot rewired adjacency for the whole user."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
         F.col("event_type").alias("a"),
@@ -1193,7 +1255,8 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                            - CAST(FLOOR(epoch(date_trunc('hour', ts))) AS BIGINT))
                           * 1000000000000 + event_id) AS close_value,
            CAST(COUNT(*) AS BIGINT) AS n_trades
-    FROM events WHERE event_type = 'purchase'
+    FROM events
+    WHERE event_type = 'purchase' AND ts IS NOT NULL AND value IS NOT NULL
     GROUP BY date_trunc('hour', ts)
     """,
 )
@@ -1212,9 +1275,17 @@ def events_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One partial-aggregated shuffle on the hour bucket: min_by/max_by
     partials carry (value, key) pairs, so the candle build is a single
-    pass at any scale — never a window sort over the bucket."""
+    pass at any scale — never a window sort over the bucket.
+
+    Mirrored participation filter (r15 temporal-band null sweep): an
+    undated trade belongs to no candle (the NULL hour bucket's arg
+    keys are all NULL — engine-specific argmin), and an unpriced one
+    can't set open/close (min_by would surface its NULL while the
+    oracle's arg_min skips it)."""
     ev = load_table(spark, sf_dir, "events").filter(
-        F.col("event_type") == "purchase"
+        (F.col("event_type") == "purchase")
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
     )
     order_key = (
         epoch_sec("ts") - epoch_sec(F.date_trunc("hour", "ts"))
@@ -1241,6 +1312,7 @@ def events_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
                      OR lag(ts) OVER w IS NULL
                     THEN 1 ELSE 0 END AS new_session
         FROM events
+        WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     numbered AS (
@@ -1292,8 +1364,10 @@ def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shift. Boundaries are 2·|sessions| rows — session boundaries,
     not events, already thousands of times smaller than the log.
     Session derivation reuses events_sessionize's gaps-and-islands
-    shuffle."""
-    ev = load_table(spark, sf_dir, "events")
+    shuffle (and its r15 NULL-ts quarantine, mirrored: an undated
+    event can't open or extend a session, and NULL boundaries would
+    poison the sweep's global ordering)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gapped = ev.select(
         "user_id",
@@ -1844,7 +1918,7 @@ def join_interval_overlap_hot_hours(spark: SparkSession, sf_dir: str) -> DataFra
     WITH h AS (
         SELECT date_trunc('hour', ts) AS hour_bucket,
                CAST(COUNT(*) AS BIGINT) AS n
-        FROM events GROUP BY 1
+        FROM events WHERE ts IS NOT NULL GROUP BY 1
     ),
     c AS (
         SELECT hour_bucket, n,
@@ -1876,8 +1950,10 @@ def events_cusum_uniformity_drift(spark: SparkSession, sf_dir: str) -> DataFrame
     window then runs over |hours| AGGREGATE rows (bounded by the time
     span, never by volume), so the single-partition ordered window is
     a metadata-scale step — same posture as the date-spine and
-    growth-curve queries."""
-    events = load_table(spark, sf_dir, "events")
+    growth-curve queries. NULL-ts quarantine mirrored (r15
+    temporal-band null sweep): the NULL hour's engine-dependent slot
+    in the cumulative ordering shifted every cum/k pair."""
+    events = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     h = events.groupBy(trunc_hour_ntz("ts").alias("hour_bucket")).agg(
         F.count("*").cast("long").alias("n")
     )
@@ -1919,6 +1995,7 @@ PATTERN_GAP_MIN = 10  # session gap for pattern matching (minutes)
                                           ORDER BY ts, event_id) IS NULL
                     THEN 1 ELSE 0 END AS new_sess
         FROM events
+        WHERE ts IS NOT NULL
     ),
     numbered AS (
         SELECT user_id, ts, event_id, event_type,
@@ -1955,8 +2032,10 @@ def events_session_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the symbol string is one character per event grouped by
     SESSION — state bounded by session length (minutes of activity),
     never user history; one shuffle keyed (user, sid) and the regex
-    runs once per session row."""
-    events = load_table(spark, sf_dir, "events")
+    runs once per session row. NULL-ts quarantine mirrored (r15
+    temporal-band null sweep): same structural divergence as
+    events_sessionize — undated events don't join sequences."""
+    events = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_break = (
         epoch_sec(F.col("ts")) - F.lag(epoch_sec(F.col("ts"))).over(w)

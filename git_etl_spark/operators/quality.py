@@ -259,7 +259,8 @@ def quality_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
                CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS in_a,
                CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS in_b
-        FROM events WHERE event_type IN ('click', 'purchase')
+        FROM events
+        WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
     ),
     totals AS (
         SELECT CAST(SUM(in_a) AS BIGINT) AS n_a,
@@ -309,9 +310,15 @@ def quality_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     one ordered window that builds both ECDFs runs over grid cells,
     not events — the classic bounded-state trick that makes a global
     ECDF feasible at 100 TB. Everything before it is one
-    partial-aggregated shuffle."""
+    partial-aggregated shuffle.
+
+    Mirrored participation filter (r15 numeric-band null sweep): an
+    unmeasured event is not a sample of either distribution — the
+    NULL grid cell's engine-dependent slot in the ECDF ordering
+    shifted both cumulative counts."""
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "purchase")
+        & F.col("value").isNotNull()
     )
     s = ev.select(
         (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),

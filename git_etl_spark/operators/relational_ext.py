@@ -499,22 +499,28 @@ def proj_posexplode_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_custkey AS custkey, o_orderkey AS orderkey,
            first_value(o_orderkey) OVER w AS first_order,
            last_value(o_orderkey)
-               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate NULLS LAST, o_orderkey
                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
                AS last_order,
            nth_value(o_orderkey, 2) OVER w AS second_order
     FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate NULLS LAST, o_orderkey)
     """,
 )
 def window_first_last_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """first/last/nth_value with the classic last_value trap handled:
     the default frame ends at CURRENT ROW, so last_value needs an
-    explicit UNBOUNDED FOLLOWING frame."""
+    explicit UNBOUNDED FOLLOWING frame. NULLS LAST pinned on both
+    engines (r15 temporal-band null sweep): undated orders rank after
+    the dated history, so first/second stay the dated ones."""
     from pyspark.sql import Window
 
     o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.asc_nulls_last("o_orderdate"), "o_orderkey"
+    )
     w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return o.select(
         F.col("o_custkey").alias("custkey"),

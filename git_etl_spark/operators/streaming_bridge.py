@@ -197,7 +197,11 @@ def _replay(
     SELECT date_trunc('hour', ts) AS hour_bucket, event_type,
            COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-    FROM events GROUP BY 1, 2
+    FROM events
+    -- NULL-ts quarantine, mirrored from streaming/events_stream
+    -- .hourly_counts (windowed agg drops NULL event times; r15)
+    WHERE ts IS NOT NULL
+    GROUP BY 1, 2
     """,
 )
 def streaming_hourly_agg_replay(spark: SparkSession, sf_dir: str) -> DataFrame:

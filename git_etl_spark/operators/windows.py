@@ -63,14 +63,20 @@ def window_rank_top3_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
            lead(event_type) OVER w AS next_type,
            CAST(FLOOR(epoch(ts)) AS BIGINT) - CAST(FLOOR(epoch(lag(ts) OVER w)) AS BIGINT) AS gap_sec
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id)
     """,
 )
 def window_lag_lead_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag/lead over per-user event streams with inter-event gap —
-    the batch shape of the sessionization operator."""
+    the batch shape of the sessionization operator. NULLS LAST pinned
+    on both engines (r15 temporal-band null sweep): undated events
+    sort after the dated stream — row-preserving, unlike the
+    sessionize quarantine, because lag/lead is a projection, not a
+    bucketing; their gap_sec is NULL either way."""
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_last("ts"), "event_id"
+    )
     return ev.select(
         "user_id",
         "event_id",
@@ -88,7 +94,7 @@ def window_lag_lead_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_custkey AS custkey, o_orderkey AS orderkey,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
                 OVER (PARTITION BY o_custkey
-                      ORDER BY o_orderdate, o_orderkey
+                      ORDER BY o_orderdate NULLS LAST, o_orderkey
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                 AS DOUBLE) AS running_spend
     FROM orders
@@ -97,11 +103,13 @@ def window_lag_lead_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative sum per customer over order history — rows frame;
     decimal accumulator keeps every prefix sum exact (order-dependence
-    of float addition would otherwise make row N's value engine-specific)."""
+    of float addition would otherwise make row N's value engine-specific).
+    NULLS LAST pinned on both engines (r15 temporal-band null sweep):
+    an undated order accumulates after the dated history."""
     orders = load_table(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
+        .orderBy(F.asc_nulls_last("o_orderdate"), "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return orders.select(
@@ -452,7 +460,8 @@ def window_range_frame_30day_spend(spark: SparkSession, sf_dir: str) -> DataFram
     WITH monthly AS (
         SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
                SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
-        FROM orders GROUP BY CAST(date_trunc('month', o_orderdate) AS DATE)
+        FROM orders WHERE o_orderdate IS NOT NULL
+        GROUP BY CAST(date_trunc('month', o_orderdate) AS DATE)
     )
     SELECT month,
            CAST(revenue AS DOUBLE) AS revenue,
@@ -468,8 +477,13 @@ def agg_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the *aggregated* series (dozens of rows), never the fact
     table — the correct place for a global ORDER BY at any scale. The
     delta subtracts exact decimals; only the final projection casts
-    to double."""
-    o = load_table(spark, sf_dir, "orders")
+    to double. NULL-month quarantine mirrored (r15 temporal-band null
+    sweep): undated orders form a bucket that is not a month, and its
+    engine-dependent slot in the lag ordering corrupted every delta
+    adjacent to it."""
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").isNotNull()
+    )
     monthly = o.groupBy(
         F.to_date(F.date_trunc("month", "o_orderdate")).alias("month")
     ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"))

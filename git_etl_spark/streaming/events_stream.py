@@ -38,9 +38,15 @@ def _with_event_time(events: DataFrame) -> DataFrame:
 def hourly_counts(events: DataFrame) -> DataFrame:
     """Tumbling 1-hour windowed aggregation with watermark — streaming
     twin of ``events_hourly_agg`` (same buckets: window.start ==
-    date_trunc('hour', ts) for in-window events)."""
+    date_trunc('hour', ts) for in-window events).
+
+    EXPLICIT NULL-ts quarantine (r15 temporal-band null sweep): the
+    engine's windowed aggregation silently drops rows whose event time
+    is NULL — the same loud-not-implicit posture as the r14 pre-epoch
+    quarantine; the replay's oracle mirrors the filter."""
     return (
         _with_event_time(events)
+        .where(F.col("ts").isNotNull())
         .withWatermark("ts", WATERMARK)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(

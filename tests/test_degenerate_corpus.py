@@ -105,10 +105,20 @@ _PK_COLS = {
 }
 
 
-def build_nullheavy_corpus(src: str, dest: str) -> None:
-    """All string/binary/list columns NULL; non-key numeric columns
-    band-nulled on every 3rd row. Shared by the standing gate fixture
-    and the full-registry sweep scripts so both see the same corpus."""
+def build_nullheavy_corpus(
+    src: str, dest: str, null_strings: bool = True
+) -> None:
+    """Null-shape corpus family, shared by the standing gate fixture
+    and the full-registry sweep scripts so both see the same corpora.
+
+    ``null_strings=True`` → the "nullheavy" variant: all string/
+    binary/list columns NULL, plus the numeric and temporal bands.
+    ``null_strings=False`` → the "nullband" variant (r15): strings
+    INTACT, only the bands nulled — load-bearing because total string
+    nulling MASKS sequence-logic divergences (with every event_type
+    NULL, a Markov matrix collapses to one row no matter how the
+    engines order NULL timestamps; the r15 sweep found 8 such masked
+    classes the moment strings were restored)."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
@@ -123,11 +133,16 @@ def build_nullheavy_corpus(src: str, dest: str) -> None:
         # null (every 3rd row) the non-key numeric columns: total
         # nulling would erase every group/join key, a band keeps the
         # queries meaningful while forcing the NULL arm of each
-        # aggregate/join through both engines.
+        # aggregate/join through both engines. Temporal columns (ts,
+        # order/ship/receipt dates) get their own band on a DIFFERENT
+        # stride (every 5th row) so all four combinations of
+        # (value NULL?, time NULL?) occur — a crawl feed's failed
+        # fetches lose payloads and timestamps independently.
         band = pa.array([i % 3 == 2 for i in range(n)])
+        ts_band = pa.array([i % 5 == 3 for i in range(n)])
         cols = []
         for field in t.schema:
-            if (
+            if null_strings and (
                 pa.types.is_string(field.type)
                 or pa.types.is_large_string(field.type)
                 or pa.types.is_binary(field.type)
@@ -143,6 +158,14 @@ def build_nullheavy_corpus(src: str, dest: str) -> None:
                 cols.append(
                     pc.if_else(
                         band,
+                        pa.nulls(n, field.type),
+                        t.column(field.name).combine_chunks(),
+                    )
+                )
+            elif pa.types.is_temporal(field.type):
+                cols.append(
+                    pc.if_else(
+                        ts_band,
                         pa.nulls(n, field.type),
                         t.column(field.name).combine_chunks(),
                     )
@@ -173,6 +196,9 @@ def degenerate_dirs(tmp_path_factory):
     out = root / "nullheavy"
     build_nullheavy_corpus(SF_SMOKE, str(out))
     dirs["nullheavy"] = str(out)
+    out = root / "nullband"
+    build_nullheavy_corpus(SF_SMOKE, str(out), null_strings=False)
+    dirs["nullband"] = str(out)
     return dirs
 
 
@@ -282,6 +308,38 @@ DEGENERATE_ORACLED = {
         "relational_skyline_2d",
         "tpch_q21_waiting_suppliers",
         "udf_grouped_running_value",
+    ],
+    # r15 temporal-band + strings-intact waves: twenty fixed classes.
+    # The ts-ordered families split two ways, each mirrored in both
+    # engines — QUARANTINE where NULL time makes the row meaningless
+    # to the operator (sessions, hourly/daily/monthly buckets, OHLC
+    # candles, SCD2 intervals, Markov/trigram sequences, KS samples),
+    # PINNED NULLS LAST/FIRST where the operator is a row-preserving
+    # projection (running totals, lag/lead, first/last, as-of LOCF,
+    # dedup-earliest, RFM tiles). NULL-user rows additionally
+    # quarantined where an equi-join oracle and a window-partition
+    # plan disagree on NULL keys (gapfill precedent).
+    "nullband": [
+        "events_sessionize",
+        "events_max_concurrency",
+        "events_session_pattern_match",
+        "events_hourly_anomaly",
+        "events_ewma_halving",
+        "events_cusum_uniformity_drift",
+        "events_dedup_earliest",
+        "events_hourly_ohlc",
+        "events_markov_transitions",
+        "events_path_trigrams_top10",
+        "events_rfm_segmentation",
+        "agg_monthly_growth",
+        "window_running_total",
+        "window_lag_lead_events",
+        "window_first_last_values",
+        "join_asof_last_signup",
+        "join_scd2_point_in_time",
+        "scd2_purchase_tier_history",
+        "quality_drift_ks",
+        "streaming_hourly_agg_replay",
     ],
 }
 
