@@ -326,6 +326,21 @@ _REVERIFY_FIRST: dict[str, int] = {
     "relational_skyline_2d": 15,
     "tpch_q21_waiting_suppliers": 15,
     "udf_grouped_running_value": 15,
+    # --- r15 optimization-round movers (OPTIMIZATION_r15.md) — plan
+    # restructures proven result-identical against the r14
+    # formulations kept inline as test references: the PCA moment pass
+    # dropped its posexplode+self-join for a per-row upper-triangle
+    # lambda and the power iteration moved to bit-identical numpy
+    # folds (tests/test_pca_moment_pass.py, old≡new at sf0.001/0.01/
+    # 0.1); the Bloom pre-probe became a dense-array forall expression
+    # (≡ pipeline_decontamination at all three scales, standing
+    # planted-corpus equality tests); span-removal's rewrite became a
+    # per-doc array complement (old≡new at all three scales PLUS the
+    # empty/one-row/nullheavy/nullband corpora).
+    "embedding_pca_loading_ppm": 15,
+    "embedding_pca_top_component": 15,
+    "pipeline_decontamination_bloom": 15,
+    "text_dedup_span_removal": 15,
 }
 
 # A fine-flag (definition fingerprint drifted since the green's as-of

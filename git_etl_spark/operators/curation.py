@@ -294,10 +294,16 @@ def pipeline_decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFram
        BLOOM_K (word, mask) probes, ``bit_or(mask)`` per word — a
        ≤ m/64-row bitmap table (2048 rows ≈ 16 KB here) that stays
        broadcastable long after the shingle rows themselves aren't;
-    2. probe: each training shingle joins its k probe words against
-       the bitmap; it survives only if ALL k probed bits are set
-       (``bool_and``) — no false negatives by construction, false
-       positives at the designed rate;
+    2. probe: the bitmap folds to ONE row holding a dense m/64-slot
+       long array (O(m/64) state, ~16 KB), broadcast onto the training
+       shingles; each shingle then evaluates all k probes as a single
+       JVM ``forall`` expression — it survives only if ALL k probed
+       bits are set. No false negatives by construction, false
+       positives at the designed rate. (Before r15 this step exploded
+       every shingle into k probe ROWS, joined each against the bitmap
+       and re-grouped by (doc, shingle) — a shuffle of k× the shingle
+       volume that the expression form removes outright, guide §2.4;
+       A/B and plan diff in OPTIMIZATION_r15.md.)
     3. exact join on the survivors only, which removes false
        positives — so the result (and the oracle) is IDENTICAL to the
        broadcast variant, and only the candidate volume differs.
@@ -333,23 +339,43 @@ def pipeline_decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy("w")
         .agg(F.expr("bit_or(mask)").alias("bits"))
     )
-    train = arrs.filter(F.col("source") != "src0")
-    probes = (
-        train.select("doc_id", F.explode("gs").alias("g"))
-        .select("doc_id", "g", F.explode(_bloom_probe_array()).alias("p"))
-        .select("doc_id", "g", F.col("p.w").alias("w"), F.col("p.mask").alias("mask"))
-    )
-    survivors = (
-        probes.join(F.broadcast(bitmap), "w", "left")
-        .withColumn(
-            "hit",
-            F.coalesce(
-                (F.col("bits").bitwiseAND(F.col("mask")) != 0), F.lit(False)
+    # fold the bitmap to one row: a DENSE m/64-slot long array — the
+    # same O(m/64) bound as the bitmap table, still broadcastable at
+    # any corpus size, but probe-able from a scalar expression in O(1)
+    # (a word→bits MAP would linear-scan its entries per lookup —
+    # Spark's MapData is unsorted arrays — turning k probes per
+    # shingle into k·m/64 comparisons; measured 1.8 → 2.7 s before
+    # this densification). The sparse→dense transform runs once on the
+    # single aggregated row.
+    bloom_row = bitmap.agg(
+        F.map_from_arrays(
+            F.collect_list("w"), F.collect_list("bits")
+        ).alias("bm")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(BLOOM_BITS // 64 - 1)),
+            lambda w: F.coalesce(
+                F.try_element_at("bm", w), F.lit(0).cast("long")
             ),
+        ).alias("bloom")
+    )
+    train = arrs.filter(F.col("source") != "src0")
+    survivors = (
+        train.select("doc_id", F.explode("gs").alias("g"))
+        .join(F.broadcast(bloom_row))
+        # all k probes in one JVM expression per shingle: an unset word
+        # is a 0 slot in the dense array, so the bit test fails exactly
+        # like the former left-join miss; p.w ∈ [0, m/64) by pmod, so
+        # the 1-based array index is always in bounds (ANSI-safe)
+        .filter(
+            F.forall(
+                _bloom_probe_array(),
+                lambda p: (
+                    F.element_at("bloom", p["w"] + 1).bitwiseAND(p["mask"])
+                    != 0
+                ),
+            )
         )
-        .groupBy("doc_id", "g")
-        .agg(F.expr("bool_and(hit)").alias("maybe"))
-        .filter(F.col("maybe"))
         .select("doc_id", "g")
     )
     counts = (

@@ -729,10 +729,11 @@ def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     representation spaces, and SemDeDup-style cluster pre-conditioning.
 
     Split of labor that scales: the *data-sized* work is one pass
-    building the 64×64 second-moment matrix (posexplode² → the upper
-    symmetric half of the cell grid, each cell an order-independent
-    scaled-DECIMAL sum, so cells partial-aggregate map-side with O(1)
-    state) plus the same-machinery mean vector. The *eigensolve*
+    building the 64×64 second-moment matrix (a per-row array lambda
+    expands each vector's upper symmetric half of the cell grid, each
+    cell an order-independent scaled-DECIMAL sum, so cells
+    partial-aggregate map-side with O(1) state — no element self-join)
+    plus the same-machinery mean vector. The *eigensolve*
     then runs on 4096 driver-side numbers (fixed 500-round power
     iteration, deterministic float ops) — O(d²) metadata, the
     documented legitimate driver step, same category as broadcasting
@@ -769,24 +770,32 @@ def _pca_power_solve(
     import math
 
     emb = load_table(spark, sf_dir, "embeddings")
-    # The explicit vec_id repartition spreads the moment pass: the
-    # self-join below expands every vector into d(d+1)/2 = 2080 cell
-    # products, CPU that AQE's byte-based coalescer would fold onto
-    # 1-2 tasks (the exploded elems are only ~10 MB at 10× sf0.1 —
-    # bytes are a poor proxy for a 2080× expansion). The explicit-N
-    # exchange is coalesce-exempt, satisfies BOTH sides of the vec_id
-    # self-join (no further shuffle before the cell aggregation), and
-    # the round-10 cores sweep measured the unspread plan flat at
-    # ~3.2 s from local[4] to local[32] on the 10× corpus. DECIMAL
-    # cell sums are order-independent, so partitioning cannot move
-    # the oracled ppm output.
-    elems = (
-        emb.select("vec_id", F.posexplode("embedding").alias("pos", "raw"))
-        .select("vec_id", "pos", F.col("raw").cast("double").alias("val"))
-        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    # One compact row per vector, spread across every core: the moment
+    # pass below expands each vector into d(d+1)/2 = 2080 cell
+    # products, CPU that a single-split scan would serialize onto one
+    # task (the round-10 cores-sweep failure mode; AQE's byte-based
+    # coalescer reads the corpus as "small" — bytes are a poor proxy
+    # for a 2080× expansion, so the explicit-N exchange stays). The
+    # exchange now carries n vector rows (one 64-double array each)
+    # instead of the former n·d exploded element rows — 64× fewer
+    # shuffle rows for the same CPU spread — and the lazy checkpoint
+    # lets the means and cells passes share one scan+shuffle instead
+    # of re-exploding per consumer.
+    vecs = iter_checkpoint(
+        _spread_corpus(
+            spark,
+            emb.select(
+                "vec_id",
+                F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias(
+                    "e"
+                ),
+            ),
+        ),
+        eager=False,  # the means collect below materializes it — one job
     )
     means_rows = (
-        elems.groupBy("pos")
+        vecs.select(F.posexplode("e").alias("pos", "val"))
+        .groupBy("pos")
         .agg(sum14(F.col("val")).alias("s14"), F.count("*").alias("n"))
         .collect()
     )
@@ -802,18 +811,25 @@ def _pca_power_solve(
     mu = [0.0] * d
     for r in means_rows:
         mu[r["pos"]] = py_dec14(r["s14"]) / float(r["n"])
-    # second-moment matrix S[i][j] = Σ x_i·x_j (sorted fold per cell);
-    # covariance C = S/n − μμᵀ is formed driver-side from d² numbers
-    pairs = (
-        elems.alias("a")
-        .join(elems.alias("b"), on="vec_id")
-        .filter(F.col("b.pos") >= F.col("a.pos"))  # symmetric upper half
-        .select(
-            F.col("a.pos").alias("i"),
-            F.col("b.pos").alias("j"),
-            (F.col("a.val") * F.col("b.val")).alias("xx"),
-        )
-    )
+    # second-moment matrix S[i][j] = Σ x_i·x_j; covariance C = S/n − μμᵀ
+    # is formed driver-side from d² numbers. The upper symmetric half
+    # is expanded per ROW by a SQL lambda (the agg_frequent_itemset_
+    # pairs basket pattern): each vector emits its own d(d+1)/2
+    # (i, j, x_i·x_j) terms inline — the identical term set the former
+    # posexplode + self-join on vec_id produced, without shuffling n·d
+    # element rows into the join or running the join at all (guide §2.4
+    # "remove shuffles outright" / §2.3 "shuffle fewer bytes"; A/B and
+    # plan diff in OPTIMIZATION_r15.md — the n·d-row exchange and the
+    # self-join disappear, leaving one n-row exchange).
+    pairs = vecs.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(e, (x, i) -> "
+                "transform(slice(e, i + 1, size(e) - i), "
+                "(y, j) -> struct(i AS i, i + j AS j, x * y AS xx))))"
+            )
+        ).alias("p")
+    ).select("p.i", "p.j", "p.xx")
     # scaled-integer accumulation: each double product is truncated to
     # 1e-14 units and summed as DECIMAL(38,0) — order-independent (so
     # the cells partial-aggregate map-side; the shuffle carries d²
@@ -832,20 +848,34 @@ def _pca_power_solve(
         S[r["i"]][r["j"]] = py_dec14(r["s14"])
         S[r["j"]][r["i"]] = S[r["i"]][r["j"]]
     C = [[S[i][j] / n - mu[i] * mu[j] for j in range(d)] for i in range(d)]
-    # fixed-round power iteration (deterministic float ops, no RNG)
-    v = [1.0 if i == 0 else 0.0 for i in range(d)]
+    # fixed-round power iteration (deterministic float ops, no RNG).
+    # numpy carries the arithmetic, but ONLY in forms bit-identical to
+    # the sequential Python fold the DuckDB oracle mirrors: elementwise
+    # multiply/divide are correctly-rounded IEEE ops in either runtime,
+    # and np.cumsum(...)[-1] IS the left-to-right fold (asserted
+    # bit-for-bit against the pure-Python loop over 500 rounds in
+    # tests/test_numeric_helpers.py::test_pca_numpy_fold_bit_identical).
+    # 500·d² interpreted multiply-adds (~0.25 s of driver time per
+    # solve) become C-speed (guide §1.2: per-task — here per-driver —
+    # work, after the job shape is right).
+    import numpy as np
+
+    Ca = np.array(C, dtype=np.float64)
+    va = np.zeros(d)
+    va[0] = 1.0
     lam = 0.0
     for _ in range(PCA_ITERS):
-        w = [sum(C[i][j] * v[j] for j in range(d)) for i in range(d)]
-        norm = math.sqrt(sum(x * x for x in w))
+        w = np.cumsum(Ca * va, axis=1)[:, -1]
+        norm = math.sqrt(np.cumsum(w * w)[-1])
         if norm == 0.0:
             # exactly-zero covariance (e.g. every vector identical):
             # the iterate is already a fixed point; keep the current
             # unit vector with eigenvalue 0 instead of dividing by 0
             lam = 0.0
             break
-        v = [x / norm for x in w]
+        va = w / norm
         lam = norm
+    v = va.tolist()
     trace = sum(C[i][i] for i in range(d))
     return d, n, mu, v, lam, trace
 

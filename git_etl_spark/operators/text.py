@@ -576,37 +576,40 @@ def text_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") >= 2)
         .select("doc_id", "pos")
     )
-    covered = dups.select(
-        "doc_id",
-        F.explode(F.sequence(F.col("pos"), F.col("pos") + 7)).alias("cov"),
-    ).distinct()
-    tokens = docs.select(
-        "doc_id", F.posexplode("toks").alias("p0", "tok")
-    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "tok")
-    kept = tokens.join(
-        covered,
-        (tokens.doc_id == covered.doc_id)
-        & (tokens.pos == F.col("cov")),
-        "left_anti",
-    )
-    agg = kept.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda s: s.getField("tok"),
+    # covered positions fold straight to a per-doc sorted SET (state ∝
+    # covered positions of that doc ≤ its token count — the same bound
+    # as the doc's own text row): one shuffle replaces the r14 chain of
+    # covered-DISTINCT shuffle + (doc_id, pos) anti-join of the fully
+    # exploded token table + collect_list re-assembly shuffle (guide
+    # §2.4; A/B and plan diff in OPTIMIZATION_r15.md). The rewrite
+    # itself becomes a per-doc array complement: array_except keeps
+    # first-array order, so kept positions stay in document order, and
+    # element_at re-reads each kept token from the doc's own toks array
+    # — O(len) per doc with hash-set lookups, never len·covered.
+    covagg = (
+        dups.select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + 7)).alias(
+                "cov"
             ),
-            " ",
-        ).alias("clean_text"),
-        F.count("*").alias("n_kept"),
+        )
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("cov")).alias("cov"))
     )
-    base = docs.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
-    return base.join(agg, "doc_id", "left").select(
+    kept_pos = F.array_except(
+        F.sequence(F.lit(1), F.size("toks")),
+        F.coalesce(F.col("cov"), F.array().cast("array<int>")),
+    )
+    return docs.join(covagg, "doc_id", "left").select(
         "doc_id",
-        "n_tokens",
-        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
-        .cast("long")
-        .alias("n_removed"),
-        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        F.size("toks").cast("long").alias("n_tokens"),
+        (F.size("toks") - F.size(kept_pos)).cast("long").alias("n_removed"),
+        F.coalesce(
+            F.array_join(
+                F.transform(kept_pos, lambda p: F.element_at("toks", p)), " "
+            ),
+            F.lit(""),
+        ).alias("clean_text"),
     )
 
 

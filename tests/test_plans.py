@@ -566,3 +566,21 @@ def test_keep_longest_is_partial_argmax_not_window(spark):
     plan = physical_plan(_q(spark, "dedup_keep_longest_per_group"))
     assert "Window" not in plan, plan
     assert "partial_max_by" in plan, plan
+
+
+def test_bloom_probe_is_expression_not_regroup(spark):
+    """r15 optimization gate: the decontamination Bloom pre-probe must
+    evaluate all k probes as one JVM forall over a broadcast one-row
+    bitmap map. The r14 form exploded every training shingle into k
+    probe ROWS, joined each against the bitmap table and re-grouped by
+    (doc_id, g) — a shuffle of k x the probed shingle volume that the
+    expression form removes outright (guide section 2.4). Gate on both
+    halves: the one-row bitmap attaches via a broadcast nested-loop
+    join, and no exchange is keyed on (doc_id, g)."""
+    import re
+
+    from git_etl_spark.plans.audit import physical_plan
+
+    plan = physical_plan(_q(spark, "pipeline_decontamination_bloom"))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert not re.search(r"hashpartitioning\(doc_id#\d+L?, g#", plan), plan
