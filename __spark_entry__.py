@@ -341,6 +341,19 @@ _REVERIFY_FIRST: dict[str, int] = {
     "embedding_pca_top_component": 15,
     "pipeline_decontamination_bloom": 15,
     "text_dedup_span_removal": 15,
+    # second optimization wave: single-materialization fixes for
+    # frames consumed by both sides of a self-join (ahash decode pass,
+    # oriented triangle edges, incremental-index token sets) — each
+    # proven result-identical vs the r14 formulation at sf0.001/0.01/
+    # 0.1 and oracle-MATCHed at sf0.001+sf0.01 after the edit. Pinning
+    # all 8 r15-edited queries spends 19 of the 50 slots and lets 4 of
+    # the 35 r09 greens slip to r16 — in an optimization round whose
+    # failure mode is a silently-moved hash on an EDITED query, driver
+    # coverage of fresh edits outranks fully draining the stale cohort
+    # (the r13/r14 pin-the-substantive-edits precedent).
+    "multimodal_ahash_dup_candidates": 15,
+    "graph_triangle_top20": 15,
+    "dedup_incremental_index_join": 15,
 }
 
 # A fine-flag (definition fingerprint drifted since the green's as-of

@@ -1783,7 +1783,12 @@ def dedup_incremental_index_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (doc_a, doc_b, jaccard, pair_type) with pair_type
     distinguishing new-new from new-old matches — the former dedup
     within the batch, the latter dedup against the archive."""
-    sets = _token_sets(spark, sf_dir)
+    # four consumers (both sides of the key join, both token sides of
+    # the verify join) each re-ran the tokenize+sort projection —
+    # materialize the |docs|-row set table once (r15, guide §2.4). Lazy:
+    # the first action against it (the corpus_d probe on a memo miss,
+    # else the candidate join itself) materializes it — no extra job.
+    sets = iter_checkpoint(_token_sets(spark, sf_dir), eager=False)
     # the persisted-index stand-in; key family sized to the corpus so
     # the scheme stays lossless if set sizes grow (see
     # _deletion_distance) — and auto-switched to prefix keys when the

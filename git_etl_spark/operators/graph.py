@@ -470,9 +470,15 @@ def graph_triangle_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     lower_first = (F.col("deg_u") < F.col("deg_v")) | (
         (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
     )
-    oriented = ranked.select(
-        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
-        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    # both sides of the wedge self-join read the oriented edge list —
+    # materialize it once, or each side re-runs the edges⋈deg⋈deg
+    # chain (r15; guide §2.4 — the plan drops from 6 SortMergeJoins to
+    # 4, A/B in OPTIMIZATION_r15.md)
+    oriented = iter_checkpoint(
+        ranked.select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
     )
     wedges = (
         oriented.alias("e1")

@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..registry import query
+from ..session import iter_checkpoint
 
 FEATURE_SCHEMA = (
     "doc_id long, n_bytes long, magic string, width int, height int,"
@@ -1155,10 +1156,18 @@ def multimodal_ahash_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFra
     payload = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.md5("text").alias("pmd5")
     )
-    a = hashes.join(payload, "doc_id").select(
+    # both self-join sides read the same (doc_id, ahash, pmd5) table —
+    # materialize it once: without the checkpoint each side re-runs
+    # the ENTIRE decode→downsample mapInPandas pass (Spark does not
+    # dedupe common subplans), doubling the heaviest pure-Python media
+    # loop for ~24 bytes/row of output (guide §4 "pay the Python
+    # boundary once" / §8 "decide with small rows"; A/B in
+    # OPTIMIZATION_r15.md)
+    sides = iter_checkpoint(hashes.join(payload, "doc_id"))
+    a = sides.select(
         F.col("doc_id").alias("doc_a"), "ahash", F.col("pmd5").alias("md5_a")
     )
-    b = hashes.join(payload, "doc_id").select(
+    b = sides.select(
         F.col("doc_id").alias("doc_b"),
         F.col("ahash").alias("ahash_b"),
         F.col("pmd5").alias("md5_b"),

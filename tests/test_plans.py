@@ -584,3 +584,28 @@ def test_bloom_probe_is_expression_not_regroup(spark):
     plan = physical_plan(_q(spark, "pipeline_decontamination_bloom"))
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert not re.search(r"hashpartitioning\(doc_id#\d+L?, g#", plan), plan
+
+
+def test_ahash_candidates_single_decode_pass(spark):
+    """r15 optimization gate: the aHash dup-candidate self-join must
+    read ONE materialized (doc_id, ahash, pmd5) table — without the
+    checkpoint each join side re-runs the entire decode->downsample
+    mapInPandas pass (the heaviest pure-Python media loop) for 24
+    bytes/row of output. The checkpoint hides the Python stage behind
+    an RDD scan, so the gate is structural: no Python eval node and no
+    parquet re-scan may remain in the join plan."""
+    from git_etl_spark.plans.audit import physical_plan
+
+    plan = physical_plan(_q(spark, "multimodal_ahash_dup_candidates"))
+    assert "MapInPandas" not in plan, plan
+    assert "FileScan parquet" not in plan, plan
+
+
+def test_triangle_oriented_materialized_once(spark):
+    """r15 optimization gate: both sides of the wedge self-join must
+    read the materialized oriented edge list, not re-run the
+    edges-deg-deg ranking chain per side (6 SortMergeJoins -> 4)."""
+    from git_etl_spark.plans.audit import physical_plan
+
+    plan = physical_plan(_q(spark, "graph_triangle_top20"))
+    assert plan.count("SortMergeJoin") <= 4, plan
