@@ -346,7 +346,7 @@ _REVERIFY_FIRST: dict[str, int] = {
     # oriented triangle edges, incremental-index token sets) — each
     # proven result-identical vs the r14 formulation at sf0.001/0.01/
     # 0.1 and oracle-MATCHed at sf0.001+sf0.01 after the edit. Pinning
-    # all 8 r15-edited queries spends 19 of the 50 slots and lets 4 of
+    # all 7 r15-edited queries spends 19 of the 50 slots and lets 4 of
     # the 35 r09 greens slip to r16 — in an optimization round whose
     # failure mode is a silently-moved hash on an EDITED query, driver
     # coverage of fresh edits outranks fully draining the stale cohort
@@ -354,6 +354,31 @@ _REVERIFY_FIRST: dict[str, int] = {
     "multimodal_ahash_dup_candidates": 15,
     "graph_triangle_top20": 15,
     "dedup_incremental_index_join": 15,
+    # --- r16 optimization-round movers (OPTIMIZATION_r16.md) — the
+    # Large-Star/Small-Star round body became a window-min over one
+    # explicit repartition per star phase (no joins, 7 exchanges + 3
+    # SMJs per round -> 3 exchanges, guide §2.4) and the lazy
+    # final-labels tail now carries the loop's volume-derived
+    # partition count. Proven label-identical to the r15 formulation
+    # kept verbatim in tests/test_large_star_restructure.py (random +
+    # adversarial graphs AND both real registry edge sets at
+    # sf0.001/sf0.01), and both consumers oracle-MATCHed at both
+    # verification scales after the edit. dedup_simhash_clusters is
+    # pinned explicitly because its fingerprint does NOT see the
+    # transitive graph.py helper edit (fingerprints are per-def).
+    "graph_components_large_star": 16,
+    "dedup_simhash_clusters": 16,
+    # r16 wave 2: the JPEG decoder's DC-only IDCT fast path (the
+    # classic libjpeg shortcut; jpeg_codec.py) — BIT-IDENTICAL by IEEE
+    # ±0.0 arithmetic, asserted against the general loop kept verbatim
+    # in tests/test_jpeg_idct_fastpath.py, full codec suite green.
+    # Pinned because the shared decoder is transitive (per-def
+    # fingerprints cannot see jpeg_codec.py edits): the gray path is
+    # multimodal_jpeg_features' whole decode stage (profiled 89% of
+    # 28.3 s single-threaded -> 1.2 s), and decode_image's JPEG/MJPG
+    # branches route multimodal_decode_features through the same IDCT.
+    "multimodal_jpeg_features": 16,
+    "multimodal_decode_features": 16,
 }
 
 # A fine-flag (definition fingerprint drifted since the green's as-of

@@ -207,6 +207,17 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "reps": reps,
+                # noise evidence IN the driver's hands (VERDICT r15 #1):
+                # before/after are min-of-3 constant-work JVM probes; a
+                # flat timeline (max ≈ the quiet ~0.3 s band) certifies
+                # a clean read, a spiked max flags a contended era —
+                # adjudicable from the one-line JSON alone. Additive
+                # fields only; every pre-existing key is unchanged.
+                "canary": {
+                    "before": canary_before,
+                    "after": canary_after,
+                    "max_timeline": max(p["sec"] for p in canary_timeline),
+                },
                 "full_map": "BENCH.json",
             }
         )

@@ -216,6 +216,72 @@ def graph_pagerank_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lss_round(cur: DataFrame, parts: int) -> DataFrame:
+    """One Large-Star + Small-Star alternation over the current edge
+    set — the loop body of :func:`large_star_small_star`, factored out
+    so the r16 plan gate (tests/test_plans.py) asserts the exact shape
+    the loop executes.
+
+    ONE explicit exchange per star phase, and NO joins (r16, guide
+    §2.4): each phase hash-repartitions by its key up front —
+    HashPartitioning on ``a`` satisfies the clustering every downstream
+    step needs (dropDuplicates on (a, b): same ``a`` ⇒ same partition;
+    a window over partitionBy(a)) — and the per-neighborhood minimum
+    comes from a WINDOW over that same partitioning instead of the r15
+    groupBy + join-back. The join form consumed ``sym``/``ls`` twice
+    each (Spark does not dedupe common subplans — the r15 self-join
+    lesson — and exchange reuse only partially recovers it because
+    per-consumer filter pushdown makes the duplicated exchanges
+    non-identical), planning 7 exchanges and 3 SortMergeJoins per
+    round; this form plans exactly 3 exchanges, 0 joins, no duplicated
+    subtree. A/B at sf0.1 (interleaved, same JVM, min-of-3): Jaccard
+    graph 190k edges 3.11 → 2.89 s, SimHash graph 3.4k edges 2.62 →
+    1.91 s, labels identical on every graph tried
+    (tests/test_large_star_restructure.py keeps the r15 formulation
+    verbatim as the reference). Skew note: a hub vertex's rows buffer
+    in ONE window group (ExternalAppendOnlyUnsafeRowArray, spills
+    gracefully) — the same per-``a`` concentration the groupBy and the
+    join's hub partition always had, not a new class.
+
+    The larger→smaller orientation projection (greatest/least) of r15
+    is also removed as a proven identity: every Large-Star output row
+    has w = m = min(N(a) ∪ {a}) ≤ a and u = b with b > a (the
+    Large-Star filter), so w < u always — greatest(u, w) = u and
+    least(u, w) = w, and both columns are non-null (cur drops a = b,
+    so NULLs never survive the b > a predicate)."""
+    sym = (
+        cur.unionByName(
+            cur.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .repartition(parts, "a")
+        .dropDuplicates(["a", "b"])
+    )
+    # Large-Star: m = min(N(a) ∪ {a}) as a window over the phase
+    # partitioning; emit (b, m) for the strictly-larger neighbors
+    from pyspark.sql import Window as _W
+
+    m = F.least(F.min("b").over(_W.partitionBy("a")), F.col("a"))
+    ls = (
+        sym.withColumn("m", m)
+        .filter(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("u"), F.col("m").alias("w"))
+        .filter(F.col("u") != F.col("w"))
+        .repartition(parts, "u")
+        .dropDuplicates(["u", "w"])
+    )
+    # Small-Star: mn = min over the (already larger→smaller oriented)
+    # in-edges of u; emit (w, mn) for w ≠ mn plus one (u, mn) per u
+    ls2 = ls.withColumn("mn", F.min("w").over(_W.partitionBy("u")))
+    return (
+        ls2.select(F.col("w").alias("a"), F.col("mn").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .unionByName(
+            ls2.select(F.col("u").alias("a"), F.col("mn").alias("b")).distinct()
+        )
+        .dropDuplicates(["a", "b"])
+    )
+
+
 def large_star_small_star(spark: SparkSession, edges: DataFrame) -> DataFrame:
     """Connected components via alternating Large-Star / Small-Star
     (Kiveris et al., "Connected Components in MapReduce and Beyond") —
@@ -244,55 +310,19 @@ def large_star_small_star(spark: SparkSession, edges: DataFrame) -> DataFrame:
     verts and once for the round-0 edges). Lineage stays O(1) per
     round. Returns (v, lbl) for every vertex of the input edge set."""
     edges0 = edges.localCheckpoint()  # sole upstream materialization
-    verts = (
-        edges0.select(F.col("a").alias("v"))
-        .unionByName(edges0.select(F.col("b").alias("v")))
-        .distinct()
-    )
     cur = edges0.filter(F.col("a") != F.col("b"))
     prev_sig = None
     n_edges = cur.count()
     converged = n_edges == 0  # empty graph: trivially stable
-    with loop_shuffle_partitions(spark, n_edges, rows_per_partition=100_000):
+    with loop_shuffle_partitions(
+        spark, n_edges, rows_per_partition=100_000
+    ) as parts:
         for _ in range(30):  # O(log n) expected; backstop bound
             if converged:
                 break
-            # the dropDuplicates is semantically optional (the min
-            # aggregation is duplicate-insensitive and ls dedups its
-            # own output) but measured FASTER kept: the dedup both
-            # shrinks the sym⋈mins join input and pre-partitions sym on
-            # the aggregation key
-            sym = cur.unionByName(
-                cur.select(F.col("b").alias("a"), F.col("a").alias("b"))
-            ).dropDuplicates(["a", "b"])
-            # Large-Star
-            mins = sym.groupBy("a").agg(
-                F.least(F.min("b"), F.first("a")).alias("m")
-            )
-            ls = (
-                sym.join(mins, "a")
-                .filter(F.col("b") > F.col("a"))
-                .select(F.col("b").alias("u"), F.col("m").alias("w"))
-                .filter(F.col("u") != F.col("w"))
-                .dropDuplicates(["u", "w"])
-            )
-            # Small-Star over larger→smaller orientation
-            d = ls.select(
-                F.greatest("u", "w").alias("u"), F.least("u", "w").alias("w")
-            )
-            mins_s = d.groupBy("u").agg(F.min("w").alias("mn"))
-            ss = (
-                d.join(mins_s, "u")
-                .select(F.col("w").alias("a"), F.col("mn").alias("b"))
-                .filter(F.col("a") != F.col("b"))
-                .unionByName(
-                    mins_s.select(F.col("u").alias("a"), F.col("mn").alias("b"))
-                )
-                .dropDuplicates(["a", "b"])
-            )
             # lazy checkpoint: the signature aggregate below is the
             # action that materializes it — one job per round, not two
-            ss = iter_checkpoint(ss, eager=False)
+            ss = iter_checkpoint(_lss_round(cur, parts), eager=False)
             sig_row = ss.agg(
                 F.count("*").alias("n"),
                 # order-insensitive, overflow-free set signature
@@ -313,9 +343,25 @@ def large_star_small_star(spark: SparkSession, edges: DataFrame) -> DataFrame:
             "large_star_small_star: no stable Small-Star fixpoint within "
             "30 rounds — refusing to return possibly-unconverged labels"
         )
+    # Final labels tail. This frame is returned LAZY — it materializes
+    # under the caller's action, outside the loop_shuffle_partitions
+    # scope, so without explicit sizing its exchanges ran at the full
+    # session partition count (measured r16: 128 tasks / ~48 executor-
+    # seconds over a KB-sized label table). The explicit repartitions
+    # bake the loop's volume-derived `parts` into the plan itself —
+    # clustering by v that the distinct, the left join, and the final
+    # groupBy all reuse (same one-exchange-per-phase shape as the
+    # round body), immune to whenever/wherever the caller materializes.
+    verts = (
+        edges0.select(F.col("a").alias("v"))
+        .unionByName(edges0.select(F.col("b").alias("v")))
+        .repartition(parts, "v")
+        .distinct()
+    )
     return (
         verts.join(
-            cur.select(F.col("a").alias("v"), F.col("b").alias("lbl")),
+            cur.select(F.col("a").alias("v"), F.col("b").alias("lbl"))
+            .repartition(parts, "v"),
             "v",
             "left",
         )

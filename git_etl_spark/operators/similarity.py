@@ -854,7 +854,7 @@ def _pca_power_solve(
     # multiply/divide are correctly-rounded IEEE ops in either runtime,
     # and np.cumsum(...)[-1] IS the left-to-right fold (asserted
     # bit-for-bit against the pure-Python loop over 500 rounds in
-    # tests/test_numeric_helpers.py::test_pca_numpy_fold_bit_identical).
+    # tests/test_pca_moment_pass.py::test_pca_numpy_fold_bit_identical).
     # 500·d² interpreted multiply-adds (~0.25 s of driver time per
     # solve) become C-speed (guide §1.2: per-task — here per-driver —
     # work, after the job shape is right).

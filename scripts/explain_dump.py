@@ -5,9 +5,12 @@ Usage::
 
     python scripts/explain_dump.py <tag_suffix> <query> [<query> ...]
 
-writes ``plans/r15/<query>_<tag_suffix>.txt`` for each query (e.g.
-``before`` / ``after``). Plan capture only — no job runs, so it is safe
-to use while other Spark work is in flight. The session is built by the
+writes ``plans/r16/<query>_<tag_suffix>.txt`` for each query (e.g.
+``before`` / ``after``). Plan capture only for most queries — but
+queries with eager build-time checkpoints (e.g. graph_triangle_top20,
+multimodal_ahash_dup_candidates) DO run jobs during DataFrame
+construction, including any mapInPandas pass feeding the checkpoint, so
+capture those in a quiet window. The session is built by the
 same factory as the bench so the captured plan is the one the bench
 executes (modulo AQE's runtime re-optimization, which ``explain`` on an
 unexecuted plan cannot show: these files show the static plan shape —
@@ -25,7 +28,7 @@ from git_etl_spark import registry
 from git_etl_spark.session import get_spark
 
 SF_DIR = "/root/testdata/sf0.1"
-OUT_DIR = Path(__file__).resolve().parent.parent / "plans" / "r15"
+OUT_DIR = Path(__file__).resolve().parent.parent / "plans" / "r16"
 
 
 def main() -> None:

@@ -609,3 +609,52 @@ def test_triangle_oriented_materialized_once(spark):
 
     plan = physical_plan(_q(spark, "graph_triangle_top20"))
     assert plan.count("SortMergeJoin") <= 4, plan
+
+
+def test_lss_round_one_exchange_per_phase(spark):
+    """r16 optimization gate: one Large-Star/Small-Star round must plan
+    exactly THREE distinct shuffle exchanges — the Large-Star phase
+    repartition by a (reused by its dedup and window min), the
+    Small-Star phase repartition by u (same reuse), and the round
+    output's (a, b) dedup — and ZERO joins (the per-neighborhood min
+    is a window over the phase partitioning, not the r15 groupBy +
+    join-back that planned seven exchanges and three SortMergeJoins).
+    Distinct = normalized by expression/plan ids: the Small-Star union
+    textually duplicates the ls subtree, but its two exchanges are
+    canonically identical (runtime exchange reuse), unlike the r15
+    join form where per-consumer filter pushdown made them differ."""
+    import re
+
+    from git_etl_spark.operators.graph import _lss_round
+    from git_etl_spark.plans.audit import physical_plan
+
+    cur = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "a long, b long"
+    ).localCheckpoint()
+    plan = physical_plan(_lss_round(cur, 4))
+    assert "Join" not in plan, plan
+    normalized = {
+        re.sub(r"#\d+L?|plan_id=\d+", "", line[line.index("Exchange") :])
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line
+    }
+    assert len(normalized) == 3, normalized
+
+
+def test_lss_final_labels_sized_by_loop_parts(spark):
+    """r16 optimization gate: the lazy final-labels tail must carry the
+    loop's volume-derived partition count in its own plan (two explicit
+    exchanges at that width), not materialize at the session default —
+    it executes under the CALLER's action, outside the
+    loop_shuffle_partitions scope (measured r16: 128 tasks over a
+    KB-sized label table before the fix)."""
+    from git_etl_spark.operators.graph import large_star_small_star
+    from git_etl_spark.plans.audit import count_shuffles, physical_plan
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "a long, b long")
+    labels = large_star_small_star(spark, edges)
+    # tiny graph -> loop parts = 1; both tail exchanges must say so
+    plan = physical_plan(labels)
+    assert count_shuffles(labels) == 2, plan
+    assert plan.count("Exchange hashpartitioning(v#") == 2, plan
+    assert "REPARTITION_BY_NUM" in plan, plan

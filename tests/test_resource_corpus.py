@@ -52,6 +52,27 @@ RESOURCE_DELEGATES = [
     "tpch_q18_large_orders",
 ]
 
+# VERDICT r15 task 9: every query whose plan the r15/r16 optimization
+# rounds RESTRUCTURED must also hold under pressure — the restructures
+# moved where state lives (dense 16 KB bloom row, n-row PCA exchange +
+# driver numpy solve, per-doc array complements, window-min CC rounds,
+# single-decode checkpoints), so the spill gate must cover the NEW
+# shapes, not the r14 ones the survey originally profiled.
+# (graph_components_large_star above already carries the r16 CC round;
+# embedding_pca_top_component is rows-only — the survey count-executes
+# it; its hash-oracled twin embedding_pca_loading_ppm is listed too.)
+RESOURCE_DELEGATES += [
+    "embedding_pca_top_component",
+    "embedding_pca_loading_ppm",
+    "pipeline_decontamination_bloom",
+    "text_dedup_span_removal",
+    "multimodal_ahash_dup_candidates",
+    "graph_triangle_top20",
+    "dedup_incremental_index_join",
+    "dedup_simhash_clusters",
+    "multimodal_jpeg_features",
+]
+
 
 def test_resource_constrained_oracle_parity():
     env = dict(os.environ)
@@ -69,7 +90,7 @@ def test_resource_constrained_oracle_parity():
         env=env,
         capture_output=True,
         text=True,
-        timeout=900,
+        timeout=1800,
     )
     out = proc.stdout
     ok = [ln for ln in out.splitlines() if ln.startswith("OK ")]
