@@ -379,6 +379,13 @@ _REVERIFY_FIRST: dict[str, int] = {
     # branches route multimodal_decode_features through the same IDCT.
     "multimodal_jpeg_features": 16,
     "multimodal_decode_features": 16,
+    # r16 wave 3: dedup_ngram_jaccard's sid-assignment pass exchanges
+    # once (user hash(doc_id, N) repartition that the groupBy reuses,
+    # AQE-coalesce-exempt) instead of the aggregate's own exchange plus
+    # a round-robin respread. Rows proven identical in-session at
+    # sf0.1, oracle-MATCH at sf0.001+sf0.01, both vocab-kernel equality
+    # tests green.
+    "dedup_ngram_jaccard": 16,
 }
 
 # A fine-flag (definition fingerprint drifted since the green's as-of

@@ -931,13 +931,22 @@ def dedup_ngram_jaccard(
     # length, never corpus size).
     sets_i = (
         occ.join(F.broadcast(vocab), "s")
+        # ONE user exchange where r15 paid two (r16, guide §2.4): the
+        # explicit hash(doc_id, N) repartition both SATISFIES the
+        # aggregation's clustering (same key, so no ENSURE_REQUIREMENTS
+        # exchange is inserted) and — being user-specified — is exempt
+        # from AQE's byte-based coalescer, so the aggregate's output
+        # stays spread over every core for the map-side candidate
+        # generation downstream. The r15 shape let the groupBy insert
+        # its own (coalescible) exchange and then round-robin
+        # repartitioned the |reps|-row array table a second time to
+        # restore the spread. A/B at sf0.1: this segment 1.06 → 0.72 s,
+        # rows identical; doc_id is unique per row, so hash(doc_id) is
+        # skew-free by construction.
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_list("sid")).alias("sids"))
         .withColumn("sz", F.size("sids"))
-        # spread the per-doc rows over every core: downstream candidate
-        # generation is map-side over this table's partitions, and the
-        # explicit N is exempt from AQE's byte-based coalescer
-        .repartition(spark.sparkContext.defaultParallelism)
         .localCheckpoint()
     )
     prefix_len = F.col("sz") - F.floor((9 * F.col("sz") + 9) / 10) + 1
